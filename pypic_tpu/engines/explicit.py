@@ -1,0 +1,121 @@
+"""Explicit periodic electrostatic PIC engine (leapfrog).
+
+The standard explicit PIC cycle — deposit rho -> Poisson -> E -> gather ->
+leapfrog push -> periodic wrap — as one jitted step function. Reproduces the
+gen-1 explicit driver (PIC_L.py:604-786 ``main``, cycle at 762-768) and the
+*intended* behavior of the bit-rotted gen-3 ``explicit_pic``
+(pypic.py:711-731; dead code in the reference, SURVEY.md §2.1).
+
+Diagnostics use the physical definitions — field energy with the dx measure
+and kinetic energy with one power of p2c and the per-particle mass — rather
+than the dead driver's inconsistent ``p2c**2`` / measure-free expressions
+(pypic.py:733-734), so energy-conservation acceptance tests are meaningful.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..constants import EPSILON_0
+from ..grid import GridSpec
+from ..ops import (
+    deposit,
+    gather,
+    grad_periodic,
+    solve_periodic_neutralized,
+)
+from ..push import leapfrog_push
+
+
+@dataclasses.dataclass(frozen=True)
+class ExplicitConfig:
+    grid: GridSpec
+    dt: float
+    p2c: float
+    deposit_method: str = "auto"
+
+    def __post_init__(self):
+        # numpy scalars are not weakly typed and would promote float32 state.
+        object.__setattr__(self, "dt", float(self.dt))
+        object.__setattr__(self, "p2c", float(self.p2c))
+
+
+class ExplicitState(struct.PyTreeNode):
+    p: jax.Array  # (n,) positions in grid coordinates
+    v: jax.Array  # (n,) velocities [m/s]
+    q: jax.Array  # () or (n,) charge [C]
+    m: jax.Array  # () or (n,) mass [kg]
+    step: jax.Array  # () int32
+
+
+class StepMetrics(NamedTuple):
+    field_energy: jax.Array  # sum(eps0 E^2 dx / 2) [J/m^2]
+    kinetic_energy: jax.Array  # p2c sum(m v^2 / 2)
+    current_bias: jax.Array  # <j>
+    rho: jax.Array  # (ng,) for optional field diagnostics
+    e_field: jax.Array  # (ng,)
+
+
+def init_state(x, v, q, m, grid: GridSpec, dtype=jnp.float32) -> ExplicitState:
+    """Wrap SI arrays from an initializer into engine state (grid coords)."""
+    p = jnp.asarray(x, dtype) / jnp.asarray(grid.dx, dtype)
+    return ExplicitState(
+        p=p.astype(dtype),
+        v=jnp.asarray(v, dtype),
+        q=jnp.asarray(q, dtype),
+        m=jnp.asarray(m, dtype),
+        step=jnp.asarray(0, jnp.int32),
+    )
+
+
+def make_step(cfg: ExplicitConfig):
+    """Build the jittable step: state -> (state, StepMetrics)."""
+    grid = cfg.grid
+    ng = grid.ng
+    dx = grid.dx
+    dt = cfg.dt
+    dt_dx = dt / dx
+    inv_dx = 1.0 / dx
+
+    def step(state: ExplicitState):
+        qm = state.q / state.m
+        # Deposit charge density (pypic.py:715 / PIC_L.py:763).
+        w_rho = state.q * (cfg.p2c * inv_dx)
+        rho = deposit(
+            state.p, jnp.broadcast_to(w_rho, state.p.shape), ng,
+            periodic=True, method=cfg.deposit_method,
+        )
+        # Field solve: neutralized periodic Poisson, gauge-shift, E = -dphi/dx
+        # (pypic.py:717-719).
+        phi = solve_periodic_neutralized(rho, dx)
+        phi = phi - jnp.max(phi)
+        e = -grad_periodic(phi, dx)
+        # Gather + leapfrog + periodic wrap (pypic.py:722-731).
+        e_p = gather(e, state.p, periodic=True)
+        p1, v1 = leapfrog_push(state.p, state.v, e_p, qm, dt, dt_dx)
+        p1 = jnp.mod(p1, ng)
+
+        metrics = StepMetrics(
+            field_energy=0.5 * EPSILON_0 * dx * jnp.sum(e * e),
+            kinetic_energy=0.5 * cfg.p2c * jnp.sum(state.m * state.v * state.v),
+            current_bias=jnp.mean(
+                deposit(
+                    state.p,
+                    jnp.broadcast_to(state.q * cfg.p2c * inv_dx, state.p.shape)
+                    * state.v,
+                    ng,
+                    periodic=True,
+                    method=cfg.deposit_method,
+                )
+            ),
+            rho=rho,
+            e_field=e,
+        )
+        return state.replace(p=p1, v=v1, step=state.step + 1), metrics
+
+    return step

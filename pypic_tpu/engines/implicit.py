@@ -1,0 +1,173 @@
+"""Implicit energy-conserving periodic PIC engine (Crank-Nicolson + Picard).
+
+The flagship engine — a TPU rebuild of the gen-3 numba hot kernel
+``particle_push_p`` (pypic.py:216-300) and its driver ``implicit_pic``
+(pypic.py:472-651):
+
+* the Picard fixed-point iteration becomes a ``lax.while_loop`` with the
+  reference's (tol, maxiter) envelope on ||Es - Eh||^2 (pypic.py:259, 289);
+* each iteration: gather the binomially-smoothed field guess at the position
+  guess (pypic.py:261), Crank-Nicolson position/velocity update
+  (pypic.py:264-265), half-step and full-step current deposits
+  (pypic.py:267-279), Ampere's-law field advance
+  ``E1 = E0 + (dt/eps0) (<jh> - smooth(jh))`` (pypic.py:283), residual on the
+  half-step field (pypic.py:285-289);
+* the sequential scatter deposits become matmul/segment deposits
+  (pypic_tpu.ops.cic);
+* Picard iteration count and residual are returned as step metrics (the
+  reference prints them, pypic.py:297-298).
+
+The scheme conserves total energy to the Picard tolerance — the property the
+drift acceptance test checks (<0.1% per 1e4 steps, BASELINE.md).
+
+State carries per-particle q/m/mass as either scalars (single-species fast
+path: initialize_p loads all electrons, pypic.py:425-426) or (n,) arrays
+(the gen-1 implicit two-stream mixes electrons and ions, PIC_L.py:339) —
+broadcasting covers both with zero code divergence.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax import lax
+
+from ..constants import EPSILON_0
+from ..grid import GridSpec
+from ..ops import (
+    deposit,
+    gather,
+    grad_periodic,
+    smooth_periodic,
+    solve_periodic_neutralized,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ImplicitConfig:
+    grid: GridSpec
+    dt: float
+    p2c: float
+    tol: float = 1e-3  # on ||Es - Eh||^2 (pypic.py:859)
+    maxiter: int = 20  # pypic.py:860
+    deposit_method: str = "auto"
+    tracer: int = 0  # tracer particle index for trajectory diagnostics
+
+    def __post_init__(self):
+        # numpy scalars are not weakly typed and would promote float32 state.
+        object.__setattr__(self, "dt", float(self.dt))
+        object.__setattr__(self, "p2c", float(self.p2c))
+        object.__setattr__(self, "tol", float(self.tol))
+        object.__setattr__(self, "maxiter", int(self.maxiter))
+
+
+class ImplicitState(struct.PyTreeNode):
+    p: jax.Array  # (n,) positions in grid coordinates
+    v: jax.Array  # (n,) velocities [m/s]
+    q: jax.Array  # () or (n,) charge [C]
+    m: jax.Array  # () or (n,) mass [kg]
+    e: jax.Array  # (ng,) electric field [V/m]
+    j: jax.Array  # (ng,) current density [A/m^2]
+    step: jax.Array  # () int32
+
+
+class StepMetrics(NamedTuple):
+    field_energy: jax.Array  # sum(eps0 E^2 dx / 2) (pypic.py:571)
+    kinetic_energy: jax.Array  # p2c sum(m v^2 / 2) (pypic.py:572)
+    current_bias: jax.Array  # <j> (pypic.py:574)
+    picard_iters: jax.Array  # int32
+    picard_residual: jax.Array
+    tracer_x: jax.Array  # grid coords
+    tracer_v: jax.Array
+
+
+def init_state(x, v, q, m, cfg: ImplicitConfig, dtype=jnp.float32) -> ImplicitState:
+    """Initial state incl. the initial Poisson solve for E0 and current j0
+    (pypic.py:549-554)."""
+    grid = cfg.grid
+    ng = grid.ng
+    dx = grid.dx
+    p = (jnp.asarray(x) / grid.dx).astype(dtype)
+    v = jnp.asarray(v, dtype)
+    q = jnp.asarray(q, dtype)
+    m = jnp.asarray(m, dtype)
+    w = jnp.broadcast_to(q * (cfg.p2c / dx), p.shape).astype(dtype)
+    rho0 = deposit(p, w, ng, periodic=True, method=cfg.deposit_method)
+    j0 = deposit(p, w * v, ng, periodic=True, method=cfg.deposit_method)
+    phi0 = solve_periodic_neutralized(rho0, dx)
+    phi0 = phi0 - jnp.max(phi0)
+    e0 = -grad_periodic(phi0, dx)
+    return ImplicitState(
+        p=p, v=v, q=q, m=m, e=e0.astype(dtype), j=j0.astype(dtype),
+        step=jnp.asarray(0, jnp.int32),
+    )
+
+
+def make_step(cfg: ImplicitConfig):
+    """Build the jittable implicit step: state -> (state, StepMetrics)."""
+    grid = cfg.grid
+    ng = grid.ng
+    dx = grid.dx
+    dt = cfg.dt
+    dt_dx = dt / dx
+    inv_dx = 1.0 / dx
+
+    def step(state: ImplicitState):
+        p0, v0, e0 = state.p, state.v, state.e
+        qm = state.q / state.m
+        w = state.q * (cfg.p2c * inv_dx)  # deposit prefactor q p2c / dx
+
+        def cond(carry):
+            _, _, _, _, _, r, k = carry
+            return (r > cfg.tol) & (k < cfg.maxiter)
+
+        def body(carry):
+            es, ps, _, _, _, _, k = carry
+            # Gather smoothed field guess at position guess (pypic.py:261).
+            e_p = gather(smooth_periodic(es), ps, periodic=True)
+            # Crank-Nicolson update (pypic.py:264-265), in grid coords.
+            accel = qm * e_p
+            p1 = p0 + dt_dx * v0 + (0.5 * dt * dt_dx) * accel
+            v1 = v0 + dt * accel
+            # Half-step quantities + periodic wrap (pypic.py:267-272).
+            ph = jnp.mod(0.5 * (p0 + p1), ng)
+            vh = 0.5 * (v0 + v1)
+            jh = deposit(ph, jnp.broadcast_to(w, ph.shape) * vh, ng,
+                         periodic=True, method=cfg.deposit_method)
+            p1 = jnp.mod(p1, ng)
+            j1 = deposit(p1, jnp.broadcast_to(w, p1.shape) * v1, ng,
+                         periodic=True, method=cfg.deposit_method)
+            # Ampere advance + half-step field (pypic.py:283-285).
+            e1 = e0 + (dt / EPSILON_0) * (jnp.mean(jh) - smooth_periodic(jh))
+            eh = 0.5 * (e1 + e0)
+            r = jnp.sum((es - eh) ** 2)
+            return eh, ph, (p1, v1), e1, j1, r, k + 1
+
+        carry0 = (
+            e0,
+            p0,
+            (p0, v0),
+            e0,
+            state.j,
+            jnp.asarray(jnp.inf, e0.dtype),
+            jnp.asarray(0, jnp.int32),
+        )
+        _, _, (p1, v1), e1, j1, r, k = lax.while_loop(cond, body, carry0)
+
+        metrics = StepMetrics(
+            field_energy=0.5 * EPSILON_0 * dx * jnp.sum(e1 * e1),
+            kinetic_energy=0.5 * cfg.p2c * jnp.sum(state.m * v1 * v1),
+            current_bias=jnp.mean(j1),
+            picard_iters=k,
+            picard_residual=r,
+            tracer_x=p1[cfg.tracer],
+            tracer_v=v1[cfg.tracer],
+        )
+        new_state = state.replace(p=p1, v=v1, e=e1, j=j1, step=state.step + 1)
+        return new_state, metrics
+
+    return step

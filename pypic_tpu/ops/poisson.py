@@ -1,0 +1,265 @@
+"""Field solvers: linear Poisson and nonlinear Boltzmann-electron Poisson.
+
+The reference's L2 layer, rebuilt without scipy:
+
+* ``solve_periodic_neutralized``: neutralizing-background direct solve
+  (pypic.py:359-382 ``solve_poisson_p``, PIC_L.py:208-220). The periodic
+  (1,-2,1) Laplacian is circulant, so the direct sparse solve becomes an FFT
+  diagonalization — exact for the same discrete operator, O(ng log ng), and
+  fully parallel on TPU. The k=0 mode is gauge (the reference pins gauge after
+  the fact by subtracting max(phi), pypic.py:553).
+* ``solve_dirichlet``: linear Dirichlet solve (pygcpic.py:987-1003) via Thomas.
+* ``solve_boltzmann_dirichlet``: Newton iteration on
+  F = A phi - dx^2 (e n0/eps0) exp(e phi / kB Te) + dx^2 rho/eps0
+  (pygcpic.py:1005-1053). The reference solves each Newton step with warm-
+  started bicgstab (pygcpic.py:1046); since J = A + diag is tridiagonal, the
+  rebuild uses an exact Thomas solve inside ``lax.while_loop`` — strictly
+  tighter than the reference per iteration. Iteration count and final residual
+  are returned as solver telemetry (the reference prints them ad hoc).
+* ``solve_boltzmann_dirichlet_neumann``: the Dirichlet-Neumann variant with a
+  one-sided 2nd-order Neumann row (3, -4, 1) (pygcpic.py:958-978, 1062-1109),
+  handled as tridiagonal + rank-1 via Sherman-Morrison.
+* ``solve_newton_boltzmann_bounded`` / ``solve_newton_boltzmann_periodic``:
+  the gen-1 wall/periodic Newton solvers with the potential referenced to the
+  domain-center node (PIC_L.py:116-147, 149-176).
+
+All solvers are pure functions of arrays + static scalars and live happily
+under jit; Newton loops are ``lax.while_loop`` with (tol, maxiter) exactly as
+the reference envelopes them (tol=1e-9/maxiter=1000 D-D, pygcpic.py:1022-1023;
+tol=1e-3/maxiter=100 D-N, pygcpic.py:1079-1080).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..constants import EPSILON_0, E_CHARGE, K_BOLTZMANN
+from .tridiag import solve_tridiag, solve_tridiag_rank1, solve_cyclic_tridiag
+
+
+class NewtonResult(NamedTuple):
+    phi: jnp.ndarray
+    iterations: jnp.ndarray  # int32 scalar
+    residual: jnp.ndarray  # float scalar
+
+
+def solve_periodic_neutralized(rho, dx):
+    """Periodic Poisson with neutralizing background (pypic.py:359-382).
+
+    Solves A phi = -dx^2 (rho - <rho>) / eps0 spectrally; returns the zero-mean
+    representative of the gauge family (the reference's spsolve picks a
+    different representative; E = -grad phi is identical).
+    """
+    ng = rho.shape[0]
+    b = -(dx * dx) * (rho - jnp.mean(rho)) / EPSILON_0
+    k = jnp.arange(ng // 2 + 1, dtype=rho.dtype)
+    eig = 2.0 * jnp.cos(2.0 * jnp.pi * k / ng) - 2.0
+    bh = jnp.fft.rfft(b)
+    inv = jnp.where(eig != 0.0, 1.0 / jnp.where(eig != 0.0, eig, 1.0), 0.0)
+    return jnp.fft.irfft(bh * inv, n=ng).astype(rho.dtype)
+
+
+def _dirichlet_diagonals(ng, dtype):
+    """Laplacian with identity boundary rows (pygcpic.py:939-956)."""
+    dl = jnp.ones((ng,), dtype).at[-1].set(0.0)
+    d = jnp.full((ng,), -2.0, dtype).at[0].set(1.0).at[-1].set(1.0)
+    du = jnp.ones((ng,), dtype).at[0].set(0.0)
+    return dl, d, du
+
+
+def _apply_dirichlet_laplacian(phi, dl, d, du):
+    """A @ phi for the tridiagonal stored as (dl, d, du)."""
+    up = jnp.roll(phi, -1).at[-1].set(0.0)
+    down = jnp.roll(phi, 1).at[0].set(0.0)
+    return dl * down + d * phi + du * up
+
+
+def solve_dirichlet(rho, dx):
+    """Linear Dirichlet solve phi = -A^{-1} rho dx^2, shifted to min 0
+    (pygcpic.py:987-1003)."""
+    ng = rho.shape[0]
+    dl, d, du = _dirichlet_diagonals(ng, rho.dtype)
+    x = solve_tridiag(dl, d, du, rho)
+    phi = -x * (dx * dx)
+    return phi - jnp.min(phi)
+
+
+def solve_boltzmann_dirichlet(rho, n0, te, dx, tol=1e-9, maxiter=1000):
+    """Newton solve of the nonlinear Boltzmann-electron Poisson equation with
+    Dirichlet-Dirichlet walls (pygcpic.py:1005-1053).
+
+    Args:
+        rho: (ng,) ion charge density [C/m^3].
+        n0: Boltzmann electron reference density [1/m^3].
+        te: electron temperature [K].
+        dx: grid spacing [m].
+
+    Returns:
+        NewtonResult(phi shifted to min 0, iterations, residual |dphi|^2).
+    """
+    ng = rho.shape[0]
+    dtype = rho.dtype
+    dl, d, du = _dirichlet_diagonals(ng, dtype)
+    dx2 = dx * dx
+    c0 = E_CHARGE * n0 / EPSILON_0
+    c1 = E_CHARGE / (K_BOLTZMANN * te)
+    c2 = rho / EPSILON_0
+
+    def cond(carry):
+        _, residual, it = carry
+        return (residual > tol) & (it < maxiter)
+
+    def body(carry):
+        phi, _, it = carry
+        expo = jnp.exp(c1 * phi)
+        f = _apply_dirichlet_laplacian(phi, dl, d, du) - dx2 * c0 * expo + dx2 * c2
+        f = f.at[0].set(0.0).at[-1].set(0.0)
+        ddiag = -dx2 * c0 * c1 * expo
+        ddiag = ddiag.at[0].set(-dx2 * c0 * c1).at[-1].set(-dx2 * c0 * c1)
+        dphi = solve_tridiag(dl, d + ddiag, du, f)
+        phi = phi - dphi
+        return phi, jnp.dot(dphi, dphi), it + 1
+
+    phi0 = jnp.zeros((ng,), dtype)
+    phi, residual, it = lax.while_loop(
+        cond, body, (phi0, jnp.asarray(1.0, dtype), jnp.asarray(0, jnp.int32))
+    )
+    return NewtonResult(phi - jnp.min(phi), it, residual)
+
+
+def solve_boltzmann_dirichlet_neumann(n, n0, te, dx, phi0, tol=1e-3, maxiter=100):
+    """Newton Boltzmann solve with Dirichlet left wall and 2nd-order one-sided
+    Neumann right wall (pygcpic.py:1062-1109).
+
+    The Laplacian's last row is (..., 1, -4, 3) (pygcpic.py:973-977): the
+    (1) entry at column ng-3 makes it tridiagonal + rank-1, solved via
+    Sherman-Morrison. Note the reference uses the *number* density ``n`` here
+    (c2 = e n / eps0, pygcpic.py:1089) and warm-starts from the previous phi.
+    """
+    ng = n.shape[0]
+    dtype = n.dtype
+    dl = jnp.ones((ng,), dtype).at[-1].set(-4.0)
+    d = jnp.full((ng,), -2.0, dtype).at[0].set(1.0).at[-1].set(3.0)
+    du = jnp.ones((ng,), dtype).at[0].set(0.0)
+    u = jnp.zeros((ng,), dtype).at[-1].set(1.0)  # extra A[-1, -3] entry
+    v = jnp.zeros((ng,), dtype).at[-3].set(1.0)
+
+    dx2 = dx * dx
+    c0 = E_CHARGE * n0 / EPSILON_0
+    c1 = E_CHARGE / (K_BOLTZMANN * te)
+    c2 = E_CHARGE * n / EPSILON_0
+
+    def apply_a(phi):
+        base = _apply_dirichlet_laplacian(phi, dl, d, du)
+        return base.at[-1].add(phi[-3])
+
+    def cond(carry):
+        _, residual, it = carry
+        return (residual > tol) & (it < maxiter)
+
+    def body(carry):
+        phi, _, it = carry
+        expo = jnp.exp(c1 * phi)
+        f = apply_a(phi) - dx2 * c0 * expo + dx2 * c2
+        f = f.at[0].set(phi[0]).at[-1].set(0.0)
+        ddiag = -dx2 * c0 * c1 * expo
+        ddiag = ddiag.at[0].set(-dx2 * c0 * c1).at[-1].set(0.0)
+        dphi = solve_tridiag_rank1(dl, d + ddiag, du, f, u, v)
+        phi = phi - dphi
+        return phi, jnp.linalg.norm(dphi), it + 1
+
+    phi, residual, it = lax.while_loop(
+        cond, body, (phi0, jnp.asarray(1.0, dtype), jnp.asarray(0, jnp.int32))
+    )
+    return NewtonResult(phi - jnp.min(phi), it, residual)
+
+
+def solve_newton_boltzmann_bounded(rho, kbt, dx, phi0, tol, maxiter):
+    """Gen-1 bounded Newton-Boltzmann solver (PIC_L.py:116-147).
+
+    Potential is referenced to the center node (c0 = rho[ng//2]/eps0,
+    exp(c1 (phi - phi[ng//2])), PIC_L.py:125-130). The gen-1 bounded Laplacian
+    has first row (1, 0, 0) and a one-sided last row with A[-1,-3] = 1
+    (PIC_L.py:104-114).
+    """
+    ng = rho.shape[0]
+    dtype = rho.dtype
+    dl = jnp.ones((ng,), dtype)
+    d = jnp.full((ng,), -2.0, dtype).at[0].set(1.0)
+    du = jnp.ones((ng,), dtype).at[0].set(0.0)
+    u = jnp.zeros((ng,), dtype).at[-1].set(1.0)  # A[-1, -3]
+    v = jnp.zeros((ng,), dtype).at[-3].set(1.0)
+
+    dx2 = dx * dx
+    mid = ng // 2
+    c0 = rho[mid] / EPSILON_0
+    c1 = E_CHARGE / kbt
+    c2 = rho / EPSILON_0
+
+    def apply_a(phi):
+        base = _apply_dirichlet_laplacian(phi, dl, d, du)
+        return base.at[-1].add(phi[-3])
+
+    def cond(carry):
+        _, residual, it = carry
+        return (residual > tol) & (it <= maxiter)
+
+    def body(carry):
+        phi, _, it = carry
+        expo = jnp.exp(c1 * (phi - phi[mid]))
+        f = apply_a(phi) - dx2 * c0 * expo + dx2 * c2
+        f = f.at[0].set(phi[0]).at[-1].set(phi[-1])
+        ddiag = -dx2 * c0 * c1 * expo
+        ddiag = ddiag.at[0].set(-dx2 * c0 * c1).at[-1].set(-dx2 * c0 * c1)
+        dphi = solve_tridiag_rank1(dl, d + ddiag, du, f, u, v)
+        phi = phi - dphi
+        return phi, jnp.linalg.norm(dphi), it + 1
+
+    phi, residual, it = lax.while_loop(
+        cond, body, (phi0, jnp.asarray(1.0, dtype), jnp.asarray(0, jnp.int32))
+    )
+    return NewtonResult(phi, it, residual)
+
+
+def solve_newton_boltzmann_periodic(rho, kbt, dx, phi0, tol, maxiter):
+    """Gen-1 periodic Newton-Boltzmann solver (PIC_L.py:149-176).
+
+    The Jacobian is the periodic Laplacian (wrap corners, PIC_L.py:90-102)
+    plus the strictly negative Boltzmann diagonal, hence nonsingular; solved
+    with cyclic Thomas (Sherman-Morrison on the corners).
+    """
+    ng = rho.shape[0]
+    dtype = rho.dtype
+    dl = jnp.ones((ng,), dtype)
+    d = jnp.full((ng,), -2.0, dtype)
+    du = jnp.ones((ng,), dtype)
+
+    dx2 = dx * dx
+    mid = ng // 2
+    c0 = rho[mid] / EPSILON_0
+    c1 = E_CHARGE / kbt
+    c2 = rho / EPSILON_0
+
+    def apply_a(phi):
+        return jnp.roll(phi, 1) - 2.0 * phi + jnp.roll(phi, -1)
+
+    def cond(carry):
+        _, residual, it = carry
+        return (residual > tol) & (it <= maxiter)
+
+    def body(carry):
+        phi, _, it = carry
+        expo = jnp.exp(c1 * (phi - phi[mid]))
+        f = apply_a(phi) - dx2 * c0 * expo + dx2 * c2
+        ddiag = -dx2 * c0 * c1 * expo
+        dphi = solve_cyclic_tridiag(dl, d + ddiag, du, f, 1.0, 1.0)
+        phi = phi - dphi
+        return phi, jnp.linalg.norm(dphi), it + 1
+
+    phi, residual, it = lax.while_loop(
+        cond, body, (phi0, jnp.asarray(1.0, dtype), jnp.asarray(0, jnp.int32))
+    )
+    return NewtonResult(phi, it, residual)

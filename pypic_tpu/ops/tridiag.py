@@ -1,0 +1,98 @@
+"""Tridiagonal solvers (jit-friendly, static shapes).
+
+The reference assembles dense (ng, ng) Laplacians and calls scipy sparse
+direct/iterative solvers (``sppla.spsolve`` pypic.py:379, ``sppla.inv``
+PIC_L_DD.py:139, ``sppla.bicgstab`` pygcpic.py:1046). None of those exist
+under jit on TPU; every Laplacian in this codebase is tridiagonal (possibly
+plus a rank-1 correction), so the rebuild solves them with:
+
+* ``solve_tridiag``: the Thomas algorithm as a ``lax.scan`` pair — exact,
+  deterministic, O(ng) with tiny constants (ng is 40-800 in every reference
+  config, pypic.py:851, pygcpic.py:1973).
+* ``solve_tridiag_rank1``: Sherman-Morrison on top of Thomas for systems that
+  are "tridiagonal + one extra entry": the Dirichlet-Neumann Laplacian's
+  one-sided second-order last row (3, -4, 1) (pygcpic.py:958-978) and the
+  periodic Newton Jacobian's wrap corners (PIC_L.py:149-176).
+
+Diagonals are passed as equal-length (n,) arrays: ``dl[i] = A[i, i-1]``
+(dl[0] ignored), ``d[i] = A[i, i]``, ``du[i] = A[i, i+1]`` (du[-1] ignored).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def solve_tridiag(dl, d, du, b):
+    """Solve a tridiagonal system A x = b via the Thomas algorithm.
+
+    Args:
+        dl: (n,) sub-diagonal, dl[0] unused.
+        d: (n,) main diagonal.
+        du: (n,) super-diagonal, du[-1] unused.
+        b: (n,) or (n, k) right-hand side(s).
+
+    Returns:
+        x with the same shape as b.
+    """
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+
+    def fwd(carry, xs):
+        cp_prev, dp_prev = carry
+        a_i, b_i, c_i, r_i = xs
+        denom = b_i - a_i * cp_prev
+        cp = c_i / denom
+        dp = (r_i - a_i * dp_prev) / denom
+        return (cp, dp), (cp, dp)
+
+    zero_row = jnp.zeros_like(b[0])
+    # First row: cp0 = du0/d0, dp0 = b0/d0 falls out of the same recurrence
+    # with cp_prev = dp_prev = 0 and a_0 = 0.
+    a = dl.at[0].set(0.0)
+    (_, _), (cp, dp) = lax.scan(
+        fwd,
+        (jnp.zeros(()), zero_row),
+        (a, d, du, b),
+    )
+
+    def bwd(x_next, xs):
+        cp_i, dp_i = xs
+        x_i = dp_i - cp_i * x_next
+        return x_i, x_i
+
+    _, xs_rev = lax.scan(bwd, zero_row, (cp, dp), reverse=True)
+    x = xs_rev
+    return x[:, 0] if squeeze else x
+
+
+def solve_tridiag_rank1(dl, d, du, b, u, v):
+    """Solve (T + u v^T) x = b with T tridiagonal, via Sherman-Morrison.
+
+    x = y - z (v.y) / (1 + v.z) with y = T^{-1} b, z = T^{-1} u.
+    """
+    rhs = jnp.stack([b, u], axis=-1)
+    yz = solve_tridiag(dl, d, du, rhs)
+    y, z = yz[:, 0], yz[:, 1]
+    denom = 1.0 + jnp.dot(v, z)
+    return y - z * (jnp.dot(v, y) / denom)
+
+
+def solve_cyclic_tridiag(dl, d, du, b, corner_ul, corner_lr):
+    """Solve a tridiagonal system with wrap corners A[0,-1], A[-1,0].
+
+    ``corner_ul`` is A[0, n-1] and ``corner_lr`` is A[n-1, 0] (both 1.0 for
+    the reference's periodic Laplacians, pypic.py:347-355). The matrix must be
+    nonsingular (the *pure* periodic Laplacian is singular — linear periodic
+    Poisson solves go through the FFT path in pypic_tpu.ops.poisson instead;
+    this function serves Newton Jacobians J = A + D which are strictly
+    diagonally dominated by the Boltzmann term, PIC_L.py:162-172).
+    """
+    n = d.shape[0]
+    gamma = -d[0]
+    dmod = d.at[0].add(-gamma).at[n - 1].add(-corner_lr * corner_ul / gamma)
+    u = jnp.zeros_like(d).at[0].set(gamma).at[n - 1].set(corner_lr)
+    v = jnp.zeros_like(d).at[0].set(1.0).at[n - 1].set(corner_ul / gamma)
+    return solve_tridiag_rank1(dl, dmod, du, b, u, v)

@@ -1,0 +1,169 @@
+"""Physics acceptance tests for the periodic engines.
+
+The reference validates physics by eyeballing plot overlays of simulated E^2
+against analytic growth/damping rates (pypic.py:598-614) and printing total
+energy (pypic.py:573). Here the same invariants get hard numeric thresholds
+(SURVEY.md §4): two-stream growth rate, Landau damping rate, and energy drift.
+All engine states run in float32 — the TPU-realistic precision.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pypic_tpu.constants import E_CHARGE, EPSILON_0, K_BOLTZMANN, M_ELECTRON
+from pypic_tpu.grid import GridSpec
+from pypic_tpu import initialize as init
+from pypic_tpu.engines import explicit, implicit
+from pypic_tpu.runner import run
+
+
+def _growth_rate_from_energy(ee, dt, saturation_frac=0.5):
+    """Estimate the exponential growth rate of a field-energy time series:
+    from the pre-growth minimum (after the initial-perturbation transient
+    decays) to the half-saturation crossing."""
+    ee = np.asarray(ee, np.float64)
+    i1 = int(np.argmax(ee > saturation_frac * ee.max()))
+    i0 = int(np.argmin(ee[:i1]))
+    assert i1 - i0 > 10, f"window too small: [{i0}, {i1}]"
+    return np.log(ee[i1] / ee[i0]) / (2.0 * (i1 - i0) * dt)  # EE ~ exp(2 g t)
+
+
+def _two_stream_setup(n=20_000, ng=64):
+    density = 1e10
+    te = 0.1 * 11600.0
+    debye = np.sqrt(K_BOLTZMANN * te * EPSILON_0 / E_CHARGE**2 / density)
+    grid = GridSpec(ng, 15.0 * debye, "periodic")
+    x, v, params = init.initialize_periodic(
+        "two-stream", n, density, 1, 0.05, grid, te, te, seed=2
+    )
+    return grid, x, v, params
+
+
+def _two_stream_dispersion_gamma(params):
+    """Cold symmetric two-stream growth rate at the loaded k and drift.
+
+    From 1 = (wp^2/2)[(w - k v0)^-2 + (w + k v0)^-2]:
+    gamma^2/wp^2 = sqrt(1 + 8 x^2)/2 - x^2 - 1/2 with x = k v0 / wp.
+    (The reference's growth_rate formula, pypic.py:444, is the weak-beam
+    estimate applied at beam ratio 1 — outside its validity; the dispersion
+    solution is the physically correct target. Warm beams damp it slightly.)
+    """
+    vte = params.v_thermal / np.sqrt(2.0)  # sqrt(kbTe/me)
+    x = params.k * (2.0 * vte) / params.wp  # beam_drift = 2 vth (pypic.py:443)
+    g2 = np.sqrt(1.0 + 8.0 * x * x) / 2.0 - x * x - 0.5
+    assert g2 > 0, "chosen k is outside the unstable band"
+    return params.wp * np.sqrt(g2)
+
+
+def test_two_stream_growth_implicit():
+    grid, x, v, params = _two_stream_setup()
+    dt = 0.1 / params.wp
+    cfg = implicit.ImplicitConfig(grid, dt, params.p2c, tol=1e-3, maxiter=20)
+    st = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
+    _, m = run(implicit.make_step(cfg), st, 400)
+    gamma = _growth_rate_from_energy(m.field_energy, dt)
+    ratio = gamma / _two_stream_dispersion_gamma(params)
+    assert 0.6 < ratio < 1.3, f"growth ratio {ratio}"
+
+
+def test_two_stream_growth_explicit():
+    grid, x, v, params = _two_stream_setup()
+    dt = 0.1 / params.wp
+    cfg = explicit.ExplicitConfig(grid, dt, params.p2c)
+    st = explicit.init_state(x, v, -E_CHARGE, M_ELECTRON, grid)
+    _, m = run(explicit.make_step(cfg), st, 400)
+    gamma = _growth_rate_from_energy(m.field_energy, dt)
+    ratio = gamma / _two_stream_dispersion_gamma(params)
+    assert 0.6 < ratio < 1.3, f"growth ratio {ratio}"
+
+
+def test_landau_damping_rate_implicit():
+    """kLD = 0.5 textbook case: gamma = -0.153 wp, measured via the peak
+    envelope of the field energy before the noise floor."""
+    density = 1e10
+    te = 1.0 * 11600.0
+    debye = np.sqrt(K_BOLTZMANN * te * EPSILON_0 / E_CHARGE**2 / density)
+    grid = GridSpec(64, 4.0 * np.pi * debye, "periodic")
+    n = 400_000
+    x, v, params = init.initialize_periodic(
+        "landau-damping", n, density, 1, 0.1, grid, te, te, seed=4
+    )
+    dt = 0.1 / params.wp
+    cfg = implicit.ImplicitConfig(grid, dt, params.p2c, tol=1e-4, maxiter=20)
+    st = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
+    _, m = run(implicit.make_step(cfg), st, 160)
+    ee = np.asarray(m.field_energy, np.float64)
+    # peak envelope (E^2 oscillates at 2 w_pe)
+    pk = [
+        i
+        for i in range(2, len(ee) - 2)
+        if ee[i] > ee[i - 1] and ee[i] >= ee[i + 1] and ee[i] > 5 * ee.min()
+    ]
+    t = np.arange(len(ee)) * dt
+    pk = [i for i in pk if t[i] * params.wp < 15.0]
+    assert len(pk) >= 4
+    gamma = np.polyfit(t[pk], np.log(ee[pk]), 1)[0] / 2.0
+    ratio = gamma / params.growth_rate  # both negative
+    assert 0.7 < ratio < 1.4, f"damping ratio {ratio}"
+
+
+def test_implicit_energy_conservation():
+    """The energy-conserving scheme at tight Picard tolerance holds total
+    energy to <5e-5 over 2000 steps at float32 — 10x inside the
+    <0.1%/1e4-step north-star pro-rated (BASELINE.md; bench.py measures the
+    full 1e4-step criterion on TPU). Drift is set by the Picard tolerance,
+    not by float32 (measured: tol 1e-8 gives ~1.4e-6/2000 steps at f32)."""
+    grid, x, v, params = _two_stream_setup(n=10_000, ng=64)
+    dt = 0.1 / params.wp
+    cfg = implicit.ImplicitConfig(grid, dt, params.p2c, tol=1e-8, maxiter=50)
+    st = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
+    _, m = run(implicit.make_step(cfg), st, 2000)
+    tot = np.asarray(m.field_energy, np.float64) + np.asarray(
+        m.kinetic_energy, np.float64
+    )
+    drift = abs(tot[-1] - tot[0]) / tot[0]
+    assert drift < 5e-5, f"energy drift {drift}"
+
+
+def test_picard_telemetry():
+    """Iteration counts stay within the reference envelope (<= maxiter) and
+    the residual meets tolerance in a well-resolved run."""
+    grid, x, v, params = _two_stream_setup(n=5_000)
+    dt = 0.05 / params.wp
+    cfg = implicit.ImplicitConfig(grid, dt, params.p2c, tol=1e-3, maxiter=20)
+    st = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
+    _, m = run(implicit.make_step(cfg), st, 50)
+    iters = np.asarray(m.picard_iters)
+    assert iters.max() <= 20
+    assert (np.asarray(m.picard_residual) <= 1e-3).all()
+
+
+def test_explicit_vs_implicit_agree_early():
+    """Before trajectories decorrelate, both schemes track the same field
+    energy evolution."""
+    grid, x, v, params = _two_stream_setup(n=20_000)
+    dt = 0.05 / params.wp
+    icfg = implicit.ImplicitConfig(grid, dt, params.p2c, tol=1e-6, maxiter=40)
+    ist = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, icfg)
+    _, im = run(implicit.make_step(icfg), ist, 40)
+    ecfg = explicit.ExplicitConfig(grid, dt, params.p2c)
+    est = explicit.init_state(x, v, -E_CHARGE, M_ELECTRON, grid)
+    _, em = run(explicit.make_step(ecfg), est, 40)
+    a = np.asarray(im.field_energy)
+    b = np.asarray(em.field_energy)
+    np.testing.assert_allclose(a[5:], b[5:], rtol=0.3)
+
+
+def test_charge_density_neutral_mean():
+    """Deposited rho for the uniform-background periodic engine has mean
+    q n0 (macroscopic charge density), and the Poisson solve neutralizes it."""
+    grid, x, v, params = _two_stream_setup(n=20_000)
+    dt = 0.1 / params.wp
+    cfg = explicit.ExplicitConfig(grid, dt, params.p2c)
+    st = explicit.init_state(x, v, -E_CHARGE, M_ELECTRON, grid)
+    _, m = run(explicit.make_step(cfg), st, 1)
+    rho = np.asarray(m.rho[0], np.float64)
+    expected_mean = -E_CHARGE * 1e10
+    assert np.isclose(rho.mean(), expected_mean, rtol=1e-3)
