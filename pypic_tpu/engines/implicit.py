@@ -56,6 +56,18 @@ class ImplicitConfig:
     maxiter: int = 20  # pypic.py:860
     deposit_method: str = "auto"
     tracer: int = 0  # tracer particle index for trajectory diagnostics
+    # 'fused' runs each Picard inner pass as one Pallas kernel (gather + CN
+    # push + half-step deposit in a single particle sweep, the performance
+    # path); 'composed' assembles the pass from individual ops (works with
+    # per-particle q/m arrays, e.g. the gen-1 electron+ion two-stream,
+    # PIC_L.py:339). 'auto' = fused when q/m are scalars.
+    backend: str = "auto"
+    # Mesh axis for data-parallel particles (None = single device). When set,
+    # the step runs under shard_map with particle arrays sharded and fields
+    # replicated: deposits are reduced with psum over the axis, keeping the
+    # field solve replicated and bitwise identical across shards (see
+    # pypic_tpu.parallel.dataparallel).
+    axis_name: str | None = None
 
     def __post_init__(self):
         # numpy scalars are not weakly typed and would promote float32 state.
@@ -116,7 +128,87 @@ def make_step(cfg: ImplicitConfig):
     dt_dx = dt / dx
     inv_dx = 1.0 / dx
 
+    def _allreduce(x):
+        """Sum partial grid deposits / scalar reductions across the particle
+        shards (no-op single-device)."""
+        return lax.psum(x, cfg.axis_name) if cfg.axis_name else x
+
+    def _from_shard0(x):
+        """Pick shard 0's value for per-particle diagnostics (the tracer
+        particle lives in shard 0 under data-parallel sharding)."""
+        if not cfg.axis_name:
+            return x
+        idx = lax.axis_index(cfg.axis_name)
+        return lax.psum(jnp.where(idx == 0, x, jnp.zeros_like(x)), cfg.axis_name)
+
+    def step_fused(state: ImplicitState):
+        """Pallas-fused Picard: one particle sweep per inner iteration.
+
+        Equivalent to the composed path with one refinement: the final
+        (p1, v1, j1) are recomputed from the *converged* half-step field
+        (pypic.py returns the last iterate's instead) — a strictly tighter
+        fixed-point evaluation within the same tolerance.
+        """
+        from ..ops.pallas_cic import (
+            picard_iteration_pallas,
+            picard_finalize_pallas,
+        )
+
+        p0, v0, e0 = state.p, state.v, state.e
+        # q/m are scalars on this path (checked by the dispatcher below).
+        qm_s = state.q / state.m
+        w_s = state.q * (cfg.p2c * inv_dx)
+
+        def cond(carry):
+            _, _, _, r, k = carry
+            return (r > cfg.tol) & (k < cfg.maxiter)
+
+        def body(carry):
+            es, ps, _, _, k = carry
+            ph, jh = picard_iteration_pallas(
+                smooth_periodic(es), ps, p0, v0, ng,
+                qm=qm_s, w=w_s, dt=dt, dx=dx,
+            )
+            jh = _allreduce(jh)
+            e1 = e0 + (dt / EPSILON_0) * (jnp.mean(jh) - smooth_periodic(jh))
+            eh = 0.5 * (e1 + e0)
+            r = jnp.sum((es - eh) ** 2)
+            return eh, ph, e1, r, k + 1
+
+        carry0 = (
+            e0, p0, e0,
+            jnp.asarray(jnp.inf, e0.dtype),
+            jnp.asarray(0, jnp.int32),
+        )
+        es, ps, e1, r, k = lax.while_loop(cond, body, carry0)
+        p1, v1, j1 = picard_finalize_pallas(
+            smooth_periodic(es), ps, p0, v0, ng, qm=qm_s, w=w_s, dt=dt, dx=dx
+        )
+        j1 = _allreduce(j1)
+
+        metrics = StepMetrics(
+            field_energy=0.5 * EPSILON_0 * dx * jnp.sum(e1 * e1),
+            kinetic_energy=_allreduce(0.5 * cfg.p2c * jnp.sum(state.m * v1 * v1)),
+            current_bias=jnp.mean(j1),
+            picard_iters=k,
+            picard_residual=r,
+            tracer_x=_from_shard0(p1[cfg.tracer]),
+            tracer_v=_from_shard0(v1[cfg.tracer]),
+        )
+        new_state = state.replace(p=p1, v=v1, e=e1, j=j1, step=state.step + 1)
+        return new_state, metrics
+
     def step(state: ImplicitState):
+        use_fused = cfg.backend == "fused" or (
+            cfg.backend == "auto"
+            and jnp.ndim(state.q) == 0
+            and jnp.ndim(state.m) == 0
+        )
+        if use_fused:
+            return step_fused(state)
+        return step_composed(state)
+
+    def step_composed(state: ImplicitState):
         p0, v0, e0 = state.p, state.v, state.e
         qm = state.q / state.m
         w = state.q * (cfg.p2c * inv_dx)  # deposit prefactor q p2c / dx
@@ -136,11 +228,11 @@ def make_step(cfg: ImplicitConfig):
             # Half-step quantities + periodic wrap (pypic.py:267-272).
             ph = jnp.mod(0.5 * (p0 + p1), ng)
             vh = 0.5 * (v0 + v1)
-            jh = deposit(ph, jnp.broadcast_to(w, ph.shape) * vh, ng,
-                         periodic=True, method=cfg.deposit_method)
+            jh = _allreduce(deposit(ph, jnp.broadcast_to(w, ph.shape) * vh, ng,
+                                    periodic=True, method=cfg.deposit_method))
             p1 = jnp.mod(p1, ng)
-            j1 = deposit(p1, jnp.broadcast_to(w, p1.shape) * v1, ng,
-                         periodic=True, method=cfg.deposit_method)
+            j1 = _allreduce(deposit(p1, jnp.broadcast_to(w, p1.shape) * v1, ng,
+                                    periodic=True, method=cfg.deposit_method))
             # Ampere advance + half-step field (pypic.py:283-285).
             e1 = e0 + (dt / EPSILON_0) * (jnp.mean(jh) - smooth_periodic(jh))
             eh = 0.5 * (e1 + e0)
@@ -160,12 +252,12 @@ def make_step(cfg: ImplicitConfig):
 
         metrics = StepMetrics(
             field_energy=0.5 * EPSILON_0 * dx * jnp.sum(e1 * e1),
-            kinetic_energy=0.5 * cfg.p2c * jnp.sum(state.m * v1 * v1),
+            kinetic_energy=_allreduce(0.5 * cfg.p2c * jnp.sum(state.m * v1 * v1)),
             current_bias=jnp.mean(j1),
             picard_iters=k,
             picard_residual=r,
-            tracer_x=p1[cfg.tracer],
-            tracer_v=v1[cfg.tracer],
+            tracer_x=_from_shard0(p1[cfg.tracer]),
+            tracer_v=_from_shard0(v1[cfg.tracer]),
         )
         new_state = state.replace(p=p1, v=v1, e=e1, j=j1, step=state.step + 1)
         return new_state, metrics

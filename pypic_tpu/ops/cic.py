@@ -67,17 +67,27 @@ def cic_indices_weights(p, num_cells: int, periodic: bool):
     return idx_l, idx_r, w_l, w_r
 
 
-def gather(field, p, *, periodic: bool):
+def gather(field, p, *, periodic: bool, method: str = "auto"):
     """Interpolate a node field to particle positions (CIC).
 
     Args:
         field: (ng,) field values on nodes.
         p: (n,) particle positions in grid coordinates.
         periodic: wrap the right neighbour node.
+        method: 'take' (XLA gather), 'pallas' (VMEM tent kernel), or 'auto'
+            (pallas on TPU at scale — XLA's dynamic gather measured ~170 ms
+            per 1e7 particles on v5e; the tent kernel is bandwidth-bound).
 
     Returns:
         (n,) interpolated values.
     """
+    if method == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        method = "pallas" if (on_tpu and p.shape[0] >= 8192) else "take"
+    if method == "pallas":
+        from .pallas_cic import gather_pallas
+
+        return gather_pallas(field, p, periodic=periodic)
     num_cells = field.shape[0] if periodic else field.shape[0] - 1
     idx_l, idx_r, w_l, w_r = cic_indices_weights(p, num_cells, periodic)
     return jnp.take(field, idx_l) * w_l + jnp.take(field, idx_r) * w_r
@@ -173,9 +183,13 @@ def deposit(
     """
     if method == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        method = "matmul" if (on_tpu and p.shape[0] >= chunk) else "scatter"
+        method = "pallas" if (on_tpu and p.shape[0] >= 8192) else "scatter"
     if method == "scatter":
         return _deposit_scatter(p, values, ng, periodic)
     if method == "matmul":
         return _deposit_matmul(p, values, ng, periodic, chunk)
+    if method == "pallas":
+        from .pallas_cic import deposit_pallas
+
+        return deposit_pallas(p, values, ng, periodic=periodic)
     raise ValueError(f"unknown deposit method {method!r}")

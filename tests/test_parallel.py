@@ -1,0 +1,72 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (conftest sets
+--xla_force_host_platform_device_count=8)."""
+
+import numpy as np
+import jax
+import pytest
+
+from pypic_tpu.constants import E_CHARGE, EPSILON_0, K_BOLTZMANN, M_ELECTRON
+from pypic_tpu.grid import GridSpec
+from pypic_tpu import initialize as init
+from pypic_tpu.engines import implicit
+from pypic_tpu.parallel import make_mesh, make_data_parallel_step, shard_state
+from pypic_tpu.runner import run
+
+
+@pytest.fixture(scope="module")
+def problem():
+    density = 1e10
+    te = 0.1 * 11600.0
+    debye = np.sqrt(K_BOLTZMANN * te * EPSILON_0 / E_CHARGE**2 / density)
+    grid = GridSpec(64, 15.0 * debye, "periodic")
+    x, v, params = init.initialize_periodic(
+        "two-stream", 16_000, density, 1, 0.05, grid, te, te, seed=2
+    )
+    return grid, x, v, params
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) >= 8
+
+
+def test_data_parallel_matches_single_device(problem):
+    grid, x, v, params = problem
+    dt = 0.1 / params.wp
+
+    cfg1 = implicit.ImplicitConfig(
+        grid, dt, params.p2c, tol=1e-6, maxiter=40, backend="composed"
+    )
+    st = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg1)
+    _, m1 = run(implicit.make_step(cfg1), st, 50)
+
+    mesh = make_mesh(8)
+    cfg8 = implicit.ImplicitConfig(
+        grid, dt, params.p2c, tol=1e-6, maxiter=40,
+        backend="composed", axis_name="particles",
+    )
+    st8 = shard_state(st, mesh)
+    step8 = make_data_parallel_step(
+        implicit.make_step, cfg8, mesh, example_state=st
+    )
+    _, m8 = run(step8, st8, 50)
+
+    ee1 = np.asarray(m1.field_energy, np.float64)
+    ee8 = np.asarray(m8.field_energy, np.float64)
+    np.testing.assert_allclose(ee8, ee1, rtol=1e-4)
+    ke1 = np.asarray(m1.kinetic_energy, np.float64)
+    ke8 = np.asarray(m8.kinetic_energy, np.float64)
+    np.testing.assert_allclose(ke8, ke1, rtol=1e-5)
+    # tracer particle lives in shard 0 and matches the single-device run
+    np.testing.assert_allclose(
+        np.asarray(m8.tracer_x), np.asarray(m1.tracer_x), rtol=1e-3
+    )
+
+
+def test_graft_entry_contract():
+    import __graft_entry__ as ge
+
+    fn, example_args = ge.entry()
+    new_state, metrics = jax.jit(fn)(*example_args)
+    assert np.isfinite(float(metrics.field_energy))
+
+    ge.dryrun_multichip(8)
