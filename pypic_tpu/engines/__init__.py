@@ -6,4 +6,4 @@
 * magnetized — Boltzmann-electron magnetized sheath engine (pygcpic.py)
 """
 
-from . import explicit, implicit  # noqa: F401
+from . import explicit, implicit, sheath, magnetized  # noqa: F401

@@ -1,0 +1,355 @@
+"""Magnetized Boltzmann-electron sheath engine (gen-4, pygcpic.py).
+
+One jitted step reproducing the per-timestep cycle shared by the gen-4
+drivers ``pic_iead`` (pygcpic.py:1200-1294), ``pic_bca_aps``
+(pygcpic.py:1449-1632, minus the external F-TRIDYN coupling — see
+pypic_tpu.bca) and ``dirichlet_neumann_test`` (pygcpic.py:2022-2090):
+
+1. Boltzmann-weighted deposit of ion charge/number density with the adaptive
+   electron reference-density update (``weight_particles_to_grid_boltzmann``,
+   pygcpic.py:841-905): first step pins n0 = 0.9 <n>; later steps evolve n0
+   from the potential integral p = trapz(exp(phi/Te)), the boundary factors,
+   the particle-creation ledger r = 2 added/dt, and the thermal-flux factor
+   fn = sqrt(ve q dt / p) exactly as pygcpic.py:889-904.
+2. optional binomial rho smoothing (pygcpic.py:1491 ``smooth_rho``).
+3. Newton Boltzmann Poisson solve, Dirichlet-Dirichlet or Dirichlet-Neumann
+   by grid.bc (ops.poisson; reference pygcpic.py:1005-1109).
+4. E = -grad phi (pygcpic.py:907-937), CIC field gather at active particles.
+5. Boris-Buneman push in the constant B field (pygcpic.py:460-507).
+6. Dirichlet wall deactivation (pygcpic.py:668-689) with wall-impact
+   energy-angle (IEAD) histogram accumulation per species
+   (pygcpic.py:1239-1262: energy in eV, angle w.r.t. the wall normal in
+   degrees, pygcpic.py:228-259).
+7. Monte-Carlo-collision ionization (ops.ionization; pygcpic.py:350-458).
+8. Re-activation of inactive slots from the volumetric source or the wall
+   flux source (pygcpic.py:691-720, 1248-1254, 2055-2060), crediting the
+   particle ledger (pygcpic.py:1115-1117).
+
+The reference's Particle-object list becomes fixed-capacity arrays; dynamic
+creation/deletion is slot reuse via the active mask (SURVEY.md §7 hard part
+2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax import lax
+
+from ..constants import E_CHARGE, EPSILON_0, EV_TO_K, K_BOLTZMANN, M_ELECTRON
+from ..grid import DIRICHLET_NEUMANN, GridSpec
+from ..ops import (
+    deposit,
+    gather,
+    grad_neg_bounded,
+    smooth_bounded,
+    solve_boltzmann_dirichlet,
+    solve_boltzmann_dirichlet_neumann,
+)
+from ..ops.ionization import attempt_ionization, rate_matrix
+from ..push import boris_push_dt
+from .. import sources
+
+
+@dataclasses.dataclass(frozen=True)
+class SourceSpec:
+    """Species data for re-activated particles (pygcpic.py:1251 args)."""
+
+    mass: float
+    charge_state: float
+    p2c: float
+    species_idx: int  # row into MagnetizedConfig.species_z
+    ti: float  # sampling temperature [K]
+    vx: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class MagnetizedConfig:
+    grid: GridSpec  # 'dirichlet-dirichlet' or 'dirichlet-neumann'
+    dt: float
+    te: float  # electron temperature [K] (Boltzmann fluid + MCC background)
+    b: Tuple[float, float, float]  # magnetic field [T] (pygcpic.py:1329)
+    species_z: Tuple[int, ...]  # species_idx -> atomic number Z
+    smooth_rho: bool = False
+    newton_tol: float = 1e-9  # pygcpic.py:1022
+    newton_maxiter: int = 1000  # pygcpic.py:1023
+    ionization: bool = False
+    max_charge_state: int = 3  # pygcpic.py:1512 gate; 1 == reference quirk
+    reactivate: str = "none"  # 'source' | 'flux' | 'none'
+    source: Optional[SourceSpec] = None
+    flux_limit: int = 0  # max re-activations/step on the 'flux' policy
+    flux_gamma: float = 0.0  # perturbed-beam fraction (pygcpic.py:2008)
+    flux_vx_pert: float = 0.0
+    iead_bins: Tuple[int, int] = (40, 40)  # (energies, angles)
+    iead_energy_max: float = 0.0  # [eV]; 0 disables IEAD accumulation
+    iead_angle_max: float = 90.0
+    deposit_method: str = "auto"
+    # The reference's eta = exp(phi/Te/11600) divides by Te *in Kelvin* and
+    # then by 11600 again (pygcpic.py:890, 895), i.e. eta ~ 1 everywhere —
+    # and that near-unity eta is precisely what keeps its adaptive-n0
+    # particle-balance feedback stable (with eta = exp(e phi / kB Te), the
+    # intended expression, the feedback loop n0 -> phi -> eta -> n0 diverges
+    # for these configs). Default reproduces the reference's literal formula;
+    # set True for the physically-intended volts normalization.
+    eta_in_volts: bool = False
+
+    def __post_init__(self):
+        for f in ("dt", "te", "newton_tol", "flux_gamma", "flux_vx_pert",
+                  "iead_energy_max", "iead_angle_max"):
+            object.__setattr__(self, f, float(getattr(self, f)))
+        object.__setattr__(self, "b", tuple(float(v) for v in self.b))
+        object.__setattr__(self, "species_z", tuple(int(z) for z in self.species_z))
+
+
+class MagnetizedState(struct.PyTreeNode):
+    p: jax.Array  # (n,) x in grid coordinates
+    yz: jax.Array  # (n, 2) lateral positions [m]
+    v: jax.Array  # (n, 3) velocities [m/s]
+    m: jax.Array  # (n,) mass [kg]
+    charge_state: jax.Array  # (n,) charge number (float)
+    p2c: jax.Array  # (n,)
+    species_idx: jax.Array  # (n,) int32 row into cfg.species_z
+    t: jax.Array  # (n,) particle time [s] (pygcpic r[6])
+    active: jax.Array  # (n,) int32 {1, 0}
+    at_wall: jax.Array  # (n,) int32
+    from_wall: jax.Array  # (n,) int32 (BCA products)
+    phi: jax.Array  # (ng,) potential [V]
+    n0: jax.Array  # () Boltzmann electron reference density
+    p_old: jax.Array  # () previous trapz(exp(phi/Te)) (pygcpic.py:891)
+    added: jax.Array  # () particle-creation ledger (pygcpic.py:1111-1117)
+    rng: jax.Array
+    iead: jax.Array  # (S, ne, na) wall-impact histograms per species
+    step: jax.Array  # () int32
+
+
+class StepMetrics(NamedTuple):
+    n0: jax.Array
+    phi_max: jax.Array
+    newton_iters: jax.Array
+    newton_residual: jax.Array
+    n_active: jax.Array
+    n_hit_wall: jax.Array
+    n_ionized: jax.Array
+    n_reactivated: jax.Array
+    added: jax.Array
+    rho: jax.Array  # (ng,)
+    phi: jax.Array  # (ng,)
+
+
+def init_state(
+    x, v3, m, charge_state, p2c, species_idx, cfg: MagnetizedConfig,
+    yz=None, seed: int = 0, dtype=jnp.float32,
+) -> MagnetizedState:
+    grid = cfg.grid
+    n = np.shape(x)[0]
+    p = (jnp.asarray(x) / grid.dx).astype(dtype)
+    ne, na = cfg.iead_bins
+    s = len(cfg.species_z)
+    return MagnetizedState(
+        p=p,
+        yz=jnp.zeros((n, 2), dtype) if yz is None else jnp.asarray(yz, dtype),
+        v=jnp.asarray(v3, dtype),
+        m=jnp.broadcast_to(jnp.asarray(m, dtype), (n,)),
+        charge_state=jnp.broadcast_to(jnp.asarray(charge_state, dtype), (n,)),
+        p2c=jnp.broadcast_to(jnp.asarray(p2c, dtype), (n,)),
+        species_idx=jnp.broadcast_to(jnp.asarray(species_idx, jnp.int32), (n,)),
+        t=jnp.zeros((n,), dtype),
+        active=jnp.ones((n,), jnp.int32),
+        at_wall=jnp.zeros((n,), jnp.int32),
+        from_wall=jnp.zeros((n,), jnp.int32),
+        phi=jnp.zeros((grid.ng,), dtype),
+        n0=jnp.asarray(0.0, dtype),
+        p_old=jnp.asarray(0.0, dtype),
+        added=jnp.asarray(0.0, dtype),
+        rng=jax.random.PRNGKey(seed),
+        iead=jnp.zeros((s, ne, na), dtype),
+        step=jnp.asarray(0, jnp.int32),
+    )
+
+
+def make_step(cfg: MagnetizedConfig):
+    grid = cfg.grid
+    ng = grid.ng
+    dx = grid.dx
+    dt = cfg.dt
+    cells = float(grid.num_cells)
+    b = jnp.asarray(cfg.b, jnp.float32)
+    # eta normalization: reference formula phi/Te/11600 with Te in Kelvin
+    # (pygcpic.py:890 — see cfg.eta_in_volts) vs intended phi/(Te/11600).
+    te_volts = (cfg.te / EV_TO_K) if cfg.eta_in_volts else (cfg.te * EV_TO_K)
+    ve = float(np.sqrt(8.0 / np.pi * K_BOLTZMANN * cfg.te / M_ELECTRON))
+    domain_nodes = np.asarray(grid.length) * np.linspace(0.0, 1.0, ng)
+    rates = rate_matrix(cfg.species_z, cfg.te) if cfg.ionization else None
+    dirichlet_neumann = grid.bc == DIRICHLET_NEUMANN
+
+    def _boltzmann_weight(state, rho, n_dens):
+        """Adaptive n0/rho0 update (pygcpic.py:889-904)."""
+        eta = jnp.exp(state.phi / te_volts)
+        p_new = jnp.trapezoid(eta, dx=dx)
+
+        def first(_):
+            return 0.9 * jnp.mean(n_dens), p_new
+
+        def later(_):
+            q_new = eta[0] + eta[-1]
+            r_new = 2.0 * state.added / dt
+            fn = jnp.sqrt(ve * q_new * dt / p_new)
+            n0 = state.n0 * (
+                (1.0 - fn) * state.p_old / p_new + fn - fn * fn / 4.0
+            ) + r_new * dt / p_new
+            return n0, p_new
+
+        return lax.cond(state.step == 0, first, later, None)
+
+    def _iead_accumulate(iead, state, hit):
+        """Wall-impact energy-angle histogram (pygcpic.py:1239-1262)."""
+        ne, na = cfg.iead_bins
+        v = state.v
+        energy_ev = 0.5 * state.m * jnp.sum(v * v, axis=-1) / E_CHARGE
+        vyz = jnp.sqrt(v[:, 1] ** 2 + v[:, 2] ** 2)
+        angle = jnp.arctan2(vyz, jnp.abs(v[:, 0])) * (180.0 / jnp.pi)
+        ei = jnp.clip(
+            (energy_ev * (ne / cfg.iead_energy_max)).astype(jnp.int32), 0, ne - 1
+        )
+        ai = jnp.clip(
+            (angle * (na / cfg.iead_angle_max)).astype(jnp.int32), 0, na - 1
+        )
+        flat = (state.species_idx * (ne * na) + ei * na + ai)
+        upd = jnp.zeros((iead.size,), iead.dtype).at[flat].add(
+            jnp.where(hit, 1.0, 0.0)
+        )
+        return iead + upd.reshape(iead.shape)
+
+    def step(state: MagnetizedState):
+        key, k_ion, k_src = jax.random.split(state.rng, 3)
+        is_active = state.active == 1
+        w_rho = jnp.where(
+            is_active, state.charge_state * E_CHARGE * state.p2c / dx, 0.0
+        )
+        w_n = jnp.where(is_active, state.p2c / dx, 0.0)
+        rho = deposit(state.p, w_rho, ng, periodic=False,
+                      method=cfg.deposit_method)
+        n_dens = deposit(state.p, w_n, ng, periodic=False,
+                         method=cfg.deposit_method)
+        n0, p_old = _boltzmann_weight(state, rho, n_dens)
+        added = jnp.zeros_like(state.added)  # reset (pygcpic.py:1215,1492)
+
+        if cfg.smooth_rho:
+            rho = smooth_bounded(rho)
+
+        if dirichlet_neumann:
+            res = solve_boltzmann_dirichlet_neumann(
+                n_dens, n0, cfg.te, dx, state.phi,
+                tol=1e-3, maxiter=100,
+            )
+        else:
+            res = solve_boltzmann_dirichlet(
+                rho, n0, cfg.te, dx,
+                tol=cfg.newton_tol, maxiter=cfg.newton_maxiter,
+            )
+        phi = res.phi
+        e_field = grad_neg_bounded(phi, dx)
+
+        # gather + Boris push (active only; inactive hold their state)
+        e_p = jnp.where(is_active, gather(e_field, state.p, periodic=False), 0.0)
+        x_si = state.p * dx
+        x1, yz1, v1 = boris_push_dt(
+            x_si, state.yz, state.v, e_p, b, state.charge_state, state.m, dt
+        )
+        p1 = jnp.where(is_active, x1 / dx, state.p)
+        yz1 = jnp.where(is_active[:, None], yz1, state.yz)
+        v1 = jnp.where(is_active[:, None], v1, state.v)
+        t1 = jnp.where(is_active, state.t + dt, state.t)
+
+        # Dirichlet walls (pygcpic.py:668-689)
+        hit = is_active & ((p1 < 0.0) | (p1 > cells))
+        active = jnp.where(hit, 0, state.active)
+        at_wall = jnp.where(hit, 1, state.at_wall)
+        state_after_push = state.replace(v=v1)
+
+        iead = state.iead
+        if cfg.iead_energy_max > 0.0:
+            iead = _iead_accumulate(iead, state_after_push, hit)
+
+        # MCC ionization (pygcpic.py:1510-1513)
+        n_ionized = jnp.asarray(0, jnp.int32)
+        charge_state = state.charge_state
+        if cfg.ionization:
+            still_active = active == 1
+            n_local = jnp.where(
+                still_active,
+                gather(n_dens, p1, periodic=False),
+                0.0,
+            )
+            charge_state, ionized, added_ion = attempt_ionization(
+                k_ion, n_local, charge_state, state.species_idx, state.p2c,
+                rates, dx, dt, still_active,
+                max_charge_state=cfg.max_charge_state,
+            )
+            added = added + added_ion
+            n_ionized = jnp.sum(ionized.astype(jnp.int32))
+
+        # Re-activation (pygcpic.py:691-720; policies per driver)
+        n_react = jnp.asarray(0, jnp.int32)
+        m_arr, p2c_arr, sp_arr = state.m, state.p2c, state.species_idx
+        fw = state.from_wall
+        if cfg.reactivate != "none":
+            src = cfg.source
+            inactive = active != 1
+            if cfg.reactivate == "source":
+                batch = sources.sample_source_6d(
+                    k_src, state.p.shape[0], grid, src.ti, src.mass, vx=src.vx
+                )
+                take = inactive
+            else:  # 'flux'
+                batch = sources.sample_flux_6d(
+                    k_src, state.p.shape[0], grid, src.ti, src.mass,
+                    vx=src.vx, gamma=cfg.flux_gamma, vx_pert=cfg.flux_vx_pert,
+                )
+                batch["v"] = batch["v"].at[:, 0].set(
+                    -jnp.abs(batch["v"][:, 0])  # pygcpic.py:2059
+                )
+                rank = jnp.cumsum(inactive.astype(jnp.int32)) - 1
+                take = inactive & (rank < cfg.flux_limit)
+            p1 = jnp.where(take, batch["x"] / dx, p1)
+            yz1 = jnp.where(take[:, None], batch["yz"], yz1)
+            v1 = jnp.where(take[:, None], batch["v"], v1)
+            m_arr = jnp.where(take, src.mass, m_arr)
+            charge_state = jnp.where(take, src.charge_state, charge_state)
+            p2c_arr = jnp.where(take, src.p2c, p2c_arr)
+            sp_arr = jnp.where(take, src.species_idx, sp_arr)
+            t1 = jnp.where(take, state.step.astype(t1.dtype) * dt, t1)
+            active = jnp.where(take, 1, active)
+            at_wall = jnp.where(take, 0, at_wall)
+            fw = jnp.where(take, 0, fw)
+            n_react = jnp.sum(take.astype(jnp.int32))
+            added = added + (2.0 * src.p2c) * jnp.sum(take.astype(added.dtype))
+
+        metrics = StepMetrics(
+            n0=n0,
+            phi_max=jnp.max(phi),
+            newton_iters=res.iterations,
+            newton_residual=res.residual,
+            n_active=jnp.sum((active == 1).astype(jnp.int32)),
+            n_hit_wall=jnp.sum(hit.astype(jnp.int32)),
+            n_ionized=n_ionized,
+            n_reactivated=n_react,
+            added=added,
+            rho=rho,
+            phi=phi,
+        )
+        new_state = state.replace(
+            p=p1, yz=yz1, v=v1, m=m_arr, charge_state=charge_state,
+            p2c=p2c_arr, species_idx=sp_arr, t=t1, active=active,
+            at_wall=at_wall, from_wall=fw, phi=phi,
+            n0=n0, p_old=p_old, added=added, rng=key, iead=iead,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return step

@@ -1,0 +1,286 @@
+"""Bounded two-species 1d3v implicit sheath engine.
+
+TPU rebuild of the gen-2 Dirichlet-Dirichlet ("DD" = absorbing walls on both
+ends, *not* domain decomposition — SURVEY.md naming trap) plasma-sheath
+driver ``main_i`` (PIC_L_DD.py:316-644):
+
+* electrons + ions (mass ratio mp/me) with three velocity components, only
+  v_x accelerated by the 1D field (PIC_L_DD.py:479-483);
+* Langevin thermostat: with probability gamma an active particle's three
+  velocity components are resampled from the ion-temperature Maxwellian
+  (PIC_L_DD.py:420-427);
+* re-injection at step start: particles absorbed in the previous step get a
+  fresh uniform position and per-species Maxwellian velocities
+  (PIC_L_DD.py:429-450);
+* Picard loop (lax.while_loop, residual ||Es - Eh||_2, PIC_L_DD.py:525):
+  bounded-gather the field guess at the position guess, Crank-Nicolson push
+  of active particles, wall-absorption check on (x0, xh, x1) flipping the
+  status flag to LOST_RIGHT (0) / LOST_LEFT (-1) (PIC_L_DD.py:493-505),
+  current deposit including the wall surface-charge terms
+  ``j[0] += dx q p2c / dt`` per left-absorbed particle (PIC_L_DD.py:55-63)
+  and the edge fold ``j[0] += j[1]; j[-1] += j[-2]`` (PIC_L_DD.py:65-66),
+  Ampere field advance without smoothing ``E1 = E0 + (dt/eps0)(<jh> - jh)``
+  (PIC_L_DD.py:516), potential by cumulative trapezoid for diagnostics
+  (PIC_L_DD.py:518-523);
+* exit-velocity recording: the reference appends the outgoing x-velocity of
+  absorbed first-half particles after step 2000 to a list (``vionout``,
+  PIC_L_DD.py:495-504 — NB the reference's ``i < N/2`` guard selects the
+  *electron* half despite the variable's name); the fixed-shape rebuild
+  accumulates signed-outgoing-velocity histograms per species instead.
+
+Dead/zeroed-state quirk preserved: the reference zeroes x1/u1/v1/w1 each
+Picard iteration and only writes active particles (PIC_L_DD.py:459-467), so
+absorbed particles carry zero state until re-injection; the rebuild masks
+with ``where(active, value, 0)`` to match.
+
+Diagnostic deviation (documented): kinetic energy uses the per-particle mass
+(the reference's KE diagnostic hardcodes the electron mass for all species,
+PIC_L_DD.py:549).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax import lax
+
+from ..constants import EPSILON_0
+from ..grid import GridSpec
+from ..ops import (
+    deposit,
+    gather,
+    grad_neg_bounded,
+    integrate_neg_trapz,
+)
+
+ACTIVE = 1
+LOST_RIGHT = 0  # absorbed at x >= L (PIC_L_DD.py:495-496)
+LOST_LEFT = -1  # absorbed at x <= 0 (PIC_L_DD.py:500-501)
+
+
+@dataclasses.dataclass(frozen=True)
+class SheathConfig:
+    grid: GridSpec  # bc='dirichlet-dirichlet', ng nodes, dx = L/(ng-1)
+    dt: float
+    p2c: float
+    kbte: float  # electron kB T [J] for re-injection sampling
+    kbti: float  # ion kB T [J] for re-injection + thermostat sampling
+    tol: float = 1e-5  # PIC_L_DD.py:317
+    maxiter: int = 20  # PIC_L_DD.py:318
+    gamma: float = 0.0  # thermostat resampling probability (PIC_L_DD.py:331)
+    deposit_method: str = "auto"
+    # exit-velocity histogram (replaces the reference's dynamic vionout list)
+    exit_hist_bins: int = 64
+    exit_hist_vmax: float = 0.0  # [m/s]; 0 disables recording
+    record_exit_after_step: int = 2000  # PIC_L_DD.py:497
+
+    def __post_init__(self):
+        for f in ("dt", "p2c", "kbte", "kbti", "tol", "gamma", "exit_hist_vmax"):
+            object.__setattr__(self, f, float(getattr(self, f)))
+        for f in ("maxiter", "exit_hist_bins", "record_exit_after_step"):
+            object.__setattr__(self, f, int(getattr(self, f)))
+
+
+class SheathState(struct.PyTreeNode):
+    p: jax.Array  # (n,) x in grid coordinates
+    v: jax.Array  # (n, 3) velocities [m/s] (u, v, w)
+    q: jax.Array  # (n,) charge [C]
+    m: jax.Array  # (n,) mass [kg]
+    species: jax.Array  # (n,) int32: 1 = electron, 2 = ion (PIC_L_DD.py:241)
+    active: jax.Array  # (n,) int32 in {1, 0, -1}
+    e: jax.Array  # (ng,) field [V/m]
+    j: jax.Array  # (ng,) current density [A/m^2]
+    rng: jax.Array  # PRNG key
+    exit_hist: jax.Array  # (2, bins) outgoing-velocity histograms (e-, ion)
+    step: jax.Array  # () int32
+
+
+class StepMetrics(NamedTuple):
+    field_energy: jax.Array  # sum(eps0 E^2 dx / 2) (PIC_L_DD.py:548)
+    kinetic_energy: jax.Array  # sum(m u^2 / 2) — per-particle mass (see module docstring)
+    current_bias: jax.Array  # <j> (PIC_L_DD.py:551)
+    picard_iters: jax.Array
+    picard_residual: jax.Array
+    n_active: jax.Array  # active particle count
+    n_lost_left: jax.Array
+    n_lost_right: jax.Array
+    phi: jax.Array  # (ng,) potential from integrated E (PIC_L_DD.py:522-523)
+
+
+def init_state(
+    x, v3, q, m, species, cfg: SheathConfig, seed: int = 0, dtype=jnp.float32
+) -> SheathState:
+    """Wrap initializer output; initial j0 from the loaded particles
+    (PIC_L_DD.py:385-389 — note the reference's initial Poisson solve is
+    commented out there, so E0 starts at zero; preserved)."""
+    grid = cfg.grid
+    ng = grid.ng
+    p = (jnp.asarray(x) / grid.dx).astype(dtype)
+    v3 = jnp.asarray(v3, dtype)
+    q = jnp.asarray(q, dtype)
+    m = jnp.asarray(m, dtype)
+    w = q * (cfg.p2c / grid.dx)
+    j0 = deposit(p, w * v3[:, 0], ng, periodic=False, method=cfg.deposit_method)
+    return SheathState(
+        p=p,
+        v=v3,
+        q=q,
+        m=m,
+        species=jnp.asarray(species, jnp.int32),
+        active=jnp.full(p.shape, ACTIVE, jnp.int32),
+        e=jnp.zeros((ng,), dtype),
+        j=j0.astype(dtype),
+        rng=jax.random.PRNGKey(seed),
+        exit_hist=jnp.zeros((2, cfg.exit_hist_bins), dtype),
+        step=jnp.asarray(0, jnp.int32),
+    )
+
+
+def make_step(cfg: SheathConfig):
+    grid = cfg.grid
+    ng = grid.ng
+    dx = grid.dx
+    dt = cfg.dt
+    dt_dx = dt / dx
+    cells = float(grid.num_cells)  # L in grid coordinates
+
+    def _deposit_currents(p, u, q, active):
+        """CIC deposit of active particles' current + wall surface-charge
+        terms + edge fold (PIC_L_DD.py:41-67)."""
+        is_active = active == ACTIVE
+        w = jnp.where(is_active, q * (cfg.p2c / dx), 0.0)
+        j = deposit(p, w * u, ng, periodic=False, method=cfg.deposit_method)
+        wall = dx * cfg.p2c / dt
+        j_left = wall * jnp.sum(jnp.where(active == LOST_LEFT, q, 0.0))
+        j_right = -wall * jnp.sum(jnp.where(active == LOST_RIGHT, q, 0.0))
+        j = j.at[0].add(j_left).at[-1].add(j_right)
+        j = j.at[0].add(j[1]).at[-1].add(j[-2])
+        return j
+
+    def _resample_velocities(key, m, kbt):
+        """Three Maxwellian components at temperature kbt (per-particle m)."""
+        sig = jnp.sqrt(kbt / m)
+        return jax.random.normal(key, m.shape + (3,), m.dtype) * sig[:, None]
+
+    def step(state: SheathState):
+        key, k_therm_u, k_therm_v, k_reinj_x, k_reinj_v = jax.random.split(
+            state.rng, 5
+        )
+
+        p0, v0, active = state.p, state.v, state.active
+        q, m, species = state.q, state.m, state.species
+        e0 = state.e
+
+        # --- Thermostat (PIC_L_DD.py:420-427): prob-gamma resample to Ti.
+        if cfg.gamma > 0.0:
+            hit = (active == ACTIVE) & (
+                jax.random.uniform(k_therm_u, p0.shape) < cfg.gamma
+            )
+            v_new = _resample_velocities(k_therm_v, m, cfg.kbti)
+            v0 = jnp.where(hit[:, None], v_new, v0)
+
+        # --- Re-injection (PIC_L_DD.py:429-450): absorbed particles get a
+        # fresh uniform position and species-temperature Maxwellian.
+        lost = active != ACTIVE
+        x_new = jax.random.uniform(k_reinj_x, p0.shape, p0.dtype, 0.0, cells)
+        kbt_per = jnp.where(species == 1, cfg.kbte, cfg.kbti)
+        v_new = (
+            jax.random.normal(k_reinj_v, v0.shape, v0.dtype)
+            * jnp.sqrt(kbt_per / m)[:, None]
+        )
+        p0 = jnp.where(lost, x_new, p0)
+        v0 = jnp.where(lost[:, None], v_new, v0)
+        active = jnp.full_like(active, ACTIVE)
+
+        u0 = v0[:, 0]
+        qm = q / m
+
+        # --- Picard loop (PIC_L_DD.py:458-533).
+        def cond(carry):
+            return (carry[-2] > cfg.tol) & (carry[-1] < cfg.maxiter)
+
+        def body(carry):
+            es, ps, _, _, act, hist, _, k = carry
+            is_active = act == ACTIVE
+            e_p = jnp.where(
+                is_active, gather(es, ps, periodic=False), 0.0
+            )
+            accel = qm * e_p
+            x1 = p0 + dt_dx * u0 + (0.5 * dt * dt_dx) * accel
+            u1 = u0 + dt * accel
+            x1 = jnp.where(is_active, x1, 0.0)
+            u1 = jnp.where(is_active, u1, 0.0)
+            xh = jnp.where(is_active, 0.5 * (p0 + x1), 0.0)
+            uh = jnp.where(is_active, 0.5 * (u0 + u1), 0.0)
+
+            # Wall absorption on any of (x0, xh, x1) (PIC_L_DD.py:493-505).
+            right = is_active & ((p0 >= cells) | (xh >= cells) | (x1 >= cells))
+            left = is_active & ((p0 <= 0.0) | (xh <= 0.0) | (x1 <= 0.0))
+            act = jnp.where(right, LOST_RIGHT, act)
+            act = jnp.where(left, LOST_LEFT, act)
+
+            # Exit-velocity histograms (outgoing-positive), per species.
+            if cfg.exit_hist_vmax > 0.0:
+                vout = jnp.where(right, u0, jnp.where(left, -u0, 0.0))
+                rec = (right | left) & (state.step >= cfg.record_exit_after_step)
+                bins = cfg.exit_hist_bins
+                idx = jnp.clip(
+                    ((vout + cfg.exit_hist_vmax)
+                     * (bins / (2.0 * cfg.exit_hist_vmax))).astype(jnp.int32),
+                    0, bins - 1,
+                )
+                for s, row in ((1, 0), (2, 1)):
+                    sel = rec & (species == s)
+                    hist = hist.at[row, :].add(
+                        jnp.zeros((bins,), hist.dtype).at[idx].add(
+                            jnp.where(sel, 1.0, 0.0)
+                        )
+                    )
+
+            jh = _deposit_currents(xh, uh, q, act)
+            j1 = _deposit_currents(x1, u1, q, act)
+            e1 = e0 + (dt / EPSILON_0) * (jnp.mean(jh) - jh)
+            eh = 0.5 * (e1 + e0)
+            r = jnp.linalg.norm(es - eh)
+            return eh, xh, (x1, u1), (e1, j1), act, hist, r, k + 1
+
+        carry0 = (
+            e0, p0, (p0, u0), (e0, state.j), active, state.exit_hist,
+            jnp.asarray(jnp.inf, e0.dtype), jnp.asarray(0, jnp.int32),
+        )
+        _, _, (x1, u1), (e1, j1), active, exit_hist, r, k = lax.while_loop(
+            cond, body, carry0
+        )
+
+        is_active = active == ACTIVE
+        v1 = jnp.where(
+            is_active[:, None],
+            jnp.stack([u1, v0[:, 1], v0[:, 2]], axis=-1),
+            0.0,
+        )
+
+        phi = integrate_neg_trapz(e1, dx)
+        phi = phi - jnp.max(phi)
+
+        metrics = StepMetrics(
+            field_energy=0.5 * EPSILON_0 * dx * jnp.sum(e1 * e1),
+            kinetic_energy=cfg.p2c * 0.5 * jnp.sum(m * u1 * u1),
+            current_bias=jnp.mean(j1),
+            picard_iters=k,
+            picard_residual=r,
+            n_active=jnp.sum(is_active.astype(jnp.int32)),
+            n_lost_left=jnp.sum((active == LOST_LEFT).astype(jnp.int32)),
+            n_lost_right=jnp.sum((active == LOST_RIGHT).astype(jnp.int32)),
+            phi=phi,
+        )
+        new_state = state.replace(
+            p=x1, v=v1, active=active, e=e1, j=j1, rng=key,
+            exit_hist=exit_hist, step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return step

@@ -46,6 +46,20 @@ class NewtonResult(NamedTuple):
     residual: jnp.ndarray  # float scalar
 
 
+# Newton globalization for the Boltzmann solvers: the reference iterates an
+# undamped Newton on exp(e phi / kB Te) (pygcpic.py:1034-1051) which diverges
+# to inf/nan when a noisy density produces a large transient step. Clamping
+# the exponent argument and the Newton step bounds every intermediate while
+# leaving any physically meaningful fixed point (|e phi / kB Te| << 40)
+# untouched.
+_EXP_CLAMP = 40.0
+
+
+def _safe_exp(x):
+    return jnp.exp(jnp.clip(x, -_EXP_CLAMP, _EXP_CLAMP))
+
+
+
 def solve_periodic_neutralized(rho, dx):
     """Periodic Poisson with neutralizing background (pypic.py:359-382).
 
@@ -112,14 +126,17 @@ def solve_boltzmann_dirichlet(rho, n0, te, dx, tol=1e-9, maxiter=1000):
         _, residual, it = carry
         return (residual > tol) & (it < maxiter)
 
+    step_max = _EXP_CLAMP / c1  # bound each Newton step (globalization)
+
     def body(carry):
         phi, _, it = carry
-        expo = jnp.exp(c1 * phi)
+        expo = _safe_exp(c1 * phi)
         f = _apply_dirichlet_laplacian(phi, dl, d, du) - dx2 * c0 * expo + dx2 * c2
         f = f.at[0].set(0.0).at[-1].set(0.0)
         ddiag = -dx2 * c0 * c1 * expo
         ddiag = ddiag.at[0].set(-dx2 * c0 * c1).at[-1].set(-dx2 * c0 * c1)
         dphi = solve_tridiag(dl, d + ddiag, du, f)
+        dphi = jnp.clip(dphi, -step_max, step_max)
         phi = phi - dphi
         return phi, jnp.dot(dphi, dphi), it + 1
 
@@ -160,14 +177,17 @@ def solve_boltzmann_dirichlet_neumann(n, n0, te, dx, phi0, tol=1e-3, maxiter=100
         _, residual, it = carry
         return (residual > tol) & (it < maxiter)
 
+    step_max = _EXP_CLAMP / c1  # bound each Newton step (globalization)
+
     def body(carry):
         phi, _, it = carry
-        expo = jnp.exp(c1 * phi)
+        expo = _safe_exp(c1 * phi)
         f = apply_a(phi) - dx2 * c0 * expo + dx2 * c2
         f = f.at[0].set(phi[0]).at[-1].set(0.0)
         ddiag = -dx2 * c0 * c1 * expo
         ddiag = ddiag.at[0].set(-dx2 * c0 * c1).at[-1].set(0.0)
         dphi = solve_tridiag_rank1(dl, d + ddiag, du, f, u, v)
+        dphi = jnp.clip(dphi, -step_max, step_max)
         phi = phi - dphi
         return phi, jnp.linalg.norm(dphi), it + 1
 

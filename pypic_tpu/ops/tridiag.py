@@ -54,7 +54,7 @@ def solve_tridiag(dl, d, du, b):
     a = dl.at[0].set(0.0)
     (_, _), (cp, dp) = lax.scan(
         fwd,
-        (jnp.zeros(()), zero_row),
+        (jnp.zeros((), d.dtype), zero_row),
         (a, d, du, b),
     )
 

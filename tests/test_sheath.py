@@ -1,0 +1,123 @@
+"""Physics and lifecycle tests for the bounded sheath engine (PIC_L_DD)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pypic_tpu.constants import (
+    E_CHARGE,
+    EPSILON_0,
+    K_BOLTZMANN,
+    M_ELECTRON,
+    M_PROTON,
+)
+from pypic_tpu.grid import GridSpec
+from pypic_tpu import initialize as init
+from pypic_tpu.engines import sheath
+from pypic_tpu.runner import run
+
+
+def _setup(n=10_000, ng=51, gamma=0.0, seed=3):
+    # Reference config (PIC_L_DD.py:320-331) at reduced N.
+    density = 1e19
+    dt = 1e-12
+    dx = 1e-5
+    te = 10.0 * 11600.0
+    ti = 10.0 * 11600.0
+    length = dx * (ng - 1)
+    grid = GridSpec(ng, length, "dirichlet-dirichlet")
+    d = init.initialize_sheath(n, density, 1.0, 0.0, grid, te, ti, seed=seed)
+    p2c = length * density / n
+    cfg = sheath.SheathConfig(
+        grid, dt, p2c,
+        kbte=K_BOLTZMANN * te, kbti=K_BOLTZMANN * ti,
+        gamma=gamma, exit_hist_vmax=3e6, record_exit_after_step=300,
+    )
+    st = sheath.init_state(d["x"], d["v"], d["q"], d["m"], d["species"], cfg, seed=1)
+    return cfg, st, te
+
+
+def test_sheath_formation_wall_potential():
+    """Absorbing walls charge negative: after electron-scale transients the
+    wall potential sits several Te/e below the quasi-neutral core, of the
+    order of the floating potential (PIC_L_DD.py:349 prints 28 V for these
+    parameters; re-injected plasma at ~ion-transit time reaches roughly
+    half)."""
+    cfg, st, te = _setup()
+    _, m = run(sheath.make_step(cfg), st, 1500)
+    phi = np.asarray(m.phi, np.float64)[-300:].mean(axis=0)
+    te_volts = te * K_BOLTZMANN / E_CHARGE  # 10 V
+    drop_l = phi[0] - phi.max()
+    drop_r = phi[-1] - phi.max()
+    assert drop_l < -0.5 * te_volts, f"left wall drop {drop_l}"
+    assert drop_r < -0.5 * te_volts, f"right wall drop {drop_r}"
+    assert drop_l > -4.0 * te_volts and drop_r > -4.0 * te_volts
+    # core is the potential maximum (quasi-neutral plasma)
+    assert np.argmax(phi) not in (0, len(phi) - 1)
+
+
+def test_sheath_picard_telemetry_and_counts():
+    cfg, st, _ = _setup(n=4000)
+    _, m = run(sheath.make_step(cfg), st, 200)
+    iters = np.asarray(m.picard_iters)
+    assert iters.max() <= cfg.maxiter
+    n_act = np.asarray(m.n_active)
+    assert (n_act <= 4000).all() and (n_act > 3000).all()
+    # particles absorbed during a step are re-injected at the next step start
+    lost = np.asarray(m.n_lost_left) + np.asarray(m.n_lost_right)
+    assert (n_act + lost == 4000).all()
+
+
+def test_exit_velocity_histograms_accumulate():
+    cfg, st, _ = _setup(n=4000)
+    fin, _ = run(sheath.make_step(cfg), st, 600)
+    hist = np.asarray(fin.exit_hist)
+    assert hist.shape == (2, cfg.exit_hist_bins)
+    assert hist.sum() > 0  # both species hit walls in a 10 eV sheath run
+    assert (hist >= 0).all()
+
+
+def test_thermostat_resamples_to_ion_temperature():
+    """gamma=1 resamples every active particle's velocities each step to the
+    ion temperature (PIC_L_DD.py:420-427)."""
+    cfg, st, _ = _setup(n=20_000, gamma=1.0)
+    # make electrons hot so the resample is visible
+    st = st.replace(v=st.v * 5.0)
+    fin, _ = run(sheath.make_step(cfg), st, 1)
+    v = np.asarray(fin.v)
+    m = np.asarray(fin.m)
+    act = np.asarray(fin.active) == 1
+    for sp, mass in ((1, M_ELECTRON), (2, M_PROTON)):
+        sel = act & (np.asarray(fin.species) == sp)
+        vth = np.sqrt(K_BOLTZMANN * 10.0 * 11600.0 / mass)
+        # transverse components are untouched by the push -> exact thermostat
+        std = v[sel, 1].std()
+        assert 0.9 * vth < std < 1.1 * vth, (sp, std, vth)
+
+
+def test_wall_charge_current_terms():
+    """An absorbed particle deposits the reference's wall surface-charge
+    current: j[0] += dx q p2c / dt for left-absorbed (PIC_L_DD.py:55-63),
+    exercised by forcing a particle through the wall in one step."""
+    ng = 11
+    dx = 1e-5
+    grid = GridSpec(ng, dx * (ng - 1), "dirichlet-dirichlet")
+    dt = 1e-12
+    p2c = 1e10
+    cfg = sheath.SheathConfig(
+        grid, dt, p2c, kbte=1e-19, kbti=1e-19, tol=1e30, maxiter=1
+    )
+    # one ion flying left through the wall fast enough to cross in one dt
+    x = np.asarray([0.5 * dx])
+    v3 = np.asarray([[-1e7, 0.0, 0.0]])
+    q = np.asarray([E_CHARGE])
+    m = np.asarray([M_PROTON])
+    species = np.asarray([2])
+    st = sheath.init_state(x, v3, q, m, species, cfg, seed=0)
+    fin, met = run(sheath.make_step(cfg), st, 1)
+    assert int(np.asarray(met.n_lost_left)[0]) == 1
+    j = np.asarray(fin.j)
+    expected = dx * E_CHARGE * p2c / dt  # wall term, folded with j[1]
+    assert j[0] != 0.0
+    np.testing.assert_allclose(j[0], expected, rtol=1e-5)
