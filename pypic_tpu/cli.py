@@ -1,0 +1,169 @@
+"""Command-line driver: run presets, write diagnostics/plots/gifs.
+
+The L10 layer — replaces the reference run scripts (run_pypic.py,
+run_pypic_dd.py): clear the plot directory, run the simulation with wall-clock
+timing written to ``time.out`` (run_pypic.py:12-17), dump the text outputs
+(pypic.py:637-648), render summary frames and assemble gifs (convert.py).
+
+Usage:
+    python -m pypic_tpu.cli run landau_damping --steps 1000 --plot-every 100
+    python -m pypic_tpu.cli list
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+
+def _cmd_list(_args):
+    from . import presets
+
+    for name in sorted(presets.PRESETS):
+        fn = presets.PRESETS[name]
+        doc = (fn.__doc__ or "").strip().splitlines()[0]
+        print(f"{name:24s} {doc}")
+
+
+def _cmd_run(args):
+    import jax
+
+    from . import checkpoint, diagnostics, presets, viz
+    from .runner import run, run_thinned
+
+    preset = presets.get(args.preset, **({"n": args.particles} if args.particles else {}))
+    outdir = args.outdir
+    if os.path.isdir(outdir) and args.clean:
+        shutil.rmtree(outdir)
+    os.makedirs(outdir, exist_ok=True)
+
+    step = preset.make_step()
+    state = preset.state
+    mgr = None
+    if args.checkpoint_every:
+        mgr = checkpoint.CheckpointManager(
+            os.path.join(outdir, "checkpoints"), every=args.checkpoint_every
+        )
+        if args.resume:
+            state, manifest = mgr.restore(state)
+            print(f"resumed from step {manifest['step']}", file=sys.stderr)
+
+    def _run_span(state, steps):
+        if args.plot_every and steps % args.plot_every == 0:
+            return run_thinned(step, state, steps, args.plot_every)
+        return run(step, state, steps)
+
+    t0 = time.time()
+    if mgr is not None and args.steps > mgr.every:
+        # chunk the scan so periodic checkpoints hit disk mid-run
+        # (reference cadence: every 100 steps, pygcpic.py:1627-1632)
+        final = state
+        chunks = []
+        done = 0
+        while done < args.steps:
+            span = min(mgr.every, args.steps - done)
+            final, m = _run_span(final, span)
+            chunks.append(m)
+            done += span
+            mgr.maybe_save(final, done) if done % mgr.every == 0 else None
+        metrics = jax.tree.map(lambda *xs: np.concatenate(xs), *chunks)
+    else:
+        final, metrics = _run_span(state, args.steps)
+    jax.block_until_ready(jax.tree.leaves(metrics)[0])
+    elapsed = time.time() - t0
+    # wall-clock timing file (run_pypic.py:16-17)
+    with open(os.path.join(outdir, "time.out"), "w") as f:
+        print(elapsed, file=f)
+    n = preset.state.p.shape[0]
+    print(f"{args.steps} steps x {n} particles in {elapsed:.1f}s "
+          f"({n * args.steps / elapsed:.3g} pushes/s)", file=sys.stderr)
+
+    if mgr is not None:
+        checkpoint.save(
+            os.path.join(outdir, "checkpoints", "final.npz"), final,
+            step=args.steps,
+        )
+
+    # metric dump as npz + JSONL scalars
+    mdict = metrics._asdict() if hasattr(metrics, "_asdict") else dict(metrics)
+    np.savez(os.path.join(outdir, "metrics.npz"),
+             **{k: np.asarray(v) for k, v in mdict.items()})
+    with open(os.path.join(outdir, "metrics.jsonl"), "w") as f:
+        num = len(np.asarray(next(iter(mdict.values()))))
+        for i in range(num):
+            row = {}
+            for k, v in mdict.items():
+                arr = np.asarray(v)
+                if arr.ndim == 1:
+                    row[k] = float(arr[i])
+            print(json.dumps(row), file=f)
+
+    # text dumps (pypic.py:637-648) for engines exposing the fields
+    if "field_energy" in mdict:
+        params = preset.meta.get("params")
+        meta_params = {}
+        if params is not None:
+            meta_params = dict(wp=params.wp, G=params.growth_rate,
+                               tau=1.0 / params.wp, p2c=params.p2c)
+        meta_params.update(dt=preset.config.dt, Ng=preset.config.grid.ng,
+                           L=preset.config.grid.length)
+        current = mdict.get("current_bias", np.zeros(1))
+        diagnostics.write_run_outputs(
+            outdir, mdict["field_energy"], np.asarray(current), meta_params
+        )
+
+    # summary plot for the periodic engines
+    if args.plot and hasattr(final, "v") and np.asarray(final.v).ndim == 1:
+        params = preset.meta.get("params")
+        vth = np.sqrt(np.asarray(final.v).var()) + 1e-300
+        stride = max(1, args.plot_every or 1)
+        times = np.arange(len(np.asarray(mdict["field_energy"]))) * (
+            preset.config.dt * stride
+        )
+        viz.summary_figure(
+            os.path.join(outdir, "summary.png"),
+            np.asarray(final.p) * preset.config.grid.dx,
+            np.asarray(final.v), vth,
+            mdict["field_energy"], times,
+            params.wp if params else 1.0,
+            params.growth_rate if params else None,
+            np.asarray(final.e), np.asarray(final.j),
+            preset.config.grid.length,
+            system=preset.meta.get("system", preset.name),
+        )
+        print(f"wrote {outdir}/summary.png", file=sys.stderr)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="pypic_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    lp = sub.add_parser("list", help="list available presets")
+    lp.set_defaults(fn=_cmd_list)
+
+    rp = sub.add_parser("run", help="run a preset")
+    rp.add_argument("preset")
+    rp.add_argument("--steps", type=int, default=100)
+    rp.add_argument("--particles", type=int, default=None)
+    rp.add_argument("--outdir", default="plots")
+    rp.add_argument("--plot-every", type=int, default=0,
+                    help="thin metrics to every k steps (reference nplot)")
+    rp.add_argument("--plot", action="store_true", help="write summary.png")
+    rp.add_argument("--checkpoint-every", type=int, default=0)
+    rp.add_argument("--resume", action="store_true")
+    rp.add_argument("--clean", action="store_true",
+                    help="clear outdir first (run_pypic.py:8-10)")
+    rp.set_defaults(fn=_cmd_run)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

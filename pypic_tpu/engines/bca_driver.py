@@ -1,0 +1,175 @@
+"""Hybrid PIC <-> surface-model driver (the pic_bca_aps loop).
+
+The surface coupling is the reference's only process boundary
+(SURVEY.md §3.4: the F-TRIDYN Fortran binary runs between PIC steps,
+pygcpic.py:1571-1572). The rebuild keeps that structure: the magnetized
+engine's step is jitted; each driver iteration fetches the step's wall-impact
+rows to the host, runs the BCA model per (incident-species -> wall) channel,
+and injects sputtered + reflected products back into free particle slots
+(pygcpic.py:1599-1625), with periodic checkpointing (pygcpic.py:1627-1632)
+and yield/reflection statistics (pygcpic.py:1468-1480).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import bca as bca_mod
+from .. import checkpoint as ckpt_mod
+from . import magnetized
+
+
+@dataclasses.dataclass
+class BCAStats:
+    """Per-run accumulated surface statistics (pygcpic.py:1408-1418)."""
+
+    source_incident: int = 0
+    wall_incident: int = 0
+    sputtered: int = 0
+    self_sputtered: int = 0
+    source_sputtered: int = 0
+    source_reflected: int = 0
+    wall_reflected: int = 0
+    injected: int = 0
+    dropped: int = 0
+
+    def total_yield(self) -> float:
+        inc = self.source_incident + self.wall_incident
+        return self.sputtered / inc if inc else 0.0
+
+    def source_reflection(self) -> float:
+        return (
+            self.source_reflected / self.source_incident
+            if self.source_incident
+            else 0.0
+        )
+
+
+def run_bca(
+    state: magnetized.MagnetizedState,
+    cfg: magnetized.MagnetizedConfig,
+    steps: int,
+    bca_source_wall: bca_mod.BCAInterface,
+    bca_wall_wall: bca_mod.BCAInterface,
+    *,
+    source_species_idx: int = 0,
+    wall_species_idx: int = 1,
+    product_p2c: Optional[float] = None,
+    num_histories: int = 100,
+    checkpoint_manager: Optional[ckpt_mod.CheckpointManager] = None,
+    seed: int = 0,
+    log_every: int = 0,
+):
+    """Run the hybrid loop for ``steps`` steps.
+
+    Requires cfg.impact_buffer_size > 0 (wall-impact extraction on).
+
+    Returns:
+        (final_state, BCAStats, metrics_list) — metrics_list holds the
+        per-step StepMetrics pytrees (host numpy).
+    """
+    if cfg.impact_buffer_size <= 0:
+        raise ValueError("cfg.impact_buffer_size must be > 0 for BCA runs")
+    step_fn = jax.jit(magnetized.make_step(cfg))
+    inject = magnetized.make_inject(cfg)
+    rng = np.random.default_rng(seed)
+    stats = BCAStats()
+    if product_p2c is None:
+        product_p2c = float(np.asarray(state.p2c)[0])
+    z_to_idx: Dict[int, int] = {z: i for i, z in enumerate(cfg.species_z)}
+    cap = cfg.impact_buffer_size
+    metrics_hist = []
+
+    for it in range(steps):
+        state, metrics = step_fn(state)
+        n_imp = int(metrics.n_impacts)
+        impacts = np.asarray(metrics.impacts)[:n_imp]
+        metrics_hist.append(jax.tree.map(np.asarray, metrics))
+
+        # split impacts by incident species (pygcpic.py:1517-1527)
+        rows_by_channel = {}
+        for name, sp_idx, iface in (
+            ("source", source_species_idx, bca_source_wall),
+            ("wall", wall_species_idx, bca_wall_wall),
+        ):
+            sel = impacts[:, 2].astype(int) == sp_idx
+            energies = impacts[sel, 0]
+            angles = impacts[sel, 1]
+            sides = impacts[sel, 3]
+            rows_by_channel[name] = (energies, angles, sides, iface)
+            if name == "source":
+                stats.source_incident += int(sel.sum())
+            else:
+                stats.wall_incident += int(sel.sum())
+
+        new_rows = []
+        new_sides = []
+        for name, (energies, angles, sides, iface) in rows_by_channel.items():
+            if energies.size == 0:
+                continue
+            sput, refl = iface.run(energies, angles, num_histories=num_histories)
+            stats.sputtered += len(sput)
+            if name == "wall":
+                stats.self_sputtered += len(sput)
+                stats.wall_reflected += len(refl)
+            else:
+                stats.source_sputtered += len(sput)
+                stats.source_reflected += len(refl)
+            for rows in (sput, refl):
+                if len(rows):
+                    new_rows.append(np.asarray(rows))
+                    # products leave from a random wall in the reference
+                    # (pygcpic.py:1607); physically they come from the wall
+                    # that was struck — keep the reference behavior
+                    new_sides.append(
+                        rng.integers(0, 2, len(rows)).astype(np.float64)
+                    )
+
+        if new_rows:
+            rows = np.concatenate(new_rows)
+            sides = np.concatenate(new_sides)
+            batch = bca_mod.particles_from_energy_angle(
+                rows, sides, cfg.dt, cfg.grid.length, product_p2c, rng
+            )
+            k = len(batch["x"])
+            sp_idx = np.asarray(
+                [z_to_idx.get(int(z), wall_species_idx) for z in batch["z"]],
+                np.int32,
+            )
+            t_now = np.full(k, (it + 1) * cfg.dt, np.float32)
+            state, n_inj, n_drop = inject(
+                state,
+                jnp.asarray(batch["x"], jnp.float32),
+                jnp.asarray(batch["yz"], jnp.float32),
+                jnp.asarray(batch["v"], jnp.float32),
+                jnp.asarray(batch["m"], jnp.float32),
+                jnp.asarray(batch["charge_state"], jnp.float32),
+                jnp.asarray(batch["p2c"], jnp.float32),
+                jnp.asarray(sp_idx),
+                jnp.asarray(t_now),
+                jnp.ones(k, bool),
+            )
+            stats.injected += int(n_inj)
+            stats.dropped += int(n_drop)
+
+        if checkpoint_manager is not None:
+            checkpoint_manager.maybe_save(state, it + 1)
+
+        if log_every and (it % log_every == 0):
+            print(
+                f"step {it}: active {int(metrics.n_active)}, impacts {n_imp}, "
+                f"yield {stats.total_yield():.3f}, "
+                f"{cfg_species_name(cfg, source_species_idx)} reflection "
+                f"{stats.source_reflection():.3f}"
+            )
+
+    return state, stats, metrics_hist
+
+
+def cfg_species_name(cfg, idx):
+    return f"Z={cfg.species_z[idx]}"

@@ -80,8 +80,13 @@ class MagnetizedConfig:
     newton_maxiter: int = 1000  # pygcpic.py:1023
     ionization: bool = False
     max_charge_state: int = 3  # pygcpic.py:1512 gate; 1 == reference quirk
-    reactivate: str = "none"  # 'source' | 'flux' | 'none'
+    reactivate: str = "none"  # 'source' | 'capped-source' | 'flux' | 'none'
     source: Optional[SourceSpec] = None
+    # 'capped-source': re-activate only while the active ionized source-species
+    # count is below source_n; surplus inactive slots stay free — the
+    # fixed-shape equivalent of pic_bca_aps's reactivate-or-delete logic
+    # (pygcpic.py:1543-1563)
+    source_n: int = 0
     flux_limit: int = 0  # max re-activations/step on the 'flux' policy
     flux_gamma: float = 0.0  # perturbed-beam fraction (pygcpic.py:2008)
     flux_vx_pert: float = 0.0
@@ -89,6 +94,12 @@ class MagnetizedConfig:
     iead_energy_max: float = 0.0  # [eV]; 0 disables IEAD accumulation
     iead_angle_max: float = 90.0
     deposit_method: str = "auto"
+    # Wall-impact extraction for the BCA surface coupling (pypic_tpu.bca):
+    # when > 0, each step returns up to this many (energy_eV, angle_deg,
+    # species_idx) rows for particles deactivated at a wall this step —
+    # the fixed-shape form of the reference's energies_*/angles_* lists
+    # (pygcpic.py:1516-1527).
+    impact_buffer_size: int = 0
     # The reference's eta = exp(phi/Te/11600) divides by Te *in Kelvin* and
     # then by 11600 again (pygcpic.py:890, 895), i.e. eta ~ 1 everywhere —
     # and that near-unity eta is precisely what keeps its adaptive-n0
@@ -139,17 +150,50 @@ class StepMetrics(NamedTuple):
     added: jax.Array
     rho: jax.Array  # (ng,)
     phi: jax.Array  # (ng,)
+    # (impact_buffer_size, 4) rows [energy_eV, angle_deg, species_idx, side]
+    # (side: 0 = left wall, 1 = right) + valid count; zero-size when disabled
+    impacts: jax.Array
+    n_impacts: jax.Array
 
 
 def init_state(
     x, v3, m, charge_state, p2c, species_idx, cfg: MagnetizedConfig,
-    yz=None, seed: int = 0, dtype=jnp.float32,
+    yz=None, seed: int = 0, dtype=jnp.float32, capacity: int | None = None,
 ) -> MagnetizedState:
+    """Build the fixed-capacity state. ``capacity`` > n adds inactive free
+    slots — headroom for BCA products / dynamic creation (the reference grows
+    its particle list instead, pygcpic.py:1624-1625)."""
     grid = cfg.grid
     n = np.shape(x)[0]
+    cap = int(capacity) if capacity is not None else n
+    if cap < n:
+        raise ValueError(f"capacity {cap} < initial particle count {n}")
+    pad = cap - n
+
+    def padded(arr, fill=0.0):
+        arr = np.asarray(arr)
+        if pad == 0:
+            return arr
+        shape = (pad,) + arr.shape[1:]
+        return np.concatenate([arr, np.full(shape, fill, arr.dtype)])
+
+    x = padded(x)
+    v3 = padded(np.broadcast_to(np.asarray(v3), (n, 3)))
+    m = padded(np.broadcast_to(np.asarray(m, np.float64), (n,)), fill=1.0)
+    charge_state = padded(np.broadcast_to(np.asarray(charge_state, np.float64), (n,)))
+    p2c = padded(np.broadcast_to(np.asarray(p2c, np.float64), (n,)))
+    species_idx = padded(
+        np.broadcast_to(np.asarray(species_idx, np.int32), (n,))
+    ).astype(np.int32)
+    active0 = np.concatenate(
+        [np.ones(n, np.int32), np.zeros(pad, np.int32)]
+    )
+    yz = None if yz is None else padded(np.asarray(yz))
+
     p = (jnp.asarray(x) / grid.dx).astype(dtype)
     ne, na = cfg.iead_bins
     s = len(cfg.species_z)
+    n = cap
     return MagnetizedState(
         p=p,
         yz=jnp.zeros((n, 2), dtype) if yz is None else jnp.asarray(yz, dtype),
@@ -159,7 +203,7 @@ def init_state(
         p2c=jnp.broadcast_to(jnp.asarray(p2c, dtype), (n,)),
         species_idx=jnp.broadcast_to(jnp.asarray(species_idx, jnp.int32), (n,)),
         t=jnp.zeros((n,), dtype),
-        active=jnp.ones((n,), jnp.int32),
+        active=jnp.asarray(active0),
         at_wall=jnp.zeros((n,), jnp.int32),
         from_wall=jnp.zeros((n,), jnp.int32),
         phi=jnp.zeros((grid.ng,), dtype),
@@ -170,6 +214,59 @@ def init_state(
         iead=jnp.zeros((s, ne, na), dtype),
         step=jnp.asarray(0, jnp.int32),
     )
+
+
+def make_inject(cfg: MagnetizedConfig):
+    """Build a jitted injector placing new particles into free slots.
+
+    The fixed-capacity replacement for ``particles += new_particles``
+    (pygcpic.py:1624-1625): the i-th valid new particle claims the i-th free
+    (inactive) slot. Surplus new particles beyond the free-slot count are
+    dropped and counted (the reference grows its list instead; with the
+    capped-source policy freeing slots every step the capacity headroom is
+    configured by the caller).
+
+    Note the reference does *not* credit the particle ledger for BCA products
+    (grid.add_particles is commented out at the injection site,
+    pygcpic.py:1616) — neither does this.
+    """
+    grid = cfg.grid
+    dx = grid.dx
+
+    @jax.jit
+    def inject(state: MagnetizedState, x, yz, v, m, charge_state, p2c,
+               species_idx, t, valid):
+        k = x.shape[0]
+        n_new = jnp.sum(valid.astype(jnp.int32))
+        inactive = state.active != 1
+        rank = jnp.cumsum(inactive.astype(jnp.int32)) - 1
+        take = inactive & (rank < n_new)
+        idx = jnp.clip(rank, 0, k - 1)
+
+        def pick(new, old):
+            gathered = jnp.take(new, idx, axis=0)
+            cond = take
+            if old.ndim > 1:
+                cond = take[:, None]
+            return jnp.where(cond, gathered.astype(old.dtype), old)
+
+        new_state = state.replace(
+            p=pick(jnp.asarray(x) / dx, state.p),
+            yz=pick(jnp.asarray(yz), state.yz),
+            v=pick(jnp.asarray(v), state.v),
+            m=pick(jnp.asarray(m), state.m),
+            charge_state=pick(jnp.asarray(charge_state), state.charge_state),
+            p2c=pick(jnp.asarray(p2c), state.p2c),
+            species_idx=pick(jnp.asarray(species_idx), state.species_idx),
+            t=pick(jnp.asarray(t), state.t),
+            active=jnp.where(take, 1, state.active),
+            at_wall=jnp.where(take, 0, state.at_wall),
+            from_wall=jnp.where(take, 1, state.from_wall),
+        )
+        n_injected = jnp.sum(take.astype(jnp.int32))
+        return new_state, n_injected, n_new - n_injected
+
+    return inject
 
 
 def make_step(cfg: MagnetizedConfig):
@@ -276,6 +373,30 @@ def make_step(cfg: MagnetizedConfig):
         if cfg.iead_energy_max > 0.0:
             iead = _iead_accumulate(iead, state_after_push, hit)
 
+        # Wall-impact (E, theta) rows for the BCA coupling (fixed-shape form
+        # of the reference's per-step lists, pygcpic.py:1516-1527).
+        cap = cfg.impact_buffer_size
+        if cap > 0:
+            energy_ev = 0.5 * state.m * jnp.sum(v1 * v1, axis=-1) / E_CHARGE
+            vyz = jnp.sqrt(v1[:, 1] ** 2 + v1[:, 2] ** 2)
+            angle = jnp.arctan2(vyz, jnp.abs(v1[:, 0])) * (180.0 / jnp.pi)
+            side = (p1 > cells).astype(energy_ev.dtype)
+            rank = jnp.cumsum(hit.astype(jnp.int32)) - 1
+            slot = jnp.where(hit & (rank < cap), rank, cap)
+            rows = jnp.stack(
+                [energy_ev, angle, state.species_idx.astype(energy_ev.dtype),
+                 side],
+                axis=-1,
+            )
+            impacts = jnp.zeros((cap + 1, 4), energy_ev.dtype)
+            impacts = impacts.at[slot].set(
+                jnp.where(hit[:, None], rows, 0.0), mode="drop"
+            )[:cap]
+            n_impacts = jnp.minimum(jnp.sum(hit.astype(jnp.int32)), cap)
+        else:
+            impacts = jnp.zeros((0, 4), jnp.float32)
+            n_impacts = jnp.asarray(0, jnp.int32)
+
         # MCC ionization (pygcpic.py:1510-1513)
         n_ionized = jnp.asarray(0, jnp.int32)
         charge_state = state.charge_state
@@ -306,6 +427,21 @@ def make_step(cfg: MagnetizedConfig):
                     k_src, state.p.shape[0], grid, src.ti, src.mass, vx=src.vx
                 )
                 take = inactive
+            elif cfg.reactivate == "capped-source":
+                # pic_bca_aps: refill only while the active ionized source-
+                # species population is below source_n; the rest stay free
+                # slots (reactivate-or-delete, pygcpic.py:1543-1549)
+                batch = sources.sample_source_6d(
+                    k_src, state.p.shape[0], grid, src.ti, src.mass, vx=src.vx
+                )
+                n_src_active = jnp.sum(
+                    ((active == 1)
+                     & (state.species_idx == src.species_idx)
+                     & (charge_state > 0)).astype(jnp.int32)
+                )
+                deficit = jnp.maximum(cfg.source_n - n_src_active, 0)
+                rank = jnp.cumsum(inactive.astype(jnp.int32)) - 1
+                take = inactive & (rank < deficit)
             else:  # 'flux'
                 batch = sources.sample_flux_6d(
                     k_src, state.p.shape[0], grid, src.ti, src.mass,
@@ -342,6 +478,8 @@ def make_step(cfg: MagnetizedConfig):
             added=added,
             rho=rho,
             phi=phi,
+            impacts=impacts,
+            n_impacts=n_impacts,
         )
         new_state = state.replace(
             p=p1, yz=yz1, v=v1, m=m_arr, charge_state=charge_state,

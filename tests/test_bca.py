@@ -1,0 +1,142 @@
+"""BCA surface-coupling tests: interface contract, particle construction,
+injection, and the hybrid driver loop (pic_bca_aps rebuild)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pypic_tpu import bca, presets
+from pypic_tpu.constants import E_CHARGE, M_PROTON
+from pypic_tpu.engines import bca_driver, magnetized
+
+
+def test_null_bca_empty():
+    s, r = bca.NullBCA().run([10.0, 20.0], [5.0, 10.0])
+    assert s.shape == (0, 6) and r.shape == (0, 6)
+
+
+def test_binary_collision_model_yield_behavior():
+    model = bca.BinaryCollisionModel(seed=0)
+    # below threshold: no sputtering
+    s, r = model.run(np.full(1000, 5.0), np.zeros(1000))
+    assert len(s) == 0
+    # far above threshold: yield near y0, sputtered rows are wall species
+    s, r = model.run(np.full(5000, 500.0), np.zeros(5000))
+    y = len(s) / 5000
+    assert 0.05 < y < 0.15
+    assert (s[:, 5] == 5).all() and np.allclose(s[:, 4], 10.81)
+    # reflected rows are incident species with reduced energy
+    assert (r[:, 5] == 1).all()
+    assert (r[:, 0] < 500.0).all()
+    # direction cosines normalized-ish, ca > 0 (outgoing)
+    norms = np.linalg.norm(s[:, 1:4], axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-12)
+    assert (s[:, 1] > 0).all()
+
+
+def test_particles_from_energy_angle():
+    rng = np.random.default_rng(0)
+    rows = np.asarray([
+        [100.0, 1.0, 0.0, 0.0, 1.0, 1],     # H, 100 eV, normal incidence
+        [3.0, 0.5, 0.5, 0.7071, 10.81, 5],  # B, 3 eV
+    ])
+    sides = np.asarray([0.0, 1.0])  # left wall, right wall
+    batch = bca.particles_from_energy_angle(rows, sides, 1e-10, 1e-3, 1e10, rng)
+    # speeds match E = m v^2 / 2
+    speed = np.linalg.norm(batch["v"], axis=1)
+    expect0 = np.sqrt(2 * 100.0 * E_CHARGE / M_PROTON)
+    np.testing.assert_allclose(speed[0], expect0, rtol=1e-6)
+    # direction off the wall: left wall -> vx > 0; right -> vx < 0
+    assert batch["v"][0, 0] > 0 and batch["v"][1, 0] < 0
+    # start position offset into the domain from the correct wall
+    assert 0.0 <= batch["x"][0] < 1e-3 / 2
+    assert 1e-3 / 2 < batch["x"][1] <= 1e-3
+    assert (batch["charge_state"] == 0).all()
+    assert list(batch["z"]) == [1, 5]
+
+
+def _bca_setup(ppc=10, headroom=1.5):
+    pre = presets.pic_bca_aps(ppc=ppc)
+    cfg = dataclasses.replace(
+        pre.config, impact_buffer_size=256,
+        reactivate="capped-source", source_n=pre.meta["source_n"],
+    )
+    st = magnetized.init_state(
+        np.asarray(pre.state.p) * pre.config.grid.dx, np.asarray(pre.state.v),
+        np.asarray(pre.state.m), np.asarray(pre.state.charge_state),
+        np.asarray(pre.state.p2c), np.asarray(pre.state.species_idx),
+        cfg, seed=1, capacity=int(pre.meta["source_n"] * headroom),
+    )
+    return cfg, st, pre
+
+
+def test_inject_claims_free_slots():
+    cfg, st, pre = _bca_setup(ppc=5)
+    inject = magnetized.make_inject(cfg)
+    k = 8
+    st2, n_inj, n_drop = inject(
+        st,
+        jnp.full(k, cfg.grid.length / 2, jnp.float32),
+        jnp.zeros((k, 2), jnp.float32),
+        jnp.ones((k, 3), jnp.float32) * 1e4,
+        jnp.full(k, 10.81 * M_PROTON, jnp.float32),
+        jnp.zeros(k, jnp.float32),
+        jnp.full(k, 1e10, jnp.float32),
+        jnp.ones(k, jnp.int32),
+        jnp.zeros(k, jnp.float32),
+        jnp.ones(k, bool),
+    )
+    assert int(n_inj) == k and int(n_drop) == 0
+    gained = int(jnp.sum(st2.active == 1)) - int(jnp.sum(st.active == 1))
+    assert gained == k
+    newly = (np.asarray(st2.active) == 1) & (np.asarray(st.active) != 1)
+    assert (np.asarray(st2.from_wall)[newly] == 1).all()
+    assert (np.asarray(st2.species_idx)[newly] == 1).all()
+
+
+def test_inject_drops_overflow():
+    cfg, st, pre = _bca_setup(ppc=5, headroom=1.0)  # zero free slots
+    inject = magnetized.make_inject(cfg)
+    k = 4
+    _, n_inj, n_drop = inject(
+        st,
+        jnp.zeros(k, jnp.float32), jnp.zeros((k, 2), jnp.float32),
+        jnp.zeros((k, 3), jnp.float32), jnp.ones(k, jnp.float32),
+        jnp.zeros(k, jnp.float32), jnp.ones(k, jnp.float32),
+        jnp.zeros(k, jnp.int32), jnp.zeros(k, jnp.float32),
+        jnp.ones(k, bool),
+    )
+    assert int(n_inj) == 0 and int(n_drop) == k
+
+
+def test_bca_driver_full_chain():
+    """H plasma vs B wall with the empirical surface model: impacts are
+    collected, products are injected as neutral wall atoms, some ionize."""
+    cfg, st, pre = _bca_setup(ppc=10)
+    model_sw = bca.BinaryCollisionModel(seed=1)
+    model_ww = bca.BinaryCollisionModel(incident_m_amu=10.81, incident_z=5, seed=2)
+    fin, stats, hist = bca_driver.run_bca(
+        st, cfg, 120, model_sw, model_ww,
+        product_p2c=float(np.asarray(st.p2c)[0]), seed=3,
+    )
+    assert stats.source_incident > 100
+    assert stats.sputtered > 0 and stats.source_reflected > 0
+    assert stats.injected > 0 and stats.dropped == 0
+    act = np.asarray(fin.active) == 1
+    assert (np.asarray(fin.from_wall)[act] == 1).sum() > 0
+    boron_alive = (np.asarray(fin.species_idx)[act] == 1).sum()
+    assert boron_alive > 0
+    # yield bounded and sane
+    assert 0.0 < stats.total_yield() < 0.5
+    # capped-source policy holds the ionized H population at source_n
+    n_h = int(
+        (
+            (np.asarray(fin.species_idx) == 0)
+            & act
+            & (np.asarray(fin.charge_state) > 0)
+        ).sum()
+    )
+    assert n_h == pre.meta["source_n"]

@@ -1,0 +1,87 @@
+"""Checkpoint/resume: bit-exact restart (vs the reference's unversioned
+whole-object pickling, pygcpic.py:1627-1632)."""
+
+import numpy as np
+import pytest
+
+from pypic_tpu import checkpoint
+from pypic_tpu.constants import E_CHARGE, EPSILON_0, K_BOLTZMANN, M_ELECTRON
+from pypic_tpu.grid import GridSpec
+from pypic_tpu import initialize as init
+from pypic_tpu.engines import implicit, sheath
+from pypic_tpu.runner import run
+
+
+def _implicit_setup():
+    density = 1e10
+    te = 0.1 * 11600.0
+    debye = np.sqrt(K_BOLTZMANN * te * EPSILON_0 / E_CHARGE**2 / density)
+    grid = GridSpec(64, 15.0 * debye, "periodic")
+    x, v, params = init.initialize_periodic(
+        "two-stream", 8000, density, 1, 0.05, grid, te, te, seed=2
+    )
+    cfg = implicit.ImplicitConfig(grid, 0.1 / params.wp, params.p2c, tol=1e-5)
+    st = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
+    return cfg, st
+
+
+def test_save_load_roundtrip_bitexact(tmp_path):
+    cfg, st = _implicit_setup()
+    step = implicit.make_step(cfg)
+    mid, _ = run(step, st, 10)
+    path = str(tmp_path / "ck.npz")
+    checkpoint.save(path, mid, step=10)
+    restored, manifest = checkpoint.load(path, st)
+    assert manifest["step"] == 10
+    for a, b in zip(
+        __import__("jax").tree_util.tree_leaves(mid),
+        __import__("jax").tree_util.tree_leaves(restored),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_reproduces_trajectory_bitexact(tmp_path):
+    """run(20) == run(10); save; load; run(10) — including the RNG-carrying
+    sheath engine."""
+    density = 1e19
+    ng, dt, dx = 31, 1e-12, 1e-5
+    te = ti = 10.0 * 11600.0
+    grid = GridSpec(ng, dx * (ng - 1), "dirichlet-dirichlet")
+    d = init.initialize_sheath(2000, density, 1.0, 0.0, grid, te, ti, seed=3)
+    cfg = sheath.SheathConfig(
+        grid, dt, grid.length * density / 2000,
+        kbte=K_BOLTZMANN * te, kbti=K_BOLTZMANN * ti,
+    )
+    st = sheath.init_state(d["x"], d["v"], d["q"], d["m"], d["species"], cfg, seed=1)
+    step = sheath.make_step(cfg)
+
+    full, _ = run(step, st, 20)
+    half, _ = run(step, st, 10)
+    path = str(tmp_path / "ck.npz")
+    checkpoint.save(path, half, step=10)
+    resumed, _ = checkpoint.load(path, st)
+    full2, _ = run(step, resumed, 10)
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(full), jax.tree_util.tree_leaves(full2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_manager_cadence_and_gc(tmp_path):
+    cfg, st = _implicit_setup()
+    mgr = checkpoint.CheckpointManager(str(tmp_path / "ckpts"), every=5, keep=2)
+    for s in range(1, 21):
+        mgr.maybe_save(st, s)
+    assert mgr.steps() == [15, 20]
+    assert mgr.latest() == 20
+    restored, manifest = mgr.restore(st)
+    assert manifest["step"] == 20
+
+
+def test_load_rejects_shape_mismatch(tmp_path):
+    cfg, st = _implicit_setup()
+    path = str(tmp_path / "ck.npz")
+    checkpoint.save(path, st)
+    bad_template = st.replace(p=st.p[:100])
+    with pytest.raises(ValueError, match="leaf"):
+        checkpoint.load(path, bad_template)

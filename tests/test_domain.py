@@ -1,0 +1,76 @@
+"""Domain decomposition: slab deposits + halo exchange + particle migration
+match the single-device engine exactly (8-device virtual CPU mesh)."""
+
+import numpy as np
+import jax
+import pytest
+
+from pypic_tpu.constants import E_CHARGE, EPSILON_0, K_BOLTZMANN, M_ELECTRON
+from pypic_tpu.grid import GridSpec
+from pypic_tpu import initialize as init
+from pypic_tpu.engines import explicit
+from pypic_tpu.parallel import make_mesh, domain
+from pypic_tpu.runner import run
+
+
+@pytest.fixture(scope="module")
+def problem():
+    density = 1e10
+    te = 0.1 * 11600.0
+    debye = np.sqrt(K_BOLTZMANN * te * EPSILON_0 / E_CHARGE**2 / density)
+    grid = GridSpec(64, 15.0 * debye, "periodic")
+    x, v, params = init.initialize_periodic(
+        "two-stream", 16_000, density, 1, 0.05, grid, te, te, seed=2
+    )
+    return grid, x, v, params
+
+
+def test_domain_matches_single_device(problem):
+    grid, x, v, params = problem
+    dt = 0.1 / params.wp
+
+    ecfg = explicit.ExplicitConfig(grid, dt, params.p2c)
+    est = explicit.init_state(x, v, -E_CHARGE, M_ELECTRON, grid)
+    _, m1 = run(explicit.make_step(ecfg), est, 100)
+
+    mesh = make_mesh(8, axis="slabs")
+    dcfg = domain.DomainConfig(grid, dt, params.p2c, num_shards=8,
+                               migrate_cap=2048)
+    dst = domain.shard_state(
+        domain.init_state(x, v, -E_CHARGE, M_ELECTRON, dcfg), mesh, dcfg
+    )
+    _, m8 = run(domain.make_step(dcfg, mesh), dst, 100)
+
+    ee1 = np.asarray(m1.field_energy, np.float64)
+    ee8 = np.asarray(m8.field_energy, np.float64)
+    np.testing.assert_allclose(ee8, ee1, rtol=1e-4)
+    ke1 = np.asarray(m1.kinetic_energy, np.float64)
+    ke8 = np.asarray(m8.kinetic_energy, np.float64)
+    np.testing.assert_allclose(ke8, ke1, rtol=1e-5)
+    # no particles lost, migration active, no overflow
+    assert (np.asarray(m8.n_alive) == 16_000).all()
+    assert np.asarray(m8.n_migrated).sum() > 0
+    assert np.asarray(m8.n_dropped).sum() == 0
+
+
+def test_domain_overflow_detected(problem):
+    """A too-small migration bucket is *reported*, not silent."""
+    grid, x, v, params = problem
+    dt = 0.1 / params.wp
+    mesh = make_mesh(8, axis="slabs")
+    dcfg = domain.DomainConfig(grid, dt, params.p2c, num_shards=8,
+                               migrate_cap=8)  # absurdly small
+    dst = domain.shard_state(
+        domain.init_state(x, v, -E_CHARGE, M_ELECTRON, dcfg), mesh, dcfg
+    )
+    _, m = run(domain.make_step(dcfg, mesh), dst, 20)
+    assert np.asarray(m.n_dropped).sum() > 0
+    # dropped particles leave the population (conservation bookkeeping holds)
+    n_alive = np.asarray(m.n_alive)
+    assert n_alive[-1] == 16_000 - np.asarray(m.n_dropped).sum()
+
+
+def test_domain_init_rejects_bad_shard_count(problem):
+    grid, x, v, params = problem
+    with pytest.raises(ValueError, match="divisible"):
+        domain.DomainConfig(grid, 1e-9, params.p2c, num_shards=7)

@@ -1,0 +1,131 @@
+"""Presets, CLI, diagnostics, and visualization round-trips."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from pypic_tpu import diagnostics, presets, viz
+from pypic_tpu.runner import run
+
+
+def test_all_presets_construct_small():
+    small = {
+        "landau_damping": dict(n=2000),
+        "two_stream": dict(n=2000),
+        "bump_on_tail": dict(n=2000),
+        "explicit_landau": dict(n=2000),
+        "sheath_dd": dict(n=2000),
+        "pic_iead": dict(n_per_species=100, ng=100),
+        "pic_bca_aps": dict(ppc=2),
+        "dirichlet_neumann_test": dict(n=2000, ng=100),
+    }
+    for name, kw in small.items():
+        pre = presets.get(name, **kw)
+        assert pre.name == name
+        step = pre.make_step()
+        new_state, metrics = step(pre.state)  # one step traces + runs
+        assert new_state.p.shape == pre.state.p.shape
+
+
+def test_preset_unknown():
+    with pytest.raises(KeyError):
+        presets.get("nope")
+
+
+def test_first_peak_index():
+    t = np.linspace(0, 10, 200)
+    series = np.exp(-0.3 * t) * (np.sin(3 * t) ** 2 + 1e-3)
+    idx = diagnostics.first_peak_index(series, t[1] - t[0])
+    assert 0 < idx < 40
+    # lands on (or adjacent to, from the centered derivative) the first peak
+    assert series[idx] >= 0.95 * series[max(idx - 2, 0) : idx + 3].max()
+
+
+def test_growth_and_damping_rate_fits():
+    dt = 0.01
+    t = np.arange(400) * dt
+    gamma = 2.5
+    grow = 1e-6 * np.exp(2 * gamma * t)
+    grow = np.minimum(grow, 1e-3)  # saturate
+    est = diagnostics.growth_rate_from_energy(grow, dt)
+    assert abs(est - gamma) / gamma < 0.05
+
+    damp = 1e-3 * np.exp(-2 * 1.5 * t) * (np.cos(20 * t) ** 2 + 1e-4)
+    est2 = diagnostics.damping_rate_from_peaks(damp + 1e-12, dt, t_max=2.0)
+    assert abs(est2 + 1.5) / 1.5 < 0.1
+
+
+def test_write_run_outputs(tmp_path):
+    d = str(tmp_path)
+    diagnostics.write_run_outputs(
+        d, np.arange(5.0), np.arange(3.0), {"wp": 1.0, "dt": 2.0}
+    )
+    assert np.loadtxt(os.path.join(d, "E2.txt")).shape == (5,)
+    text = open(os.path.join(d, "parameters.out")).read()
+    assert "wp 1.0" in text and "dt 2.0" in text
+
+
+def test_viz_figures_and_gif(tmp_path):
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1.0, 500)
+    v = rng.normal(0, 1.0, 500)
+    p = viz.summary_figure(
+        str(tmp_path / "sum.png"), x, v, 1.0, np.exp(np.arange(10.0)),
+        np.arange(10.0), 1.0, 0.5, rng.normal(size=32), rng.normal(size=32),
+        1.0,
+    )
+    assert os.path.getsize(p) > 1000
+
+    viz.sheath_figure(
+        str(tmp_path / "sheath.png"), x, v, np.full(500, 1e-27),
+        np.where(np.arange(500) < 250, 1, 2), rng.normal(size=32),
+        rng.normal(size=32), rng.normal(size=32), 1.0,
+    )
+
+    # frames -> gif (convert.py parity)
+    def frame(i, path):
+        viz.summary_figure(
+            path, x, v + i * 0.1, 1.0, np.exp(np.arange(10.0)),
+            np.arange(10.0), 1.0, None, rng.normal(size=32),
+            rng.normal(size=32), 1.0,
+        )
+
+    viz.save_frames(str(tmp_path), "ps", frame, [0, 2, 4])
+    out = viz.convert(str(tmp_path), "ps", 0, 6, 2, str(tmp_path / "out.gif"))
+    assert os.path.getsize(out) > 1000
+
+
+def test_phase_space_replay(tmp_path):
+    rng = np.random.default_rng(1)
+    xs = rng.uniform(0, 1, (4, 200))
+    vs = rng.normal(0, 1, (4, 200))
+    out = viz.phase_space_replay(str(tmp_path / "replay.gif"), xs, vs)
+    assert os.path.getsize(out) > 1000
+
+
+def test_cli_end_to_end(tmp_path):
+    """Drive the CLI as a subprocess — the run-script surface
+    (run_pypic.py parity)."""
+    outdir = str(tmp_path / "plots")
+    env = dict(os.environ)
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from pypic_tpu.cli import main;"
+        f"main(['run','two_stream','--steps','40','--particles','4000',"
+        f"'--outdir',r'{outdir}','--plot','--plot-every','10',"
+        f"'--checkpoint-every','20','--clean'])"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    for f in ("time.out", "E2.txt", "metrics.npz", "metrics.jsonl", "summary.png"):
+        assert os.path.exists(os.path.join(outdir, f)), f
+    rows = [json.loads(line) for line in open(os.path.join(outdir, "metrics.jsonl"))]
+    assert len(rows) == 4  # 40 steps thinned by 10
+    assert os.path.exists(os.path.join(outdir, "checkpoints", "state_0000000020.npz"))
