@@ -38,6 +38,10 @@ class ExplicitConfig:
     dt: float
     p2c: float
     deposit_method: str = "auto"
+    # The per-step current-density diagnostic (pypic.py:716) costs a second
+    # full deposit sweep — a third of the step at 1e8 particles. Parity
+    # default on; flip off for throughput runs.
+    current_metric: bool = True
 
     def __post_init__(self):
         # numpy scalars are not weakly typed and would promote float32 state.
@@ -100,10 +104,8 @@ def make_step(cfg: ExplicitConfig):
         p1, v1 = leapfrog_push(state.p, state.v, e_p, qm, dt, dt_dx)
         p1 = jnp.mod(p1, ng)
 
-        metrics = StepMetrics(
-            field_energy=0.5 * EPSILON_0 * dx * jnp.sum(e * e),
-            kinetic_energy=0.5 * cfg.p2c * jnp.sum(state.m * state.v * state.v),
-            current_bias=jnp.mean(
+        if cfg.current_metric:
+            current_bias = jnp.mean(
                 deposit(
                     state.p,
                     jnp.broadcast_to(state.q * cfg.p2c * inv_dx, state.p.shape)
@@ -112,7 +114,13 @@ def make_step(cfg: ExplicitConfig):
                     periodic=True,
                     method=cfg.deposit_method,
                 )
-            ),
+            )
+        else:
+            current_bias = jnp.asarray(0.0, e.dtype)
+        metrics = StepMetrics(
+            field_energy=0.5 * EPSILON_0 * dx * jnp.sum(e * e),
+            kinetic_energy=0.5 * cfg.p2c * jnp.sum(state.m * state.v * state.v),
+            current_bias=current_bias,
             rho=rho,
             e_field=e,
         )

@@ -3,24 +3,32 @@
 Why these exist: the XLA lowerings of the irregular PIC memory patterns are
 far from speed-of-light on TPU. Measured on a v5e chip at 1e7 particles:
 ``.at[].add`` scatter ~21 ms/deposit (serialized scatter), ``jnp.take``
-gather ~174 ms (!), and the pure-XLA tent-matmul deposit ~28 ms because XLA
-materializes the (n, 128) tent matrix through HBM (10 GB of traffic per
-deposit at 1e7). The kernels here build the tent weights **in VMEM per
-particle block**, so HBM traffic collapses to the particle arrays themselves
-(8 bytes/particle/pass).
+gather ~174 ms, and the pure-XLA tent-matmul deposit ~28 ms because XLA
+materializes the tent matrix through HBM. The kernels here build the tent
+weights **in VMEM per particle block**, so HBM traffic collapses to the
+particle arrays themselves (4-16 bytes/particle/pass).
 
-Formulation (shared with ops.cic._deposit_matmul): CIC weights are the tent
-function max(0, 1 - |p - g|) evaluated over a 128-lane window of grid nodes;
-windows stride by 127 so a particle's two cells never straddle a window
-boundary. Deposit contracts the (block, 128) tent against a (block, K)
-window-selector one-hot on the MXU into a (K, 128) accumulator that lives in
-VMEM across the sequential TPU grid; gather is the same tent contracted the
-other way against the window-folded field.
+Formulation: CIC weights are the tent function max(0, 1 - |p - g|) evaluated
+over a 128-node window; windows stride by 127 so a particle's two cells never
+straddle a window boundary. Layout is **transposed** — window columns live on
+sublanes and particles on lanes — so every elementwise op keeps the particle
+arrays in their natural lanes-major layout and Mosaic inserts no
+lane<->sublane relayouts (the row-major formulation measured ~1.9 ns/particle
+per deposit on v5e; this one ~0.72 ns):
 
-``fused_picard_iteration_*`` fuses the whole inner loop body of the implicit
-engine (gather -> Crank-Nicolson -> half-step current deposit,
-pypic.py:259-289) into one pass over the particles, reading (p0, v0) once
-per Picard iteration and emitting only the (K, 128) current accumulator.
+* deposit: W^T (128, K) += m_T (128, B) @ sel (B, K) on the MXU, with the
+  window accumulator resident in VMEM across the sequential grid and folded
+  onto the ng nodes once at the end;
+* gather: frows_T (128, B) = fwin_T (128, K) @ sel_T (K, B), then
+  e_p = ones(1,128) @ (tent_T * frows_T) — both contractions MXU-native.
+
+``picard_iteration_pallas`` / ``picard_finalize_pallas`` fuse the whole inner
+loop body of the implicit engine (gather -> Crank-Nicolson -> half-step
+current deposit, pypic.py:259-289) into one sweep over the particle arrays
+per Picard iteration; only jh feeds the field advance and the residual
+(pypic.py:283-289), so j1/p1/v1 come from a single finalize pass after
+convergence. Runtime scalars (q/m, dt factors) ride in SMEM so traced state
+feeds the kernels without recompiles.
 
 All kernels run in interpret mode off-TPU so the CPU test suite exercises
 identical code paths.
@@ -32,13 +40,14 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 WINDOW = LANE - 1
 
-_DEFAULT_BLOCK = 8192
+_DEFAULT_BLOCK = 16384
 
 
 def _interpret() -> bool:
@@ -49,18 +58,30 @@ def _num_windows(ng: int) -> int:
     return (ng + WINDOW - 1) // WINDOW
 
 
-def _tent_and_select(p, num_k, dtype):
-    """(block,) positions -> tent (block, 128), selector (block, K), both in
-    registers/VMEM. Columns l of window k correspond to node 127k + l."""
+def _window_decompose(p, num_k):
+    """(B,) positions -> (window id k (B,) int32, in-window offset d (B,))."""
     cell = jnp.floor(p)
     k = jnp.clip((cell * (1.0 / WINDOW)).astype(jnp.int32), 0, num_k - 1)
     d = p - k.astype(p.dtype) * WINDOW  # in [0, 127)
-    # TPU iota must be integer-typed; cast to the compute dtype afterwards.
-    cols = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1).astype(dtype)
-    tent = jnp.maximum(0.0, 1.0 - jnp.abs(d[:, None] - cols))
-    kids = jax.lax.broadcasted_iota(jnp.int32, (1, num_k), 1)
-    sel = (k[:, None] == kids).astype(dtype)
-    return tent, sel
+    return k, d
+
+
+def _tent_t(d, block):
+    """Transposed tent (128, B): row l = weight for node (127 k + l)."""
+    rows = lax.broadcasted_iota(jnp.int32, (LANE, block), 0).astype(d.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(d[None, :] - rows))
+
+
+def _sel(k, num_k, dtype):
+    """(B, K) window one-hot (one lanes->sublanes relayout of k)."""
+    kid = lax.broadcasted_iota(jnp.int32, (1, num_k), 1)
+    return (k[:, None] == kid).astype(dtype)
+
+
+def _sel_t(k, num_k, dtype):
+    """(K, B) window one-hot (k stays lanes-major; no relayout)."""
+    kid = lax.broadcasted_iota(jnp.int32, (num_k, 1), 0)
+    return (k[None, :] == kid).astype(dtype)
 
 
 def _fold_windows(acc, ng: int, periodic: bool):
@@ -77,11 +98,12 @@ def _fold_windows(acc, ng: int, periodic: bool):
     return jnp.zeros((ng,), acc.dtype).at[g].add(flat)
 
 
-def _window_field(field, num_k: int, periodic: bool):
-    """(ng,) node field -> (K, 128) window view F_win[k, l] = F[(127k+l) % ng]."""
+def _window_field_t(field, num_k: int, periodic: bool):
+    """(ng,) node field -> transposed window view (128, K):
+    fwin_T[l, k] = F[(127 k + l) % ng]."""
     ng = field.shape[0]
     kids = jnp.arange(num_k, dtype=jnp.int32)
-    g = kids[:, None] * WINDOW + jnp.arange(LANE, dtype=jnp.int32)[None, :]
+    g = jnp.arange(LANE, dtype=jnp.int32)[:, None] + kids[None, :] * WINDOW
     if periodic:
         g = g % ng
     else:
@@ -89,12 +111,37 @@ def _window_field(field, num_k: int, periodic: bool):
     return field[g]
 
 
+def _pad_blocks(arrs, block):
+    n = arrs[0].shape[0]
+    pad = (-n) % block
+    if pad:
+        arrs = [jnp.concatenate([a, jnp.zeros((pad,), a.dtype)]) for a in arrs]
+    nb = arrs[0].shape[0] // block
+    return [a.reshape(nb, 1, block) for a in arrs], nb
+
+
+def _particle_spec(block):
+    return pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _acc_spec(num_k):
+    return pl.BlockSpec((LANE, num_k), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _lane_mask(i, block, n_valid, dtype):
+    """(B,) lanes-major validity mask zeroing padding particles."""
+    gid = i * block + lax.broadcasted_iota(jnp.int32, (1, block), 1)[0]
+    return (gid < n_valid).astype(dtype)
+
+
 # ---------------------------------------------------------------------------
 # deposit
 # ---------------------------------------------------------------------------
 
 
-def _deposit_kernel(p_ref, v_ref, out_ref, *, num_k):
+def _deposit_kernel(p_ref, v_ref, out_ref, *, num_k, block):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -103,35 +150,29 @@ def _deposit_kernel(p_ref, v_ref, out_ref, *, num_k):
 
     p = p_ref[0, 0, :]
     val = v_ref[0, 0, :]
-    tent, sel = _tent_and_select(p, num_k, p.dtype)
-    m = tent * val[:, None]
-    out_ref[:] += jax.lax.dot_general(
-        sel, m, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    k, d = _window_decompose(p, num_k)
+    m_t = _tent_t(d, block) * val[None, :]  # (128, B)
+    sel = _sel(k, num_k, p.dtype)  # (B, K)
+    out_ref[:] += lax.dot_general(
+        m_t, sel, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("ng", "periodic", "block"))
 def deposit_pallas(p, values, ng: int, *, periodic: bool, block: int = _DEFAULT_BLOCK):
-    """CIC deposit via the VMEM tent kernel. Same contract as ops.cic.deposit."""
-    n = p.shape[0]
+    """CIC deposit via the VMEM tent kernel. Same contract as ops.cic.deposit
+    (inactive particles are masked by zero values)."""
     num_k = _num_windows(ng)
-    pad = (-n) % block
-    if pad:
-        p = jnp.concatenate([p, jnp.zeros((pad,), p.dtype)])
-        values = jnp.concatenate([values, jnp.zeros((pad,), values.dtype)])
-    nb = p.shape[0] // block
+    (p_b, v_b), nb = _pad_blocks([p, values], block)
     acc = pl.pallas_call(
-        functools.partial(_deposit_kernel, num_k=num_k),
+        functools.partial(_deposit_kernel, num_k=num_k, block=block),
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((num_k, LANE), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((num_k, LANE), jnp.float32),
+        in_specs=[_particle_spec(block), _particle_spec(block)],
+        out_specs=_acc_spec(num_k),
+        out_shape=jax.ShapeDtypeStruct((LANE, num_k), jnp.float32),
         interpret=_interpret(),
-    )(p.reshape(nb, 1, block), values.reshape(nb, 1, block))
-    return _fold_windows(acc.astype(values.dtype), ng, periodic)
+    )(p_b, v_b)
+    return _fold_windows(acc.T.astype(values.dtype), ng, periodic)
 
 
 # ---------------------------------------------------------------------------
@@ -139,15 +180,24 @@ def deposit_pallas(p, values, ng: int, *, periodic: bool, block: int = _DEFAULT_
 # ---------------------------------------------------------------------------
 
 
-def _gather_kernel(fwin_ref, p_ref, out_ref, *, num_k):
-    p = p_ref[0, 0, :]
-    tent, sel = _tent_and_select(p, num_k, p.dtype)
-    # (block, K) @ (K, 128) -> per-particle window row of the field.
-    frows = jax.lax.dot_general(
-        sel, fwin_ref[:], (((1,), (0,)), ((), ())),
+def _gather_at(fwin_ref, ps, num_k, block):
+    """Field value at each particle from the transposed window view."""
+    k, d = _window_decompose(ps, num_k)
+    tent_t = _tent_t(d, block)  # (128, B)
+    sel_t = _sel_t(k, num_k, ps.dtype)  # (K, B)
+    frows_t = lax.dot_general(
+        fwin_ref[:], sel_t, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(p.dtype)
-    out_ref[0, 0, :] = jnp.sum(tent * frows, axis=1)
+    ).astype(ps.dtype)  # (128, B)
+    ones = jnp.ones((1, LANE), ps.dtype)
+    return lax.dot_general(
+        ones, tent_t * frows_t, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(ps.dtype)[0]  # (B,)
+
+
+def _gather_kernel(fwin_ref, p_ref, out_ref, *, num_k, block):
+    out_ref[0, 0, :] = _gather_at(fwin_ref, p_ref[0, 0, :], num_k, block)
 
 
 @functools.partial(jax.jit, static_argnames=("periodic", "block"))
@@ -156,45 +206,35 @@ def gather_pallas(field, p, *, periodic: bool, block: int = _DEFAULT_BLOCK):
     ng = field.shape[0]
     n = p.shape[0]
     num_k = _num_windows(ng)
-    fwin = _window_field(field, num_k, periodic)
-    pad = (-n) % block
-    p_pad = jnp.concatenate([p, jnp.zeros((pad,), p.dtype)]) if pad else p
-    nb = p_pad.shape[0] // block
+    fwin_t = _window_field_t(field, num_k, periodic)
+    (p_b,), nb = _pad_blocks([p], block)
     out = pl.pallas_call(
-        functools.partial(_gather_kernel, num_k=num_k),
+        functools.partial(_gather_kernel, num_k=num_k, block=block),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((num_k, LANE), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANE, num_k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            _particle_spec(block),
         ],
-        out_specs=pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=_particle_spec(block),
         out_shape=jax.ShapeDtypeStruct((nb, 1, block), field.dtype),
         interpret=_interpret(),
-    )(fwin, p_pad.reshape(nb, 1, block))
+    )(fwin_t, p_b)
     return out.reshape(-1)[:n]
 
 
 # ---------------------------------------------------------------------------
 # fused implicit Picard iteration (periodic, single species)
 # ---------------------------------------------------------------------------
-#
-# One Picard inner pass of the implicit engine (pypic.py:261-274) in a single
-# sweep over the particle arrays: gather the smoothed field guess at the
-# position guess xs, Crank-Nicolson push (p0, v0), deposit the half-step
-# current jh. The reference computes j1 inside the loop too (pypic.py:279)
-# but only jh feeds the field advance and the residual — j1 is needed only
-# after convergence, so the fused loop body skips it and a finalize pass
-# produces (p1, v1, j1) once.
-#
-# HBM traffic per Picard iteration: read xs, p0, v0 (12 B/particle), write
-# the new xs (4 B/particle); tent/one-hot matrices and the (K, 128) current
-# accumulator stay in VMEM.
 
 
-def _valid_mask(i, block, n_valid, dtype):
-    """Row mask zeroing deposit contributions from padding particles."""
-    gid = i * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
-    return (gid < n_valid).astype(dtype)  # (block, 1) column mask
+def _deposit_into(out_ref, pos, values, num_k, block):
+    k, d = _window_decompose(pos, num_k)
+    m_t = _tent_t(d, block) * values[None, :]
+    sel = _sel(k, num_k, pos.dtype)
+    out_ref[:] += lax.dot_general(
+        m_t, sel, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
 
 
 def _picard_iter_kernel(
@@ -207,8 +247,7 @@ def _picard_iter_kernel(
     def _():
         jh_ref[:] = jnp.zeros_like(jh_ref)
 
-    # Runtime scalars via SMEM (avoids recompiling per (q, m, dt) tuple and
-    # lets traced state feed the kernel): [qm dt, qm dt dt/dx / 2, dt/dx, w].
+    # Runtime scalars via SMEM: [qm dt, qm dt dt/dx / 2, dt/dx, w].
     qm_dt = scal_ref[0, 0]
     qm_dt2_half = scal_ref[1, 0]
     dt_dx = scal_ref[2, 0]
@@ -219,12 +258,7 @@ def _picard_iter_kernel(
     v0 = v0_ref[0, 0, :]
 
     # Gather the (pre-smoothed, window-folded) field at xs (pypic.py:261).
-    tent, sel = _tent_and_select(ps, num_k, ps.dtype)
-    frows = jax.lax.dot_general(
-        sel, fwin_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(ps.dtype)
-    e_p = jnp.sum(tent * frows, axis=1)
+    e_p = _gather_at(fwin_ref, ps, num_k, block)
 
     # Crank-Nicolson half step (pypic.py:264-272), grid coordinates.
     p1 = p0 + dt_dx * v0 + qm_dt2_half * e_p
@@ -234,11 +268,8 @@ def _picard_iter_kernel(
     vh = 0.5 * (v0 + v1)
     ph_ref[0, 0, :] = ph
 
-    tent_h, sel_h = _tent_and_select(ph, num_k, ph.dtype)
-    m = tent_h * ((w * vh)[:, None] * _valid_mask(i, block, n_valid, ph.dtype))
-    jh_ref[:] += jax.lax.dot_general(
-        sel_h, m, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(jh_ref.dtype)
+    vals = (w * vh) * _lane_mask(i, block, n_valid, ph.dtype)
+    _deposit_into(jh_ref, ph, vals, num_k, block)
 
 
 def _picard_final_kernel(
@@ -260,33 +291,25 @@ def _picard_final_kernel(
     p0 = p0_ref[0, 0, :]
     v0 = v0_ref[0, 0, :]
 
-    tent, sel = _tent_and_select(ps, num_k, ps.dtype)
-    frows = jax.lax.dot_general(
-        sel, fwin_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(ps.dtype)
-    e_p = jnp.sum(tent * frows, axis=1)
-
+    e_p = _gather_at(fwin_ref, ps, num_k, block)
     p1 = p0 + dt_dx * v0 + qm_dt2_half * e_p
     v1 = v0 + qm_dt * e_p
     p1 = p1 - jnp.floor(p1 * (1.0 / ng)) * ng  # pypic.py:277
     p1_ref[0, 0, :] = p1
     v1_ref[0, 0, :] = v1
 
-    tent_1, sel_1 = _tent_and_select(p1, num_k, p1.dtype)
-    m = tent_1 * ((w * v1)[:, None] * _valid_mask(i, block, n_valid, p1.dtype))
-    j1_ref[:] += jax.lax.dot_general(
-        sel_1, m, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(j1_ref.dtype)
+    vals = (w * v1) * _lane_mask(i, block, n_valid, p1.dtype)
+    _deposit_into(j1_ref, p1, vals, num_k, block)
 
 
-def _pad_blocks(arrs, block):
-    n = arrs[0].shape[0]
-    pad = (-n) % block
-    if pad:
-        arrs = [jnp.concatenate([a, jnp.zeros((pad,), a.dtype)]) for a in arrs]
-    nb = arrs[0].shape[0] // block
-    return [a.reshape(nb, 1, block) for a in arrs], nb
+def _scalars(qm, dt, dx, w, dtype):
+    return jnp.stack(
+        [qm * dt, 0.5 * qm * dt * (dt / dx),
+         jnp.full_like(qm * dt, dt / dx), w]
+    ).reshape(4, 1).astype(dtype)
+
+
+_SMEM_SPEC = pl.BlockSpec((4, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
 
 def picard_iteration_pallas(
@@ -296,37 +319,33 @@ def picard_iteration_pallas(
     """Fused Picard inner pass. Returns (ph, jh): the new half-step positions
     (the next iteration's gather guess) and the (ng,) half-step current."""
     num_k = _num_windows(ng)
-    fwin = _window_field(field_smoothed, num_k, periodic=True)
+    fwin_t = _window_field_t(field_smoothed, num_k, periodic=True)
     (ps_b, p0_b, v0_b), nb = _pad_blocks([ps, p0, v0], block)
-    scal = jnp.stack(
-        [qm * dt, 0.5 * qm * dt * (dt / dx), jnp.full_like(qm * dt, dt / dx), w]
-    ).reshape(4, 1).astype(ps.dtype)
+    scal = _scalars(qm, dt, dx, w, ps.dtype)
     kern = functools.partial(
-        _picard_iter_kernel, num_k=num_k, ng=ng,
-        block=block, n_valid=ps.shape[0],
+        _picard_iter_kernel, num_k=num_k, ng=ng, block=block,
+        n_valid=ps.shape[0],
     )
     ph, jh = pl.pallas_call(
         kern,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((4, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((num_k, LANE), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            _SMEM_SPEC,
+            pl.BlockSpec((LANE, num_k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            _particle_spec(block),
+            _particle_spec(block),
+            _particle_spec(block),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_k, LANE), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ),
+        out_specs=(_particle_spec(block), _acc_spec(num_k)),
         out_shape=(
             jax.ShapeDtypeStruct((nb, 1, block), ps.dtype),
-            jax.ShapeDtypeStruct((num_k, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((LANE, num_k), jnp.float32),
         ),
         interpret=_interpret(),
-    )(scal, fwin, ps_b, p0_b, v0_b)
+    )(scal, fwin_t, ps_b, p0_b, v0_b)
     n = ps.shape[0]
-    return ph.reshape(-1)[:n], _fold_windows(jh.astype(ps.dtype), ng, True)
+    return ph.reshape(-1)[:n], _fold_windows(jh.T.astype(ps.dtype), ng, True)
 
 
 def picard_finalize_pallas(
@@ -335,40 +354,39 @@ def picard_finalize_pallas(
 ):
     """Post-convergence pass: final (p1, v1) and full-step current j1."""
     num_k = _num_windows(ng)
-    fwin = _window_field(field_smoothed, num_k, periodic=True)
+    fwin_t = _window_field_t(field_smoothed, num_k, periodic=True)
     (ps_b, p0_b, v0_b), nb = _pad_blocks([ps, p0, v0], block)
-    scal = jnp.stack(
-        [qm * dt, 0.5 * qm * dt * (dt / dx), jnp.full_like(qm * dt, dt / dx), w]
-    ).reshape(4, 1).astype(ps.dtype)
+    scal = _scalars(qm, dt, dx, w, ps.dtype)
     kern = functools.partial(
-        _picard_final_kernel, num_k=num_k, ng=ng,
-        block=block, n_valid=ps.shape[0],
+        _picard_final_kernel, num_k=num_k, ng=ng, block=block,
+        n_valid=ps.shape[0],
     )
     p1, v1, j1 = pl.pallas_call(
         kern,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((4, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((num_k, LANE), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            _SMEM_SPEC,
+            pl.BlockSpec((LANE, num_k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            _particle_spec(block),
+            _particle_spec(block),
+            _particle_spec(block),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_k, LANE), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            _particle_spec(block),
+            _particle_spec(block),
+            _acc_spec(num_k),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((nb, 1, block), ps.dtype),
             jax.ShapeDtypeStruct((nb, 1, block), v0.dtype),
-            jax.ShapeDtypeStruct((num_k, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((LANE, num_k), jnp.float32),
         ),
         interpret=_interpret(),
-    )(scal, fwin, ps_b, p0_b, v0_b)
+    )(scal, fwin_t, ps_b, p0_b, v0_b)
     n = ps.shape[0]
     return (
         p1.reshape(-1)[:n],
         v1.reshape(-1)[:n],
-        _fold_windows(j1.astype(ps.dtype), ng, True),
+        _fold_windows(j1.T.astype(ps.dtype), ng, True),
     )
