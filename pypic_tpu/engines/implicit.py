@@ -62,6 +62,10 @@ class ImplicitConfig:
     # per-particle q/m arrays, e.g. the gen-1 electron+ion two-stream,
     # PIC_L.py:339). 'auto' = fused when q/m are scalars.
     backend: str = "auto"
+    # Binomial smoothing of the gathered field guess and of the Ampere
+    # current (pypic.py:261, 283). The gen-1 implicit engine runs the same
+    # scheme unsmoothed (PIC_L.py:472, 502); set False for that variant.
+    smooth: bool = True
     # Mesh axis for data-parallel particles (None = single device). When set,
     # the step runs under shard_map with particle arrays sharded and fields
     # replicated: deposits are reduced with psum over the axis, keeping the
@@ -128,6 +132,9 @@ def make_step(cfg: ImplicitConfig):
     dt_dx = dt / dx
     inv_dx = 1.0 / dx
 
+    def _smooth(f):
+        return smooth_periodic(f) if cfg.smooth else f
+
     def _allreduce(x):
         """Sum partial grid deposits / scalar reductions across the particle
         shards (no-op single-device)."""
@@ -166,11 +173,11 @@ def make_step(cfg: ImplicitConfig):
         def body(carry):
             es, ps, _, _, k = carry
             ph, jh = picard_iteration_pallas(
-                smooth_periodic(es), ps, p0, v0, ng,
+                _smooth(es), ps, p0, v0, ng,
                 qm=qm_s, w=w_s, dt=dt, dx=dx,
             )
             jh = _allreduce(jh)
-            e1 = e0 + (dt / EPSILON_0) * (jnp.mean(jh) - smooth_periodic(jh))
+            e1 = e0 + (dt / EPSILON_0) * (jnp.mean(jh) - _smooth(jh))
             eh = 0.5 * (e1 + e0)
             r = jnp.sum((es - eh) ** 2)
             return eh, ph, e1, r, k + 1
@@ -182,7 +189,7 @@ def make_step(cfg: ImplicitConfig):
         )
         es, ps, e1, r, k = lax.while_loop(cond, body, carry0)
         p1, v1, j1 = picard_finalize_pallas(
-            smooth_periodic(es), ps, p0, v0, ng, qm=qm_s, w=w_s, dt=dt, dx=dx
+            _smooth(es), ps, p0, v0, ng, qm=qm_s, w=w_s, dt=dt, dx=dx
         )
         j1 = _allreduce(j1)
 
@@ -220,7 +227,7 @@ def make_step(cfg: ImplicitConfig):
         def body(carry):
             es, ps, _, _, _, _, k = carry
             # Gather smoothed field guess at position guess (pypic.py:261).
-            e_p = gather(smooth_periodic(es), ps, periodic=True)
+            e_p = gather(_smooth(es), ps, periodic=True)
             # Crank-Nicolson update (pypic.py:264-265), in grid coords.
             accel = qm * e_p
             p1 = p0 + dt_dx * v0 + (0.5 * dt * dt_dx) * accel
@@ -234,7 +241,7 @@ def make_step(cfg: ImplicitConfig):
             j1 = _allreduce(deposit(p1, jnp.broadcast_to(w, p1.shape) * v1, ng,
                                     periodic=True, method=cfg.deposit_method))
             # Ampere advance + half-step field (pypic.py:283-285).
-            e1 = e0 + (dt / EPSILON_0) * (jnp.mean(jh) - smooth_periodic(jh))
+            e1 = e0 + (dt / EPSILON_0) * (jnp.mean(jh) - _smooth(jh))
             eh = 0.5 * (e1 + e0)
             r = jnp.sum((es - eh) ** 2)
             return eh, ph, (p1, v1), e1, j1, r, k + 1

@@ -9,8 +9,10 @@ weights **in VMEM per particle block**, so HBM traffic collapses to the
 particle arrays themselves (4-16 bytes/particle/pass).
 
 Formulation: CIC weights are the tent function max(0, 1 - |p - g|) evaluated
-over a 128-node window; windows stride by 127 so a particle's two cells never
-straddle a window boundary. Layout is **transposed** — window columns live on
+over a narrow node window; windows start every ``stride`` nodes and the tent
+spans ``width >= stride + 2`` rows so a particle's two nodes never leave its
+window (``_choose_window`` minimizes tent rows + selector columns per grid
+size — e.g. ng=200 -> stride 16 / width 24 / 13 windows). Layout is **transposed** — window columns live on
 sublanes and particles on lanes — so every elementwise op keeps the particle
 arrays in their natural lanes-major layout and Mosaic inserts no
 lane<->sublane relayouts (the row-major formulation measured ~1.9 ns/particle
@@ -45,7 +47,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-WINDOW = LANE - 1
 
 _DEFAULT_BLOCK = 16384
 
@@ -54,28 +55,44 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _num_windows(ng: int) -> int:
-    return (ng + WINDOW - 1) // WINDOW
+def _choose_window(ng: int):
+    """Pick (stride, width): windows start every ``stride`` nodes and the
+    tent spans ``width`` sublane rows (width >= stride + 2 so a particle's
+    two nodes never leave its window; width a multiple of 8 for tiling).
+
+    VPU cost per particle scales with width (tent rows) + K (selector
+    columns, K = number of windows); minimizing width + ceil(ng/stride)
+    beats the naive (127, 128) choice ~4x at the reference grid sizes
+    (e.g. ng=200 -> stride 16: 24 + 13 = 37 vs 128 + 2 = 130 lane-ops).
+    """
+    best = None
+    for stride in (8, 16, 24, 32, 48, 64, 96, 120):
+        width = ((stride + 2 + 7) // 8) * 8  # smallest mult-of-8 >= stride+2
+        if width > LANE:
+            continue
+        num_k = (ng - 1) // stride + 1
+        cost = width + num_k
+        if best is None or cost < best[2]:
+            best = (stride, width, cost)
+    return best[0], best[1]
 
 
-def _window_decompose(p, num_k):
+def _num_windows(ng: int, stride: int) -> int:
+    return (ng - 1) // stride + 1
+
+
+def _window_decompose(p, num_k, stride):
     """(B,) positions -> (window id k (B,) int32, in-window offset d (B,))."""
     cell = jnp.floor(p)
-    k = jnp.clip((cell * (1.0 / WINDOW)).astype(jnp.int32), 0, num_k - 1)
-    d = p - k.astype(p.dtype) * WINDOW  # in [0, 127)
+    k = jnp.clip((cell * (1.0 / stride)).astype(jnp.int32), 0, num_k - 1)
+    d = p - k.astype(p.dtype) * stride  # in [0, stride + 1)
     return k, d
 
 
-def _tent_t(d, block):
-    """Transposed tent (128, B): row l = weight for node (127 k + l)."""
-    rows = lax.broadcasted_iota(jnp.int32, (LANE, block), 0).astype(d.dtype)
+def _tent_t(d, block, width):
+    """Transposed tent (width, B): row l = weight for node (stride k + l)."""
+    rows = lax.broadcasted_iota(jnp.int32, (width, block), 0).astype(d.dtype)
     return jnp.maximum(0.0, 1.0 - jnp.abs(d[None, :] - rows))
-
-
-def _sel(k, num_k, dtype):
-    """(B, K) window one-hot (one lanes->sublanes relayout of k)."""
-    kid = lax.broadcasted_iota(jnp.int32, (1, num_k), 1)
-    return (k[:, None] == kid).astype(dtype)
 
 
 def _sel_t(k, num_k, dtype):
@@ -84,11 +101,12 @@ def _sel_t(k, num_k, dtype):
     return (k[None, :] == kid).astype(dtype)
 
 
-def _fold_windows(acc, ng: int, periodic: bool):
-    """(K, 128) window accumulator -> (ng,) nodes (tiny O(K*128) scatter)."""
-    num_k = acc.shape[0]
+def _fold_windows(acc, ng: int, periodic: bool, stride: int):
+    """(K, width) window accumulator -> (ng,) nodes (tiny O(K*width)
+    scatter; overlapping window rows fold additively)."""
+    num_k, width = acc.shape
     kids = jnp.arange(num_k, dtype=jnp.int32)
-    g = (kids[:, None] * WINDOW + jnp.arange(LANE, dtype=jnp.int32)[None, :]).reshape(-1)
+    g = (kids[:, None] * stride + jnp.arange(width, dtype=jnp.int32)[None, :]).reshape(-1)
     flat = acc.reshape(-1)
     if periodic:
         g = g % ng
@@ -98,12 +116,12 @@ def _fold_windows(acc, ng: int, periodic: bool):
     return jnp.zeros((ng,), acc.dtype).at[g].add(flat)
 
 
-def _window_field_t(field, num_k: int, periodic: bool):
-    """(ng,) node field -> transposed window view (128, K):
-    fwin_T[l, k] = F[(127 k + l) % ng]."""
+def _window_field_t(field, num_k: int, periodic: bool, stride: int, width: int):
+    """(ng,) node field -> transposed window view (width, K):
+    fwin_T[l, k] = F[(stride k + l) % ng]."""
     ng = field.shape[0]
     kids = jnp.arange(num_k, dtype=jnp.int32)
-    g = jnp.arange(LANE, dtype=jnp.int32)[:, None] + kids[None, :] * WINDOW
+    g = jnp.arange(width, dtype=jnp.int32)[:, None] + kids[None, :] * stride
     if periodic:
         g = g % ng
     else:
@@ -125,8 +143,8 @@ def _particle_spec(block):
                         memory_space=pltpu.VMEM)
 
 
-def _acc_spec(num_k):
-    return pl.BlockSpec((LANE, num_k), lambda i: (0, 0),
+def _acc_spec(num_k, width):
+    return pl.BlockSpec((width, num_k), lambda i: (0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -141,7 +159,7 @@ def _lane_mask(i, block, n_valid, dtype):
 # ---------------------------------------------------------------------------
 
 
-def _deposit_kernel(p_ref, v_ref, out_ref, *, num_k, block):
+def _deposit_kernel(p_ref, v_ref, out_ref, *, num_k, block, stride, width):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -150,11 +168,14 @@ def _deposit_kernel(p_ref, v_ref, out_ref, *, num_k, block):
 
     p = p_ref[0, 0, :]
     val = v_ref[0, 0, :]
-    k, d = _window_decompose(p, num_k)
-    m_t = _tent_t(d, block) * val[None, :]  # (128, B)
-    sel = _sel(k, num_k, p.dtype)  # (B, K)
+    k, d = _window_decompose(p, num_k, stride)
+    m_t = _tent_t(d, block, width) * val[None, :]  # (width, B)
+    # NT contraction over lanes of both operands: building the selector as
+    # (K, B) keeps k lanes-major — the (B, K) form costs a Mosaic relayout
+    # measured at ~0.5 ns/particle (3x the rest of the kernel combined).
+    sel_t = _sel_t(k, num_k, p.dtype)  # (K, B)
     out_ref[:] += lax.dot_general(
-        m_t, sel, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        m_t, sel_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(out_ref.dtype)
 
 
@@ -162,17 +183,19 @@ def _deposit_kernel(p_ref, v_ref, out_ref, *, num_k, block):
 def deposit_pallas(p, values, ng: int, *, periodic: bool, block: int = _DEFAULT_BLOCK):
     """CIC deposit via the VMEM tent kernel. Same contract as ops.cic.deposit
     (inactive particles are masked by zero values)."""
-    num_k = _num_windows(ng)
+    stride, width = _choose_window(ng)
+    num_k = _num_windows(ng, stride)
     (p_b, v_b), nb = _pad_blocks([p, values], block)
     acc = pl.pallas_call(
-        functools.partial(_deposit_kernel, num_k=num_k, block=block),
+        functools.partial(_deposit_kernel, num_k=num_k, block=block,
+                          stride=stride, width=width),
         grid=(nb,),
         in_specs=[_particle_spec(block), _particle_spec(block)],
-        out_specs=_acc_spec(num_k),
-        out_shape=jax.ShapeDtypeStruct((LANE, num_k), jnp.float32),
+        out_specs=_acc_spec(num_k, width),
+        out_shape=jax.ShapeDtypeStruct((width, num_k), jnp.float32),
         interpret=_interpret(),
     )(p_b, v_b)
-    return _fold_windows(acc.T.astype(values.dtype), ng, periodic)
+    return _fold_windows(acc.T.astype(values.dtype), ng, periodic, stride)
 
 
 # ---------------------------------------------------------------------------
@@ -180,24 +203,25 @@ def deposit_pallas(p, values, ng: int, *, periodic: bool, block: int = _DEFAULT_
 # ---------------------------------------------------------------------------
 
 
-def _gather_at(fwin_ref, ps, num_k, block):
+def _gather_at(fwin_ref, ps, num_k, block, stride, width):
     """Field value at each particle from the transposed window view."""
-    k, d = _window_decompose(ps, num_k)
-    tent_t = _tent_t(d, block)  # (128, B)
+    k, d = _window_decompose(ps, num_k, stride)
+    tent_t = _tent_t(d, block, width)  # (width, B)
     sel_t = _sel_t(k, num_k, ps.dtype)  # (K, B)
     frows_t = lax.dot_general(
         fwin_ref[:], sel_t, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(ps.dtype)  # (128, B)
-    ones = jnp.ones((1, LANE), ps.dtype)
+    ).astype(ps.dtype)  # (width, B)
+    ones = jnp.ones((1, width), ps.dtype)
     return lax.dot_general(
         ones, tent_t * frows_t, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(ps.dtype)[0]  # (B,)
 
 
-def _gather_kernel(fwin_ref, p_ref, out_ref, *, num_k, block):
-    out_ref[0, 0, :] = _gather_at(fwin_ref, p_ref[0, 0, :], num_k, block)
+def _gather_kernel(fwin_ref, p_ref, out_ref, *, num_k, block, stride, width):
+    out_ref[0, 0, :] = _gather_at(fwin_ref, p_ref[0, 0, :], num_k, block,
+                                  stride, width)
 
 
 @functools.partial(jax.jit, static_argnames=("periodic", "block"))
@@ -205,15 +229,16 @@ def gather_pallas(field, p, *, periodic: bool, block: int = _DEFAULT_BLOCK):
     """CIC gather via the VMEM tent kernel. Same contract as ops.cic.gather."""
     ng = field.shape[0]
     n = p.shape[0]
-    num_k = _num_windows(ng)
-    fwin_t = _window_field_t(field, num_k, periodic)
+    stride, width = _choose_window(ng)
+    num_k = _num_windows(ng, stride)
+    fwin_t = _window_field_t(field, num_k, periodic, stride, width)
     (p_b,), nb = _pad_blocks([p], block)
     out = pl.pallas_call(
-        functools.partial(_gather_kernel, num_k=num_k, block=block),
+        functools.partial(_gather_kernel, num_k=num_k, block=block,
+                          stride=stride, width=width),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((LANE, num_k), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            _acc_spec(num_k, width),
             _particle_spec(block),
         ],
         out_specs=_particle_spec(block),
@@ -228,18 +253,18 @@ def gather_pallas(field, p, *, periodic: bool, block: int = _DEFAULT_BLOCK):
 # ---------------------------------------------------------------------------
 
 
-def _deposit_into(out_ref, pos, values, num_k, block):
-    k, d = _window_decompose(pos, num_k)
-    m_t = _tent_t(d, block) * values[None, :]
-    sel = _sel(k, num_k, pos.dtype)
+def _deposit_into(out_ref, pos, values, num_k, block, stride, width):
+    k, d = _window_decompose(pos, num_k, stride)
+    m_t = _tent_t(d, block, width) * values[None, :]
+    sel_t = _sel_t(k, num_k, pos.dtype)  # (K, B): NT contraction, no relayout
     out_ref[:] += lax.dot_general(
-        m_t, sel, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        m_t, sel_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(out_ref.dtype)
 
 
 def _picard_iter_kernel(
     scal_ref, fwin_ref, ps_ref, p0_ref, v0_ref, ph_ref, jh_ref,
-    *, num_k, ng, block, n_valid,
+    *, num_k, ng, block, n_valid, stride, width,
 ):
     i = pl.program_id(0)
 
@@ -258,7 +283,7 @@ def _picard_iter_kernel(
     v0 = v0_ref[0, 0, :]
 
     # Gather the (pre-smoothed, window-folded) field at xs (pypic.py:261).
-    e_p = _gather_at(fwin_ref, ps, num_k, block)
+    e_p = _gather_at(fwin_ref, ps, num_k, block, stride, width)
 
     # Crank-Nicolson half step (pypic.py:264-272), grid coordinates.
     p1 = p0 + dt_dx * v0 + qm_dt2_half * e_p
@@ -269,12 +294,12 @@ def _picard_iter_kernel(
     ph_ref[0, 0, :] = ph
 
     vals = (w * vh) * _lane_mask(i, block, n_valid, ph.dtype)
-    _deposit_into(jh_ref, ph, vals, num_k, block)
+    _deposit_into(jh_ref, ph, vals, num_k, block, stride, width)
 
 
 def _picard_final_kernel(
     scal_ref, fwin_ref, ps_ref, p0_ref, v0_ref, p1_ref, v1_ref, j1_ref,
-    *, num_k, ng, block, n_valid,
+    *, num_k, ng, block, n_valid, stride, width,
 ):
     i = pl.program_id(0)
 
@@ -291,7 +316,7 @@ def _picard_final_kernel(
     p0 = p0_ref[0, 0, :]
     v0 = v0_ref[0, 0, :]
 
-    e_p = _gather_at(fwin_ref, ps, num_k, block)
+    e_p = _gather_at(fwin_ref, ps, num_k, block, stride, width)
     p1 = p0 + dt_dx * v0 + qm_dt2_half * e_p
     v1 = v0 + qm_dt * e_p
     p1 = p1 - jnp.floor(p1 * (1.0 / ng)) * ng  # pypic.py:277
@@ -299,7 +324,7 @@ def _picard_final_kernel(
     v1_ref[0, 0, :] = v1
 
     vals = (w * v1) * _lane_mask(i, block, n_valid, p1.dtype)
-    _deposit_into(j1_ref, p1, vals, num_k, block)
+    _deposit_into(j1_ref, p1, vals, num_k, block, stride, width)
 
 
 def _scalars(qm, dt, dx, w, dtype):
@@ -318,34 +343,34 @@ def picard_iteration_pallas(
 ):
     """Fused Picard inner pass. Returns (ph, jh): the new half-step positions
     (the next iteration's gather guess) and the (ng,) half-step current."""
-    num_k = _num_windows(ng)
-    fwin_t = _window_field_t(field_smoothed, num_k, periodic=True)
+    stride, wdth = _choose_window(ng)
+    num_k = _num_windows(ng, stride)
+    fwin_t = _window_field_t(field_smoothed, num_k, True, stride, wdth)
     (ps_b, p0_b, v0_b), nb = _pad_blocks([ps, p0, v0], block)
     scal = _scalars(qm, dt, dx, w, ps.dtype)
     kern = functools.partial(
         _picard_iter_kernel, num_k=num_k, ng=ng, block=block,
-        n_valid=ps.shape[0],
+        n_valid=ps.shape[0], stride=stride, width=wdth,
     )
     ph, jh = pl.pallas_call(
         kern,
         grid=(nb,),
         in_specs=[
             _SMEM_SPEC,
-            pl.BlockSpec((LANE, num_k), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            _acc_spec(num_k, wdth),
             _particle_spec(block),
             _particle_spec(block),
             _particle_spec(block),
         ],
-        out_specs=(_particle_spec(block), _acc_spec(num_k)),
+        out_specs=(_particle_spec(block), _acc_spec(num_k, wdth)),
         out_shape=(
             jax.ShapeDtypeStruct((nb, 1, block), ps.dtype),
-            jax.ShapeDtypeStruct((LANE, num_k), jnp.float32),
+            jax.ShapeDtypeStruct((wdth, num_k), jnp.float32),
         ),
         interpret=_interpret(),
     )(scal, fwin_t, ps_b, p0_b, v0_b)
     n = ps.shape[0]
-    return ph.reshape(-1)[:n], _fold_windows(jh.T.astype(ps.dtype), ng, True)
+    return ph.reshape(-1)[:n], _fold_windows(jh.T.astype(ps.dtype), ng, True, stride)
 
 
 def picard_finalize_pallas(
@@ -353,21 +378,21 @@ def picard_finalize_pallas(
     *, qm, w, dt: float, dx: float, block: int = _DEFAULT_BLOCK,
 ):
     """Post-convergence pass: final (p1, v1) and full-step current j1."""
-    num_k = _num_windows(ng)
-    fwin_t = _window_field_t(field_smoothed, num_k, periodic=True)
+    stride, wdth = _choose_window(ng)
+    num_k = _num_windows(ng, stride)
+    fwin_t = _window_field_t(field_smoothed, num_k, True, stride, wdth)
     (ps_b, p0_b, v0_b), nb = _pad_blocks([ps, p0, v0], block)
     scal = _scalars(qm, dt, dx, w, ps.dtype)
     kern = functools.partial(
         _picard_final_kernel, num_k=num_k, ng=ng, block=block,
-        n_valid=ps.shape[0],
+        n_valid=ps.shape[0], stride=stride, width=wdth,
     )
     p1, v1, j1 = pl.pallas_call(
         kern,
         grid=(nb,),
         in_specs=[
             _SMEM_SPEC,
-            pl.BlockSpec((LANE, num_k), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            _acc_spec(num_k, wdth),
             _particle_spec(block),
             _particle_spec(block),
             _particle_spec(block),
@@ -375,12 +400,12 @@ def picard_finalize_pallas(
         out_specs=(
             _particle_spec(block),
             _particle_spec(block),
-            _acc_spec(num_k),
+            _acc_spec(num_k, wdth),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((nb, 1, block), ps.dtype),
             jax.ShapeDtypeStruct((nb, 1, block), v0.dtype),
-            jax.ShapeDtypeStruct((LANE, num_k), jnp.float32),
+            jax.ShapeDtypeStruct((wdth, num_k), jnp.float32),
         ),
         interpret=_interpret(),
     )(scal, fwin_t, ps_b, p0_b, v0_b)
@@ -388,5 +413,5 @@ def picard_finalize_pallas(
     return (
         p1.reshape(-1)[:n],
         v1.reshape(-1)[:n],
-        _fold_windows(j1.T.astype(ps.dtype), ng, True),
+        _fold_windows(j1.T.astype(ps.dtype), ng, True, stride),
     )
