@@ -20,22 +20,88 @@ Diagonals are passed as equal-length (n,) arrays: ``dl[i] = A[i, i-1]``
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
 
-def solve_tridiag(dl, d, du, b):
-    """Solve a tridiagonal system A x = b via the Thomas algorithm.
+def _affine_scan(alpha, beta, reverse=False):
+    """Evaluate x_i = alpha_i x_prev + beta_i via associative composition
+    (a2, b2) o (a1, b1) = (a2 a1, a2 b1 + b2), x_start = 0."""
+
+    def combine(left, right):
+        a1, b1 = left
+        a2, b2 = right
+        return a2 * a1, a2 * b1 + b2
+
+    _, x = lax.associative_scan(combine, (alpha, beta), reverse=reverse, axis=0)
+    return x
+
+
+def _solve_tridiag_pscan(dl, d, du, b):
+    """Thomas recurrences with O(log n)-depth associative scans (TPU path).
+
+    Forward elimination cp_i = du_i / (d_i - dl_i cp_{i-1}) is a Moebius
+    transform of cp_{i-1}; composing the 2x2 homogeneous-coordinate matrices
+    with per-combine max-abs normalization (cp is a projective ratio, so
+    rescaling is exact) keeps the products bounded.
+    """
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+    a = dl.at[0].set(0.0)
+
+    # cp via normalized projective scan: m_i = [[0, du_i], [-a_i, d_i]].
+    zeros = jnp.zeros_like(d)
+    m = jnp.stack(
+        [jnp.stack([zeros, du], axis=-1), jnp.stack([-a, d], axis=-1)],
+        axis=-2,
+    )  # (n, 2, 2)
+
+    def combine(x, y):
+        prod = y @ x  # apply x first, then y
+        scale = jnp.max(jnp.abs(prod), axis=(-2, -1), keepdims=True)
+        return prod / jnp.maximum(scale, jnp.finfo(prod.dtype).tiny)
+
+    p = lax.associative_scan(combine, m, axis=0)
+    cp = p[:, 0, 1] / p[:, 1, 1]  # acting on [cp_{-1}=0, 1]
+
+    cp_prev = jnp.concatenate([jnp.zeros((1,), cp.dtype), cp[:-1]])
+    denom = (d - a * cp_prev)[:, None]
+
+    # dp_i = (b_i - a_i dp_{i-1}) / denom_i: affine in dp_{i-1}.
+    dp = _affine_scan(jnp.broadcast_to((-a)[:, None] / denom, b.shape),
+                      b / denom)
+
+    # back-substitution x_i = dp_i - cp_i x_{i+1}: affine, reversed.
+    x = _affine_scan(jnp.broadcast_to(-cp[:, None], b.shape), dp,
+                     reverse=True)
+    return x[:, 0] if squeeze else x
+
+
+def solve_tridiag(dl, d, du, b, method: str = "auto"):
+    """Solve a tridiagonal system A x = b.
 
     Args:
         dl: (n,) sub-diagonal, dl[0] unused.
         d: (n,) main diagonal.
         du: (n,) super-diagonal, du[-1] unused.
         b: (n,) or (n, k) right-hand side(s).
+        method: 'thomas' (sequential lax.scan — exact, but each scan step
+            costs ~1 us on TPU, so an ng=600 solve inside a Newton loop
+            dominates the whole engine step), 'pscan' (the same recurrences
+            evaluated with O(log n)-depth ``lax.associative_scan``: the
+            cp recurrence is a Moebius transform composed as normalized
+            projective 2x2 products; the dp and back-substitution
+            recurrences are affine compositions), or 'auto' (pscan on TPU).
 
     Returns:
         x with the same shape as b.
     """
+    if method == "auto":
+        method = "pscan" if jax.default_backend() == "tpu" else "thomas"
+    if method == "pscan":
+        return _solve_tridiag_pscan(dl, d, du, b)
     squeeze = b.ndim == 1
     if squeeze:
         b = b[:, None]

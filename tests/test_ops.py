@@ -218,3 +218,32 @@ def test_boltzmann_dirichlet_converges_on_sheath_profile():
     assert phi[0] == pytest.approx(0.0, abs=1e-6) or phi[-1] == pytest.approx(0.0, abs=1e-6)
     # symmetric problem -> symmetric potential
     np.testing.assert_allclose(phi, phi[::-1], rtol=1e-3, atol=1e-6 * phi.max())
+
+
+def test_pscan_tridiag_matches_thomas():
+    """The O(log n) associative-scan tridiagonal path (TPU default) matches
+    the sequential Thomas path, including f32 at Boltzmann-Jacobian scales."""
+    rng = np.random.default_rng(4)
+    for n in (97, 600):
+        dl = rng.normal(size=n)
+        d = rng.normal(size=n) + 5.0
+        du = rng.normal(size=n)
+        a = np.diag(d) + np.diag(dl[1:], -1) + np.diag(du[:-1], 1)
+        b = rng.normal(size=n)
+        x = np.asarray(solve_tridiag(
+            jnp.asarray(dl), jnp.asarray(d), jnp.asarray(du), jnp.asarray(b),
+            method="pscan"))
+        np.testing.assert_allclose(a @ x, b, atol=1e-9)
+    # float32 with a large negative diagonal (Newton-Boltzmann regime)
+    n = 600
+    dl = np.ones(n)
+    du = np.ones(n)
+    d = -2.0 - 1e8 * np.abs(rng.normal(size=n))
+    b = rng.normal(size=n) * 1e8
+    a = np.diag(d) + np.diag(dl[1:], -1) + np.diag(du[:-1], 1)
+    x32 = np.asarray(solve_tridiag(
+        jnp.asarray(dl, jnp.float32), jnp.asarray(d, jnp.float32),
+        jnp.asarray(du, jnp.float32), jnp.asarray(b, jnp.float32),
+        method="pscan"))
+    xref = np.linalg.solve(a, b)
+    assert np.abs(x32 - xref).max() / np.abs(xref).max() < 1e-5
