@@ -83,7 +83,11 @@ def gather(field, p, *, periodic: bool, method: str = "auto"):
     """
     if method == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        method = "pallas" if (on_tpu and p.shape[0] >= 8192) else "take"
+        method = (
+            "pallas"
+            if (on_tpu and p.shape[0] >= 8192 and field.shape[0] <= 100_000)
+            else "take"
+        )
     if method == "pallas":
         from .pallas_cic import gather_pallas
 
@@ -183,7 +187,14 @@ def deposit(
     """
     if method == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        method = "pallas" if (on_tpu and p.shape[0] >= 8192) else "scatter"
+        # the Pallas tent kernel keeps a (width, ng/stride) accumulator and
+        # window view in VMEM — fine through ng ~ 1e5; beyond that fall back
+        # to the XLA matmul formulation (domain decomposition is the real
+        # answer for huge grids, pypic_tpu.parallel.domain)
+        method = (
+            "pallas" if (on_tpu and p.shape[0] >= 8192 and ng <= 100_000)
+            else ("matmul" if on_tpu and p.shape[0] >= 8192 else "scatter")
+        )
     if method == "scatter":
         return _deposit_scatter(p, values, ng, periodic)
     if method == "matmul":

@@ -129,3 +129,22 @@ def test_cli_end_to_end(tmp_path):
     rows = [json.loads(line) for line in open(os.path.join(outdir, "metrics.jsonl"))]
     assert len(rows) == 4  # 40 steps thinned by 10
     assert os.path.exists(os.path.join(outdir, "checkpoints", "state_0000000020.npz"))
+
+
+def test_bench_contract(tmp_path):
+    """bench.py prints exactly one JSON line with the driver's schema."""
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.argv=['bench.py','--particles','20000','--steps','2'];"
+        "import runpy; runpy.run_path('bench.py', run_name='__main__')"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    lines = [l for l in res.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1, res.stdout
+    row = json.loads(lines[0])
+    assert set(row) == {"metric", "value", "unit", "vs_baseline"}
+    assert row["value"] > 0 and row["vs_baseline"] == row["value"] / 1e9
