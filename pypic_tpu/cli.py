@@ -59,6 +59,13 @@ def _cmd_run(args):
             return run_thinned(step, state, steps, args.plot_every)
         return run(step, state, steps)
 
+    if args.profile:
+        # jax.profiler trace for TensorBoard/Perfetto (SURVEY.md §5: the
+        # reference's only tracing is a wall-clock timer, run_pypic.py:13-17)
+        profile_dir = os.path.join(outdir, "profile")
+        jax.profiler.start_trace(profile_dir)
+        print(f"profiling to {profile_dir}", file=sys.stderr)
+
     t0 = time.time()
     if mgr is not None and args.steps > mgr.every:
         # chunk the scan so periodic checkpoints hit disk mid-run
@@ -76,6 +83,8 @@ def _cmd_run(args):
     else:
         final, metrics = _run_span(state, args.steps)
     jax.block_until_ready(jax.tree.leaves(metrics)[0])
+    if args.profile:
+        jax.profiler.stop_trace()
     elapsed = time.time() - t0
     # wall-clock timing file (run_pypic.py:16-17)
     with open(os.path.join(outdir, "time.out"), "w") as f:
@@ -159,6 +168,8 @@ def main(argv=None):
     rp.add_argument("--resume", action="store_true")
     rp.add_argument("--clean", action="store_true",
                     help="clear outdir first (run_pypic.py:8-10)")
+    rp.add_argument("--profile", action="store_true",
+                    help="write a jax.profiler trace to outdir/profile")
     rp.set_defaults(fn=_cmd_run)
 
     args = ap.parse_args(argv)

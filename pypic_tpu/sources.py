@@ -64,3 +64,38 @@ def sample_flux_6d(key, n: int, grid: GridSpec, ti: float, mass: float,
     v_x = jnp.where(pert, vx_pert * vth, v_x)
     v = v.at[:, 0].set(v_x)
     return {"x": x, "yz": jnp.zeros((n, 2), dtype), "v": v}
+
+
+def gaussian_distribution(x, mu, sigma):
+    """Normal pdf (pygcpic.py:31-32)."""
+    return (
+        1.0 / jnp.sqrt(2.0 * jnp.pi * sigma**2)
+        * jnp.exp(-((x - mu) ** 2) / (2.0 * sigma**2))
+    )
+
+
+def weighted_gaussian(x, mu, sigma):
+    """Flux-weighted normal pdf |x| g(x) (pygcpic.py:757-758)."""
+    return gaussian_distribution(x, mu, sigma) * jnp.abs(x)
+
+
+def sample_to_fill_distribution(key, ideal_distribution, dist_args, lo, hi,
+                                num_bins, population, sample_size=1):
+    """Deficit-weighted refill sampling (pygcpic.py:19-29): histogram the
+    population, sample new values proportional to the positive part of
+    (ideal pdf - empirical pdf), with uniform jitter of one bin width.
+
+    Vectorized port of the reference's numpy version; returns
+    (sample_size,) draws.
+    """
+    kc, kj = jax.random.split(key)
+    edges = jnp.linspace(lo, hi, num_bins)
+    heights, _ = jnp.histogram(jnp.asarray(population), bins=edges,
+                               density=True)
+    centers = edges[:-1] + (edges[1] - edges[0]) / 2.0
+    ideal = ideal_distribution(centers, *dist_args)
+    difference = jnp.clip(ideal - heights, 0.0, None)
+    logits = jnp.log(difference + 1e-30)
+    idx = jax.random.categorical(kc, logits, shape=(sample_size,))
+    jitter = jax.random.uniform(kj, (sample_size,), minval=-1.0, maxval=1.0)
+    return centers[idx] + jitter * (centers[1] - centers[0])

@@ -167,3 +167,57 @@ def test_charge_density_neutral_mean():
     rho = np.asarray(m.rho[0], np.float64)
     expected_mean = -E_CHARGE * 1e10
     assert np.isclose(rho.mean(), expected_mean, rtol=1e-3)
+
+
+def test_bump_on_tail_growth():
+    """Weak-beam (1/6) bump-on-tail — the regime where the reference's
+    analytic growth formula (pypic.py:433) is actually applicable; the loaded
+    k sits slightly off-resonance (k v_b / wp = 0.84), reducing the measured
+    rate below the on-resonance maximum."""
+    from pypic_tpu import diagnostics
+
+    density = 1e10
+    te = 0.1 * 11600.0
+    debye = np.sqrt(K_BOLTZMANN * te * EPSILON_0 / E_CHARGE**2 / density)
+    grid = GridSpec(64, 30.0 * debye, "periodic")
+    x, v, params = init.initialize_periodic(
+        "bump-on-tail", 100_000, density, 1, 0.05, grid, te, te, seed=6
+    )
+    dt = 0.1 / params.wp
+    cfg = implicit.ImplicitConfig(grid, dt, params.p2c, tol=1e-6, maxiter=40)
+    st = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
+    _, m = run(implicit.make_step(cfg), st, 300)
+    ee = np.asarray(m.field_energy, np.float64)
+    assert ee.max() > 50.0 * ee[:80].min(), "no instability growth"
+    gamma = diagnostics.growth_rate_from_energy(ee, dt)
+    ratio = gamma / params.growth_rate
+    assert 0.4 < ratio < 1.4, f"growth ratio {ratio}"
+
+
+def test_implicit_two_species_composed():
+    """The gen-1 implicit engine mixes electrons and ions through per-particle
+    q/m arrays (PIC_L.py:339); the composed backend supports that and the
+    mixed plasma stays stable and conserves energy."""
+    density = 1e10
+    te = 0.1 * 11600.0
+    debye = np.sqrt(K_BOLTZMANN * te * EPSILON_0 / E_CHARGE**2 / density)
+    grid = GridSpec(64, 15.0 * debye, "periodic")
+    n = 20_000
+    rng = np.random.default_rng(9)
+    x = rng.uniform(0, grid.length, n)
+    m_arr = np.where(np.arange(n) < n // 2, M_ELECTRON, 1836.0 * M_ELECTRON)
+    q_arr = np.where(np.arange(n) < n // 2, -E_CHARGE, E_CHARGE)
+    vth = np.sqrt(K_BOLTZMANN * te / m_arr)
+    v = rng.normal(size=n) * vth
+    p2c = grid.length * density / n
+    dt = 0.1 * np.sqrt(E_CHARGE**2 * density / EPSILON_0 / M_ELECTRON) ** -1
+    cfg = implicit.ImplicitConfig(grid, dt, p2c, tol=1e-8, maxiter=50,
+                                  backend="composed")
+    st = implicit.init_state(x, v, q_arr, m_arr, cfg)
+    _, m = run(implicit.make_step(cfg), st, 500)
+    ee = np.asarray(m.field_energy, np.float64)
+    ke = np.asarray(m.kinetic_energy, np.float64)
+    tot = ee + ke
+    assert np.isfinite(tot).all()
+    drift = abs(tot[-1] - tot[0]) / tot[0]
+    assert drift < 1e-4, f"two-species energy drift {drift}"

@@ -315,3 +315,46 @@ def test_dirichlet_neumann_flux_equilibrium():
     assert phi[-1] > 5.0  # plasma sits positive of the absorbing wall
     # flux cap respected
     assert np.asarray(m.n_reactivated).max() <= 100
+
+
+def test_sample_to_fill_distribution():
+    """pygcpic.py:19-29: refill draws concentrate where the population is
+    deficient relative to the ideal pdf."""
+    key = jax.random.PRNGKey(0)
+    # population missing its right half
+    pop = jnp.abs(jax.random.normal(key, (20_000,))) * -1.0  # all negative
+    draws = sources.sample_to_fill_distribution(
+        jax.random.PRNGKey(1), sources.gaussian_distribution, (0.0, 1.0),
+        -4.0, 4.0, 81, pop, sample_size=5000,
+    )
+    d = np.asarray(draws)
+    assert (d > 0).mean() > 0.95  # refills the missing positive half
+
+
+def test_step_determinism():
+    """Deterministic deposits + threaded PRNG: identical seeds give
+    bit-identical trajectories (the rebuild's structural answer to the
+    reference's numba parallel-scatter race hazard, SURVEY.md §5)."""
+    # sheath engine (carries RNG through thermostat/re-injection)
+    from pypic_tpu import initialize as init2
+    from pypic_tpu.engines import sheath
+    from pypic_tpu.grid import GridSpec as GS
+
+    density = 1e19
+    ng, dt, dx = 31, 1e-12, 1e-5
+    te = ti = 10.0 * EV_TO_K
+    grid = GS(ng, dx * (ng - 1), "dirichlet-dirichlet")
+    d = init2.initialize_sheath(3000, density, 1.0, 0.0, grid, te, ti, seed=3)
+    cfg = sheath.SheathConfig(
+        grid, dt, grid.length * density / 3000,
+        kbte=K_BOLTZMANN * te, kbti=K_BOLTZMANN * ti, gamma=0.05,
+    )
+    outs = []
+    for _ in range(2):
+        st = sheath.init_state(d["x"], d["v"], d["q"], d["m"], d["species"],
+                               cfg, seed=1)
+        fin, m = run(sheath.make_step(cfg), st, 50)
+        outs.append((np.asarray(fin.p), np.asarray(fin.v),
+                     np.asarray(m.field_energy)))
+    for a, b in zip(outs[0], outs[1]):
+        np.testing.assert_array_equal(a, b)
