@@ -15,17 +15,11 @@ from pypic_tpu.engines import bca_driver, magnetized
 
 
 def main(steps=150):
+    # the preset is BCA-ready: capped-source re-activation, capacity
+    # headroom, wall-impact extraction, mid-domain escape removal
     pre = presets.pic_bca_aps(ppc=20)
-    cfg = dataclasses.replace(
-        pre.config, impact_buffer_size=512,
-        reactivate="capped-source", source_n=pre.meta["source_n"],
-    )
-    state = magnetized.init_state(
-        np.asarray(pre.state.p) * pre.config.grid.dx, np.asarray(pre.state.v),
-        np.asarray(pre.state.m), np.asarray(pre.state.charge_state),
-        np.asarray(pre.state.p2c), np.asarray(pre.state.species_idx),
-        cfg, seed=1, capacity=int(pre.meta["source_n"] * 1.5),
-    )
+    cfg = pre.config
+    state = pre.state
     model_sw = bca.BinaryCollisionModel(seed=1)  # H -> B wall
     model_ww = bca.BinaryCollisionModel(incident_m_amu=10.81, incident_z=5,
                                         seed=2)  # B self-sputtering

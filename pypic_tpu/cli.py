@@ -54,8 +54,8 @@ def _cmd_run(args):
             state, manifest = mgr.restore(state)
             print(f"resumed from step {manifest['step']}", file=sys.stderr)
 
-    def _run_span(state, steps):
-        if args.plot_every and steps % args.plot_every == 0:
+    def _run_span(state, steps, thin):
+        if thin:
             return run_thinned(step, state, steps, args.plot_every)
         return run(step, state, steps)
 
@@ -69,19 +69,34 @@ def _cmd_run(args):
     t0 = time.time()
     if mgr is not None and args.steps > mgr.every:
         # chunk the scan so periodic checkpoints hit disk mid-run
-        # (reference cadence: every 100 steps, pygcpic.py:1627-1632)
+        # (reference cadence: every 100 steps, pygcpic.py:1627-1632).
+        # Thinning must be uniform across every chunk or the metric rows
+        # would mix cadences — disable it (with a warning) unless every
+        # span is divisible by plot_every.
+        spans = []
+        left = args.steps
+        while left > 0:
+            spans.append(min(mgr.every, left))
+            left -= spans[-1]
+        thin = bool(args.plot_every) and all(
+            s % args.plot_every == 0 for s in spans
+        )
+        if args.plot_every and not thin:
+            print("plot-every incompatible with checkpoint chunking "
+                  "(span not divisible); keeping full-cadence metrics",
+                  file=sys.stderr)
         final = state
         chunks = []
         done = 0
-        while done < args.steps:
-            span = min(mgr.every, args.steps - done)
-            final, m = _run_span(final, span)
+        for span in spans:
+            final, m = _run_span(final, span, thin)
             chunks.append(m)
             done += span
-            mgr.maybe_save(final, done) if done % mgr.every == 0 else None
+            mgr.maybe_save(final, done)
         metrics = jax.tree.map(lambda *xs: np.concatenate(xs), *chunks)
     else:
-        final, metrics = _run_span(state, args.steps)
+        thin = bool(args.plot_every) and args.steps % args.plot_every == 0
+        final, metrics = _run_span(state, args.steps, thin)
     jax.block_until_ready(jax.tree.leaves(metrics)[0])
     if args.profile:
         jax.profiler.stop_trace()

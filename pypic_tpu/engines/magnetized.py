@@ -100,6 +100,11 @@ class MagnetizedConfig:
     # the fixed-shape form of the reference's energies_*/angles_* lists
     # (pygcpic.py:1516-1527).
     impact_buffer_size: int = 0
+    # pic_bca_aps deactivates wall-born (BCA-product) particles that escape
+    # the sheath into the mid-domain region length/2 +/- length/8,
+    # accumulating their energy-angle distribution separately
+    # (pygcpic.py:1529-1541, iead_out_* at 1426-1427).
+    bca_escape: bool = False
     # The reference's eta = exp(phi/Te/11600) divides by Te *in Kelvin* and
     # then by 11600 again (pygcpic.py:890, 895), i.e. eta ~ 1 everywhere —
     # and that near-unity eta is precisely what keeps its adaptive-n0
@@ -135,6 +140,7 @@ class MagnetizedState(struct.PyTreeNode):
     added: jax.Array  # () particle-creation ledger (pygcpic.py:1111-1117)
     rng: jax.Array
     iead: jax.Array  # (S, ne, na) wall-impact histograms per species
+    iead_out: jax.Array  # (S, ne, na) sheath-escape histograms (pygcpic.py:1426)
     step: jax.Array  # () int32
 
 
@@ -154,6 +160,7 @@ class StepMetrics(NamedTuple):
     # (side: 0 = left wall, 1 = right) + valid count; zero-size when disabled
     impacts: jax.Array
     n_impacts: jax.Array
+    n_escaped: jax.Array  # BCA products deactivated mid-domain
 
 
 def init_state(
@@ -212,6 +219,7 @@ def init_state(
         added=jnp.asarray(0.0, dtype),
         rng=jax.random.PRNGKey(seed),
         iead=jnp.zeros((s, ne, na), dtype),
+        iead_out=jnp.zeros((s, ne, na), dtype),
         step=jnp.asarray(0, jnp.int32),
     )
 
@@ -233,37 +241,30 @@ def make_inject(cfg: MagnetizedConfig):
     grid = cfg.grid
     dx = grid.dx
 
+    from ..utils import place_rows
+
     @jax.jit
     def inject(state: MagnetizedState, x, yz, v, m, charge_state, p2c,
                species_idx, t, valid):
-        k = x.shape[0]
         n_new = jnp.sum(valid.astype(jnp.int32))
         inactive = state.active != 1
-        rank = jnp.cumsum(inactive.astype(jnp.int32)) - 1
-        take = inactive & (rank < n_new)
-        idx = jnp.clip(rank, 0, k - 1)
-
-        def pick(new, old):
-            gathered = jnp.take(new, idx, axis=0)
-            cond = take
-            if old.ndim > 1:
-                cond = take[:, None]
-            return jnp.where(cond, gathered.astype(old.dtype), old)
-
+        new_fields = [jnp.asarray(x) / dx, jnp.asarray(yz), jnp.asarray(v),
+                      jnp.asarray(m), jnp.asarray(charge_state),
+                      jnp.asarray(p2c), jnp.asarray(species_idx),
+                      jnp.asarray(t)]
+        old_fields = [state.p, state.yz, state.v, state.m, state.charge_state,
+                      state.p2c, state.species_idx, state.t]
+        updated, take, n_injected = place_rows(
+            inactive, new_fields, n_new, old_fields, valid=valid
+        )
+        p_u, yz_u, v_u, m_u, cs_u, p2c_u, sp_u, t_u = updated
         new_state = state.replace(
-            p=pick(jnp.asarray(x) / dx, state.p),
-            yz=pick(jnp.asarray(yz), state.yz),
-            v=pick(jnp.asarray(v), state.v),
-            m=pick(jnp.asarray(m), state.m),
-            charge_state=pick(jnp.asarray(charge_state), state.charge_state),
-            p2c=pick(jnp.asarray(p2c), state.p2c),
-            species_idx=pick(jnp.asarray(species_idx), state.species_idx),
-            t=pick(jnp.asarray(t), state.t),
+            p=p_u, yz=yz_u, v=v_u, m=m_u, charge_state=cs_u, p2c=p2c_u,
+            species_idx=sp_u, t=t_u,
             active=jnp.where(take, 1, state.active),
             at_wall=jnp.where(take, 0, state.at_wall),
             from_wall=jnp.where(take, 1, state.from_wall),
         )
-        n_injected = jnp.sum(take.astype(jnp.int32))
         return new_state, n_injected, n_new - n_injected
 
     return inject
@@ -304,12 +305,22 @@ def make_step(cfg: MagnetizedConfig):
         return lax.cond(state.step == 0, first, later, None)
 
     def _iead_accumulate(iead, state, hit):
-        """Wall-impact energy-angle histogram (pygcpic.py:1239-1262)."""
+        """Wall-impact energy-angle histogram (pygcpic.py:1239-1262).
+
+        Out-of-range impacts are excluded, matching np.histogram2d's range
+        semantics (pygcpic.py:1259: range=[[0, emax], [0, amax]] discards
+        values beyond the range rather than clipping them into edge bins);
+        values exactly at the upper edge land in the last bin, as numpy's do.
+        """
         ne, na = cfg.iead_bins
         v = state.v
         energy_ev = 0.5 * state.m * jnp.sum(v * v, axis=-1) / E_CHARGE
         vyz = jnp.sqrt(v[:, 1] ** 2 + v[:, 2] ** 2)
         angle = jnp.arctan2(vyz, jnp.abs(v[:, 0])) * (180.0 / jnp.pi)
+        in_range = (
+            (energy_ev >= 0.0) & (energy_ev <= cfg.iead_energy_max)
+            & (angle >= 0.0) & (angle <= cfg.iead_angle_max)
+        )
         ei = jnp.clip(
             (energy_ev * (ne / cfg.iead_energy_max)).astype(jnp.int32), 0, ne - 1
         )
@@ -318,7 +329,7 @@ def make_step(cfg: MagnetizedConfig):
         )
         flat = (state.species_idx * (ne * na) + ei * na + ai)
         upd = jnp.zeros((iead.size,), iead.dtype).at[flat].add(
-            jnp.where(hit, 1.0, 0.0)
+            jnp.where(hit & in_range, 1.0, 0.0)
         )
         return iead + upd.reshape(iead.shape)
 
@@ -377,25 +388,38 @@ def make_step(cfg: MagnetizedConfig):
         # of the reference's per-step lists, pygcpic.py:1516-1527).
         cap = cfg.impact_buffer_size
         if cap > 0:
+            from ..utils import pack_rows
+
             energy_ev = 0.5 * state.m * jnp.sum(v1 * v1, axis=-1) / E_CHARGE
             vyz = jnp.sqrt(v1[:, 1] ** 2 + v1[:, 2] ** 2)
             angle = jnp.arctan2(vyz, jnp.abs(v1[:, 0])) * (180.0 / jnp.pi)
             side = (p1 > cells).astype(energy_ev.dtype)
-            rank = jnp.cumsum(hit.astype(jnp.int32)) - 1
-            slot = jnp.where(hit & (rank < cap), rank, cap)
             rows = jnp.stack(
                 [energy_ev, angle, state.species_idx.astype(energy_ev.dtype),
                  side],
                 axis=-1,
             )
-            impacts = jnp.zeros((cap + 1, 4), energy_ev.dtype)
-            impacts = impacts.at[slot].set(
-                jnp.where(hit[:, None], rows, 0.0), mode="drop"
-            )[:cap]
-            n_impacts = jnp.minimum(jnp.sum(hit.astype(jnp.int32)), cap)
+            (impacts,), n_impacts, _ = pack_rows(hit, [rows], cap)
         else:
             impacts = jnp.zeros((0, 4), jnp.float32)
             n_impacts = jnp.asarray(0, jnp.int32)
+
+        # Sheath-escape removal of wall-born particles (pygcpic.py:1529-1541):
+        # from_wall particles reaching length/2 +/- length/8 are deactivated
+        # and recorded in the escape energy-angle histograms.
+        iead_out = state.iead_out
+        n_escaped = jnp.asarray(0, jnp.int32)
+        if cfg.bca_escape:
+            mid_lo = cells / 2.0 - cells / 8.0
+            mid_hi = cells / 2.0 + cells / 8.0
+            escaped = (
+                (active == 1) & (state.from_wall == 1)
+                & (p1 > mid_lo) & (p1 < mid_hi)
+            )
+            active = jnp.where(escaped, 0, active)
+            if cfg.iead_energy_max > 0.0:
+                iead_out = _iead_accumulate(iead_out, state_after_push, escaped)
+            n_escaped = jnp.sum(escaped.astype(jnp.int32))
 
         # MCC ionization (pygcpic.py:1510-1513)
         n_ionized = jnp.asarray(0, jnp.int32)
@@ -480,13 +504,14 @@ def make_step(cfg: MagnetizedConfig):
             phi=phi,
             impacts=impacts,
             n_impacts=n_impacts,
+            n_escaped=n_escaped,
         )
         new_state = state.replace(
             p=p1, yz=yz1, v=v1, m=m_arr, charge_state=charge_state,
             p2c=p2c_arr, species_idx=sp_arr, t=t1, active=active,
             at_wall=at_wall, from_wall=fw, phi=phi,
             n0=n0, p_old=p_old, added=added, rng=key, iead=iead,
-            step=state.step + 1,
+            iead_out=iead_out, step=state.step + 1,
         )
         return new_state, metrics
 

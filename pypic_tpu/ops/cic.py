@@ -55,14 +55,17 @@ def cic_indices_weights(p, num_cells: int, periodic: bool):
     ``idx_l + 1`` is clipped to the last node (where w_r contributions at the
     clip point are zero for in-domain particles).
     """
-    idx_l = jnp.floor(p).astype(jnp.int32)
+    # Clip the cell index BEFORE computing weights so a particle exactly at
+    # the last node (p == num_cells, valid on bounded grids where the wall
+    # check is strict, e.g. pygcpic.py:685 `> grid.length`) lands with full
+    # weight on that node (w_r = 1 toward idx_r) instead of being displaced
+    # one cell left — and stays consistent with the tent-kernel paths.
+    idx_l = jnp.clip(jnp.floor(p).astype(jnp.int32), 0, num_cells - 1)
     w_r = p - idx_l.astype(p.dtype)
     w_l = 1.0 - w_r
     if periodic:
-        idx_l = jnp.clip(idx_l, 0, num_cells - 1)
         idx_r = jnp.where(idx_l + 1 >= num_cells, 0, idx_l + 1)
     else:
-        idx_l = jnp.clip(idx_l, 0, num_cells - 1)
         idx_r = jnp.clip(idx_l + 1, 0, num_cells)
     return idx_l, idx_r, w_l, w_r
 

@@ -25,17 +25,29 @@ from jax.sharding import Mesh, PartitionSpec as P
 shard_map = jax.shard_map
 
 
+# Per-particle field names across the engine state classes. Name-based (not
+# shape-based) so a grid field with ng == n can never be mis-sharded.
+_PARTICLE_FIELDS = frozenset({
+    "p", "v", "q", "m", "yz", "charge_state", "p2c", "species", "species_idx",
+    "t", "status", "active", "at_wall", "from_wall", "alive",
+})
+
+
 def _state_specs(state, axis: str):
-    """PartitionSpec pytree: (n,)-leading particle arrays sharded, everything
+    """PartitionSpec pytree: named per-particle arrays sharded, everything
     else (fields, scalars, counters) replicated."""
     n = state.p.shape[0]
-
-    def spec(leaf):
-        if hasattr(leaf, "shape") and leaf.ndim >= 1 and leaf.shape[0] == n:
-            return P(axis)
-        return P()
-
-    return jax.tree.map(spec, state)
+    specs = {}
+    for name in state.__dataclass_fields__:
+        leaf = getattr(state, name)
+        shard = (
+            name in _PARTICLE_FIELDS
+            and hasattr(leaf, "ndim")
+            and leaf.ndim >= 1
+            and leaf.shape[0] == n
+        )
+        specs[name] = P(axis) if shard else P()
+    return type(state)(**specs)
 
 
 def shard_state(state, mesh: Mesh, axis: str = "particles"):

@@ -146,35 +146,24 @@ def make_step(cfg: DomainConfig, mesh: Mesh):
     perm_r = [(i, (i + 1) % d_tot) for i in range(d_tot)]
     perm_l = [(i, (i - 1) % d_tot) for i in range(d_tot)]
 
+    from ..utils import pack_rows, place_rows
+
     def _send(mask, fields, perm):
         """Pack up to cap_mig masked rows, ppermute them with a valid count."""
-        rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
-        slot = jnp.where(mask & (rank < cap_mig), rank, cap_mig)
-        bufs = []
-        for f in fields:
-            buf = jnp.zeros((cap_mig + 1,), f.dtype).at[slot].set(
-                jnp.where(mask, f, 0), mode="drop"
-            )[:cap_mig]
-            bufs.append(buf)
-        n_valid = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), cap_mig)
+        bufs, n_valid, overflow = pack_rows(mask, fields, cap_mig)
         out = lax.ppermute(jnp.concatenate(
             [b.astype(jnp.float32) for b in bufs]
             + [jnp.full((1,), n_valid, jnp.float32)]
         ), ax, perm)
         recv_bufs = [out[i * cap_mig:(i + 1) * cap_mig] for i in range(len(fields))]
         recv_n = out[-1].astype(jnp.int32)
-        overflow = jnp.sum(mask.astype(jnp.int32)) - n_valid
         return recv_bufs, recv_n, overflow
 
     def _place(p, v, alive, recv_p, recv_v, recv_n):
-        free = ~alive
-        rank = jnp.cumsum(free.astype(jnp.int32)) - 1
-        take = free & (rank < recv_n)
-        idx = jnp.clip(rank, 0, cap_mig - 1)
-        p = jnp.where(take, jnp.take(recv_p, idx), p)
-        v = jnp.where(take, jnp.take(recv_v, idx), v)
+        (p, v), take, placed = place_rows(
+            ~alive, [recv_p, recv_v], recv_n, [p, v]
+        )
         alive = alive | take
-        placed = jnp.sum(take.astype(jnp.int32))
         return p, v, alive, recv_n - placed  # dropped if no free slots
 
     def local_step(state: DomainState):

@@ -198,11 +198,15 @@ def pic_iead(n_per_species: int = 1000, ng: int = 600, seed: int = 1) -> Preset:
                   dict(floating_potential=phi_f))
 
 
-def pic_bca_aps(ppc: int = 200, seed: int = 1) -> Preset:
+def pic_bca_aps(ppc: int = 200, seed: int = 1,
+                capacity_factor: float = 1.5) -> Preset:
     """pygcpic.py:1307-1344: H plasma vs B wall, density 1e19, 3 nodes/LD x
     200 LD (ng = 600), dt 8e-11, Ti 10 eV / Te 50 eV, B = 2 T at 86 deg,
-    smooth_rho on, ionization on, capped-source re-activation handled by the
-    BCA driver (pypic_tpu.bca)."""
+    smooth_rho on, ionization on, capped-source re-activation holding the
+    ionized H population at source_N (pygcpic.py:1543-1549), mid-domain
+    escape removal of wall-born particles (pygcpic.py:1529-1541), wall-impact
+    extraction + capacity headroom for the BCA products injected by
+    engines.bca_driver.run_bca."""
     density = 1e19
     ti, te = 10.0 * EV_TO_K, 50.0 * EV_TO_K
     ld = _debye(te, density)
@@ -225,11 +229,13 @@ def pic_bca_aps(ppc: int = 200, seed: int = 1) -> Preset:
     )
     cfg = magnetized.MagnetizedConfig(
         grid, dt, te, b=b, species_z=(1, 5), smooth_rho=True,
-        ionization=True, reactivate="source", source=src,
+        ionization=True, reactivate="capped-source", source=src, source_n=n,
         iead_energy_max=300.0, iead_bins=(40, 30),  # pygcpic.py:1422-1423
+        impact_buffer_size=1024, bca_escape=True,
     )
     st = magnetized.init_state(
-        x, v, M_PROTON, 1.0, p2c, 0, cfg, seed=seed
+        x, v, M_PROTON, 1.0, p2c, 0, cfg, seed=seed,
+        capacity=int(n * capacity_factor),
     )
     return Preset("pic_bca_aps", magnetized, cfg, st,
                   dict(source_n=n, wall_z=5, source_z=1))

@@ -59,18 +59,9 @@ def test_particles_from_energy_angle():
 
 
 def _bca_setup(ppc=10, headroom=1.5):
-    pre = presets.pic_bca_aps(ppc=ppc)
-    cfg = dataclasses.replace(
-        pre.config, impact_buffer_size=256,
-        reactivate="capped-source", source_n=pre.meta["source_n"],
-    )
-    st = magnetized.init_state(
-        np.asarray(pre.state.p) * pre.config.grid.dx, np.asarray(pre.state.v),
-        np.asarray(pre.state.m), np.asarray(pre.state.charge_state),
-        np.asarray(pre.state.p2c), np.asarray(pre.state.species_idx),
-        cfg, seed=1, capacity=int(pre.meta["source_n"] * headroom),
-    )
-    return cfg, st, pre
+    # the preset ships BCA-ready (capped-source + headroom + impact buffer)
+    pre = presets.pic_bca_aps(ppc=ppc, capacity_factor=headroom)
+    return pre.config, pre.state, pre
 
 
 def test_inject_claims_free_slots():
@@ -99,6 +90,9 @@ def test_inject_claims_free_slots():
 
 def test_inject_drops_overflow():
     cfg, st, pre = _bca_setup(ppc=5, headroom=1.0)  # zero free slots
+    # fill every slot first so no free slot exists (capped-source would
+    # otherwise refill them only next step)
+    st = st.replace(active=jnp.ones_like(st.active))
     inject = magnetized.make_inject(cfg)
     k = 4
     _, n_inj, n_drop = inject(
@@ -125,6 +119,7 @@ def test_bca_driver_full_chain():
     assert stats.source_incident > 100
     assert stats.sputtered > 0 and stats.source_reflected > 0
     assert stats.injected > 0 and stats.dropped == 0
+    assert stats.source_incident > 0
     act = np.asarray(fin.active) == 1
     assert (np.asarray(fin.from_wall)[act] == 1).sum() > 0
     boron_alive = (np.asarray(fin.species_idx)[act] == 1).sum()
@@ -140,3 +135,44 @@ def test_bca_driver_full_chain():
         ).sum()
     )
     assert n_h == pre.meta["source_n"]
+
+
+def test_bca_escape_region_deactivates_wall_born():
+    """pygcpic.py:1529-1541: from_wall particles reaching length/2 +/-
+    length/8 are deactivated and recorded in the escape IEAD."""
+    cfg, st, pre = _bca_setup(ppc=5)
+    # plant a wall-born particle mid-domain, moving slowly (stays in region)
+    mid = cfg.grid.num_cells / 2.0
+    st = st.replace(
+        p=st.p.at[0].set(mid),
+        v=st.v.at[0].set(jnp.asarray([1.0, 0.0, 0.0])),
+        from_wall=st.from_wall.at[0].set(1),
+        charge_state=st.charge_state.at[0].set(0.0),  # neutral: no cap refill
+    )
+    step = magnetized.make_step(cfg)
+    st2, m = step(st)
+    assert int(m.n_escaped) >= 1
+    # the escaped particle is gone: its slot is either free or already
+    # recycled by the capped-source refill as a fresh (from_wall=0) H ion
+    assert int(st2.active[0]) == 0 or int(st2.from_wall[0]) == 0
+    assert float(jnp.sum(st2.iead_out)) >= 1.0
+
+
+def test_iead_excludes_out_of_range_impacts():
+    """np.histogram2d range semantics (pygcpic.py:1259): impacts beyond
+    iead_energy_max are discarded, not clipped into the top bin."""
+    cfg, st, pre = _bca_setup(ppc=5)
+    # launch one particle through the wall at huge energy (>> 300 eV max)
+    v_huge = 5e6  # ~130 keV for H
+    st = st.replace(
+        p=st.p.at[0].set(0.5),
+        v=st.v.at[0].set(jnp.asarray([-v_huge, 0.0, 0.0])),
+    )
+    step = magnetized.make_step(cfg)
+    st2, m = step(st)
+    # it hit the wall but the IEAD total only counts in-range impacts
+    iead = np.asarray(st2.iead)
+    n_in_range = iead.sum()
+    assert int(m.n_hit_wall) >= 1
+    # top energy bin not inflated by the out-of-range impact
+    assert iead[0, -1, :].sum() == 0.0

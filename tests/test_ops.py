@@ -247,3 +247,26 @@ def test_pscan_tridiag_matches_thomas():
         method="pscan"))
     xref = np.linalg.solve(a, b)
     assert np.abs(x32 - xref).max() / np.abs(xref).max() < 1e-5
+
+
+def test_bounded_cic_particle_exactly_at_last_node():
+    """A particle exactly at the last node (p == num_cells, valid on bounded
+    grids where the wall check is strict) deposits with full weight on that
+    node on every backend — the scatter path used to displace it one cell
+    left (weights computed before index clipping)."""
+    ng = 200
+    p = jnp.asarray([199.0])
+    val = jnp.asarray([1.0])
+    for method in ("scatter", "matmul"):
+        out = np.asarray(deposit(p, val, ng, periodic=False, method=method))
+        assert np.isclose(out[199], 1.0), method
+        assert np.isclose(out.sum(), 1.0), method
+    from pypic_tpu.ops.pallas_cic import deposit_pallas, gather_pallas
+
+    out = np.asarray(deposit_pallas(p.astype(jnp.float32),
+                                    val.astype(jnp.float32), ng,
+                                    periodic=False))
+    assert np.isclose(out[199], 1.0)
+    f = jnp.arange(ng, dtype=jnp.float64)
+    g = np.asarray(gather(f, p, periodic=False, method="take"))
+    assert np.isclose(g[0], 199.0)
