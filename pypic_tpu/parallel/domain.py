@@ -199,12 +199,15 @@ def make_step(cfg: DomainConfig, mesh: Mesh):
         p1 = jnp.where(alive, p1, 0.0)
         v1 = jnp.where(alive, v1, 0.0)
 
-        # --- migration to neighbor slabs
+        # --- migration to neighbor slabs. Predicates must be mutually
+        # exclusive: with 1 or 2 shards the right and left neighbours
+        # coincide (with d itself at D=1), and overlapping masks would
+        # duplicate particles into both buckets.
         cell = jnp.clip(jnp.floor(p1).astype(jnp.int32), 0, ng - 1)
         dest = cell // c
         stay = alive & (dest == d)
-        go_r = alive & (dest == (d + 1) % d_tot)
-        go_l = alive & (dest == (d - 1) % d_tot)
+        go_r = alive & ~stay & (dest == (d + 1) % d_tot)
+        go_l = alive & ~stay & ~go_r & (dest == (d - 1) % d_tot)
         too_far = alive & ~(stay | go_r | go_l)
 
         (recv_p_r, recv_v_r), n_r, ovf_r = _send(go_r, (p1, v1), perm_r)

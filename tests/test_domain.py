@@ -74,3 +74,21 @@ def test_domain_init_rejects_bad_shard_count(problem):
     grid, x, v, params = problem
     with pytest.raises(ValueError, match="divisible"):
         domain.DomainConfig(grid, 1e-9, params.p2c, num_shards=7)
+
+
+@pytest.mark.parametrize("num_shards", [1, 2])
+def test_domain_small_shard_counts(problem, num_shards):
+    """With 1 or 2 shards the left/right neighbours coincide (with the shard
+    itself at D=1): migration predicates must stay exclusive or particles
+    duplicate into both buckets (regression)."""
+    grid, x, v, params = problem
+    dt = 0.1 / params.wp
+    mesh = make_mesh(num_shards, axis="slabs")
+    dcfg = domain.DomainConfig(grid, dt, params.p2c, num_shards=num_shards,
+                               migrate_cap=4096)
+    dst = domain.shard_state(
+        domain.init_state(x, v, -E_CHARGE, M_ELECTRON, dcfg), mesh, dcfg
+    )
+    _, m = run(domain.make_step(dcfg, mesh), dst, 20)
+    assert (np.asarray(m.n_alive) == 16_000).all()
+    assert np.asarray(m.n_dropped).sum() == 0
