@@ -70,3 +70,23 @@ def test_graft_entry_contract():
     assert np.isfinite(float(metrics.field_energy))
 
     ge.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_fresh_process():
+    """Regression for MULTICHIP_r01.json: the driver invokes the entry in a
+    fresh process with NO XLA_FLAGS and only the real backend visible —
+    dryrun_multichip must self-configure the virtual device mesh rather than
+    rely on conftest's environment."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as ge; ge.dryrun_multichip(8); print('OK')"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "OK" in proc.stdout
