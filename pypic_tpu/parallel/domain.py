@@ -1,31 +1,37 @@
 """Spatial domain decomposition: slab-sharded grid + particle migration.
 
 The capability BASELINE.json configs[4] adds over the reference (which is
-single-process, SURVEY.md §2.6): the 1D periodic domain is split into one
-slab of ``cells_per_shard`` cells per device;
+single-process, SURVEY.md §2.6): the 1D domain is split into one slab of
+``cells_per_shard`` cells per device;
 
-* each device **deposits only onto its own slab** (+ one halo node per side
-  for the CIC right-neighbor contribution at the slab edge) — the halo nodes
-  ride a ``ppermute`` to the neighbor instead of an O(ng) psum, so grid
-  memory and reduction cost per device stay O(ng/D);
-* the (small) global field is assembled with an ``all_gather`` of the owned
-  slabs and solved replicated — the right call for the reference's grid
-  sizes (Ng 40-800); a distributed solve slot is left for ng >> 1e5;
+* each device **deposits only onto its own slab** plus a halo of
+  ``halo_width`` nodes per side — halo nodes ride ``ppermute`` to the
+  neighbour instead of an O(ng) psum, so grid memory and reduction cost per
+  device stay O(ng/D) (the answer to the reference's tiny-but-growable grids,
+  pypic.py:851 ng=200 .. pygcpic.py:1974 ng=800, at ng >> 1e5);
+* fields are likewise slab-sharded; engines whose field advance is local
+  (the Ampere-law update ``E1 = E0 + dt/eps0 (<jh> - smooth(jh))``,
+  pypic.py:283, PIC_L_DD.py:516) never materialize the global grid — the
+  mean is a psum and the binomial smoother needs a 1-node halo
+  (see ``pypic_tpu.parallel.domain_implicit``);
 * particles live on the device owning their slab; after the push each
-  crossing particle is packed into a fixed-capacity neighbor bucket and
-  ``ppermute``-d left or right, then placed into free slots (fixed-shape
-  ragged all-to-all). Particles that would cross more than one slab per step
-  or overflow a bucket are *counted and dropped* — detected, never silent
-  (SURVEY.md §7 hard part 5); size ``migrate_cap`` and dt accordingly.
+  particle whose destination slab changed is packed into a fixed-capacity
+  neighbour bucket and ``ppermute``-d around the ring, **repeating until no
+  particle is misrouted** (multi-hop routing — a fast tail particle crossing
+  several narrow slabs in one dt is a physics event, not an error). Only
+  bucket-capacity overflow is dropped, and it is *counted*, never silent
+  (SURVEY.md §7 hard part 5); size ``migrate_cap`` accordingly.
 
-The explicit periodic cycle (PIC_L.py:762-768) is the carrier engine; the
-same halo/migration machinery generalizes to the other engines.
+The explicit periodic cycle (PIC_L.py:762-768) is the carrier engine here;
+``domain_implicit`` composes the same machinery with the flagship CN-Picard
+engine (pypic.py:216-300) and ``domain_sheath`` with the bounded
+absorbing-wall engine (PIC_L_DD.py:316-644).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -38,17 +44,18 @@ from ..constants import EPSILON_0
 from ..grid import GridSpec
 from ..ops import deposit, gather, grad_periodic, solve_periodic_neutralized
 from ..push import leapfrog_push
+from ..utils import pack_rows, place_rows
 
 shard_map = jax.shard_map
 
 
 @dataclasses.dataclass(frozen=True)
 class DomainConfig:
-    grid: GridSpec  # global periodic grid; ng must divide by num_shards
+    grid: GridSpec  # global grid; ng must divide by num_shards
     dt: float
     p2c: float
     num_shards: int
-    migrate_cap: int = 4096  # per-direction bucket size per step
+    migrate_cap: int = 4096  # per-direction bucket size per migration round
     axis_name: str = "slabs"
     deposit_method: str = "auto"
 
@@ -63,6 +70,158 @@ class DomainConfig:
     @property
     def cells_per_shard(self) -> int:
         return self.grid.ng // self.num_shards
+
+
+def ring_perms(d_tot: int, periodic: bool = True):
+    """(perm_right, perm_left) source->dest pairs for a 1D shard ring/chain."""
+    if periodic:
+        perm_r = [(i, (i + 1) % d_tot) for i in range(d_tot)]
+        perm_l = [(i, (i - 1) % d_tot) for i in range(d_tot)]
+    else:
+        perm_r = [(i, i + 1) for i in range(d_tot - 1)]
+        perm_l = [(i, i - 1) for i in range(1, d_tot)]
+    return perm_r, perm_l
+
+
+# ---------------------------------------------------------------------------
+# Halo exchange for slab-sharded node fields
+# ---------------------------------------------------------------------------
+
+
+def halo_extend(own, hw: int, ax: str, perm_r, perm_l):
+    """Extend a (c,) owned-slab array with hw halo nodes on the left and
+    hw + 1 on the right, fetched from the ring neighbours.
+
+    Result covers global nodes [lo - hw, lo + c + hw] (c + 2*hw + 1 nodes).
+    Devices without a neighbour (chain perms) get zero halos.
+    """
+    c = own.shape[0]
+    if hw + 1 > c:
+        raise ValueError(f"halo width {hw} too large for {c}-cell slabs")
+    parts = []
+    if hw > 0:
+        parts.append(lax.ppermute(own[-hw:], ax, perm_r))  # from left nbr
+    parts.append(own)
+    parts.append(lax.ppermute(own[: hw + 1], ax, perm_l))  # from right nbr
+    return jnp.concatenate(parts)
+
+
+def halo_fold(ext, c: int, hw: int, ax: str, perm_r, perm_l):
+    """Fold an extended deposit (c + 2*hw + 1 nodes covering
+    [lo - hw, lo + c + hw]) back onto the (c,) owned slab, sending halo
+    contributions to their owning neighbours."""
+    own = ext[hw : hw + c]
+    # My right-halo nodes [lo + c, lo + c + hw] belong to the right
+    # neighbour's own[:hw + 1]; I receive the left neighbour's equivalent.
+    from_left = lax.ppermute(ext[hw + c :], ax, perm_r)
+    own = own.at[: hw + 1].add(from_left)
+    if hw > 0:
+        # My left-halo nodes [lo - hw, lo) belong to the left neighbour's
+        # own[c - hw:]; I receive the right neighbour's equivalent.
+        from_right = lax.ppermute(ext[:hw], ax, perm_l)
+        own = own.at[c - hw :].add(from_right)
+    return own
+
+
+# ---------------------------------------------------------------------------
+# Multi-hop particle migration
+# ---------------------------------------------------------------------------
+
+
+def migrate(
+    fields: Sequence[jax.Array],
+    alive: jax.Array,
+    d: jax.Array,
+    *,
+    ng: int,
+    cells_per_shard: int,
+    num_shards: int,
+    cap: int,
+    ax: str,
+    periodic: bool = True,
+):
+    """Route alive particles to the shard owning their slab.
+
+    ``fields[0]`` must be the position in *global* grid coordinates (already
+    wrapped for periodic domains). Particles move one slab per round along
+    the shortest ring path (or toward their destination on a bounded chain),
+    looping until every particle is on its owner — so a particle legitimately
+    crossing several slabs in one dt survives. Bucket-capacity overflow and
+    full-destination overflow are dropped *with a count* (never silent).
+
+    Returns (fields, alive, n_migrated, n_dropped) with global counts.
+    """
+    c = cells_per_shard
+    d_tot = num_shards
+    perm_r, perm_l = ring_perms(d_tot, periodic)
+
+    def dest_of(p):
+        cell = jnp.clip(jnp.floor(p).astype(jnp.int32), 0, ng - 1)
+        return cell // c
+
+    def misrouted(p, alive):
+        return alive & (dest_of(p) != d)
+
+    def n_remaining(p, alive):
+        return lax.psum(jnp.sum(misrouted(p, alive).astype(jnp.int32)), ax)
+
+    def send(mask, fields, perm):
+        """Pack up to cap masked rows per field and ppermute them."""
+        bufs, n_valid, overflow = pack_rows(mask, fields, cap)
+        recv = [lax.ppermute(b, ax, perm) for b in bufs]
+        recv_n = lax.ppermute(n_valid, ax, perm)
+        return recv, recv_n, overflow
+
+    def place(fields, alive, recv, recv_n):
+        new_fields, take, placed = place_rows(~alive, recv, recv_n, fields)
+        return new_fields, alive | take, recv_n - placed
+
+    def body(carry):
+        fields, alive, _, n_mig, n_drop, k = carry
+        p = fields[0]
+        if periodic:
+            diff = jnp.mod(dest_of(p) - d, d_tot)
+            go_r = alive & (diff >= 1) & (diff <= d_tot // 2)
+            go_l = alive & (diff > d_tot // 2)
+        else:
+            dest = dest_of(p)
+            go_r = alive & (dest > d)
+            go_l = alive & (dest < d)
+
+        recv_r, n_r, ovf_r = send(go_r, fields, perm_r)
+        recv_l, n_l, ovf_l = send(go_l, fields, perm_l)
+        # Senders leave this shard; overflowed senders are the dropped ones.
+        alive = alive & ~(go_r | go_l)
+        fields, alive, short_r = place(fields, alive, recv_r, n_r)
+        fields, alive, short_l = place(fields, alive, recv_l, n_l)
+
+        n_mig = (n_mig + lax.psum(n_r + n_l, ax)).astype(jnp.int32)
+        n_drop = (
+            n_drop + lax.psum(ovf_r + ovf_l + short_r + short_l, ax)
+        ).astype(jnp.int32)
+        return (
+            tuple(fields), alive,
+            n_remaining(fields[0], alive), n_mig, n_drop, k + 1,
+        )
+
+    def cond(carry):
+        _, _, n_rem, _, _, k = carry
+        # Dropped particles leave `alive`, so n_rem strictly decreases;
+        # the k bound is a pure safety net.
+        return (n_rem > 0) & (k < d_tot)
+
+    zero = jnp.asarray(0, jnp.int32)
+    carry = (
+        tuple(fields), alive,
+        n_remaining(fields[0], alive), zero, zero, zero,
+    )
+    fields, alive, _, n_mig, n_drop, _ = lax.while_loop(cond, body, carry)
+    return list(fields), alive, n_mig, n_drop
+
+
+# ---------------------------------------------------------------------------
+# Explicit periodic carrier engine (PIC_L.py:762-768)
+# ---------------------------------------------------------------------------
 
 
 class DomainState(struct.PyTreeNode):
@@ -81,7 +240,34 @@ class StepMetrics(NamedTuple):
     kinetic_energy: jax.Array
     n_alive: jax.Array
     n_migrated: jax.Array  # particles exchanged this step (global)
-    n_dropped: jax.Array  # bucket overflow / multi-slab hops (global)
+    n_dropped: jax.Array  # migration bucket/slot overflow (global)
+
+
+def distribute_by_slab(arrays, x, cfg, capacity_factor: float = 1.5):
+    """Lay out host per-particle arrays as (num_shards, capacity) blocks by
+    slab ownership of position x [m]. Returns (blocks, alive, capacity)."""
+    grid = cfg.grid
+    p = np.asarray(x) / grid.dx
+    cell = np.floor(p).astype(np.int64) % grid.ng
+    owner = np.clip(cell // cfg.cells_per_shard, 0, cfg.num_shards - 1)
+    counts = np.bincount(owner, minlength=cfg.num_shards)
+    capacity = int(np.ceil(counts.max() * capacity_factor))
+    n_s = cfg.num_shards
+    outs = []
+    for a in arrays:
+        a = np.asarray(a)
+        out = np.zeros((n_s, capacity) + a.shape[1:], a.dtype)
+        outs.append(out)
+    alive = np.zeros((n_s, capacity), bool)
+    for dd in range(n_s):
+        sel = owner == dd
+        k = int(sel.sum())
+        if k > capacity:
+            raise ValueError("capacity_factor too small")
+        for a, out in zip(arrays, outs):
+            out[dd, :k] = np.asarray(a)[sel]
+        alive[dd, :k] = True
+    return outs, alive, capacity
 
 
 def init_state(x, v, q, m, cfg: DomainConfig, capacity_factor: float = 1.5):
@@ -91,26 +277,11 @@ def init_state(x, v, q, m, cfg: DomainConfig, capacity_factor: float = 1.5):
     out so that a reshape to (num_shards, capacity) puts each particle on its
     owning shard; feed through ``shard_state`` before stepping.
     """
-    grid = cfg.grid
-    x = np.asarray(x)
-    v = np.asarray(v)
-    p = x / grid.dx
-    cell = np.floor(p).astype(np.int64) % grid.ng
-    owner = cell // cfg.cells_per_shard
-    counts = np.bincount(owner, minlength=cfg.num_shards)
-    capacity = int(np.ceil(counts.max() * capacity_factor))
-    n_s = cfg.num_shards
-    p_out = np.zeros((n_s, capacity), np.float32)
-    v_out = np.zeros((n_s, capacity), np.float32)
-    alive = np.zeros((n_s, capacity), bool)
-    for d in range(n_s):
-        sel = owner == d
-        k = int(sel.sum())
-        if k > capacity:
-            raise ValueError("capacity_factor too small")
-        p_out[d, :k] = p[sel]
-        v_out[d, :k] = v[sel]
-        alive[d, :k] = True
+    p = np.asarray(x) / cfg.grid.dx
+    (p_out, v_out), alive, _ = distribute_by_slab(
+        [p.astype(np.float32), np.asarray(v, np.float32)], x, cfg,
+        capacity_factor,
+    )
     return DomainState(
         p=jnp.asarray(p_out.reshape(-1)),
         v=jnp.asarray(v_out.reshape(-1)),
@@ -121,14 +292,19 @@ def init_state(x, v, q, m, cfg: DomainConfig, capacity_factor: float = 1.5):
     )
 
 
-def shard_state(state: DomainState, mesh: Mesh, cfg: DomainConfig):
-    spec = DomainState(
-        p=P(cfg.axis_name), v=P(cfg.axis_name), alive=P(cfg.axis_name),
-        q=P(), m=P(), step=P(),
-    )
+def shard_state(state, mesh: Mesh, cfg):
+    spec = state_spec(state, cfg.axis_name)
     return jax.tree.map(
         lambda leaf, s: jax.device_put(leaf, jax.sharding.NamedSharding(mesh, s)),
         state, spec,
+    )
+
+
+def state_spec(state, ax: str):
+    """PartitionSpec pytree: per-particle/per-node leaves sharded, scalars
+    replicated."""
+    return jax.tree.map(
+        lambda leaf: P(ax) if jnp.ndim(leaf) >= 1 else P(), state
     )
 
 
@@ -142,29 +318,7 @@ def make_step(cfg: DomainConfig, mesh: Mesh):
     c = cfg.cells_per_shard
     d_tot = cfg.num_shards
     ax = cfg.axis_name
-    cap_mig = cfg.migrate_cap
-    perm_r = [(i, (i + 1) % d_tot) for i in range(d_tot)]
-    perm_l = [(i, (i - 1) % d_tot) for i in range(d_tot)]
-
-    from ..utils import pack_rows, place_rows
-
-    def _send(mask, fields, perm):
-        """Pack up to cap_mig masked rows, ppermute them with a valid count."""
-        bufs, n_valid, overflow = pack_rows(mask, fields, cap_mig)
-        out = lax.ppermute(jnp.concatenate(
-            [b.astype(jnp.float32) for b in bufs]
-            + [jnp.full((1,), n_valid, jnp.float32)]
-        ), ax, perm)
-        recv_bufs = [out[i * cap_mig:(i + 1) * cap_mig] for i in range(len(fields))]
-        recv_n = out[-1].astype(jnp.int32)
-        return recv_bufs, recv_n, overflow
-
-    def _place(p, v, alive, recv_p, recv_v, recv_n):
-        (p, v), take, placed = place_rows(
-            ~alive, [recv_p, recv_v], recv_n, [p, v]
-        )
-        alive = alive | take
-        return p, v, alive, recv_n - placed  # dropped if no free slots
+    perm_r, perm_l = ring_perms(d_tot)
 
     def local_step(state: DomainState):
         d = lax.axis_index(ax)
@@ -172,19 +326,15 @@ def make_step(cfg: DomainConfig, mesh: Mesh):
         qm = state.q / state.m
         w = state.q * (cfg.p2c / dx)
 
-        # --- slab deposit with one halo node (CIC right neighbor at edge)
+        # --- slab deposit with one halo node (CIC right neighbour at edge);
+        # the global wrap for the last shard is the ring ppermute itself.
         lo = d.astype(p.dtype) * c
         p_loc = jnp.where(alive, p - lo, 0.0)
-        # edge case: global wrap for the last shard's right-edge deposits is
-        # handled by the halo ppermute ring itself
         rho_ext = deposit(
             p_loc, jnp.where(alive, w, 0.0), c + 1,
             periodic=False, method=cfg.deposit_method,
         )
-        halo_right = rho_ext[c]
-        rho_own = rho_ext[:c].at[0].add(
-            lax.ppermute(halo_right, ax, perm_r)
-        )
+        rho_own = halo_fold(rho_ext, c, 0, ax, perm_r, perm_l)
 
         # --- replicated global field solve (ng small; all_gather is O(ng))
         rho_full = lax.all_gather(rho_own, ax, tiled=True)
@@ -199,28 +349,11 @@ def make_step(cfg: DomainConfig, mesh: Mesh):
         p1 = jnp.where(alive, p1, 0.0)
         v1 = jnp.where(alive, v1, 0.0)
 
-        # --- migration to neighbor slabs. Predicates must be mutually
-        # exclusive: with 1 or 2 shards the right and left neighbours
-        # coincide (with d itself at D=1), and overlapping masks would
-        # duplicate particles into both buckets.
-        cell = jnp.clip(jnp.floor(p1).astype(jnp.int32), 0, ng - 1)
-        dest = cell // c
-        stay = alive & (dest == d)
-        go_r = alive & ~stay & (dest == (d + 1) % d_tot)
-        go_l = alive & ~stay & ~go_r & (dest == (d - 1) % d_tot)
-        too_far = alive & ~(stay | go_r | go_l)
-
-        (recv_p_r, recv_v_r), n_r, ovf_r = _send(go_r, (p1, v1), perm_r)
-        (recv_p_l, recv_v_l), n_l, ovf_l = _send(go_l, (p1, v1), perm_l)
-
-        alive1 = stay
-        p2, v2, alive1, drop1 = _place(p1, v1, alive1, recv_p_r, recv_v_r, n_r)
-        p2, v2, alive1, drop2 = _place(p2, v2, alive1, recv_p_l, recv_v_l, n_l)
-
-        n_migrated = lax.psum(n_r + n_l, ax)
-        n_dropped = lax.psum(
-            ovf_r + ovf_l + drop1 + drop2 + jnp.sum(too_far.astype(jnp.int32)),
-            ax,
+        # --- multi-hop migration to owner slabs
+        (p2, v2), alive1, n_migrated, n_dropped = migrate(
+            [p1, v1], alive, d,
+            ng=ng, cells_per_shard=c, num_shards=d_tot,
+            cap=cfg.migrate_cap, ax=ax,
         )
 
         metrics = StepMetrics(
@@ -238,13 +371,13 @@ def make_step(cfg: DomainConfig, mesh: Mesh):
         )
         return new_state, metrics
 
-    state_spec = DomainState(
+    spec = DomainState(
         p=P(ax), v=P(ax), alive=P(ax), q=P(), m=P(), step=P(),
     )
     return shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(state_spec,),
-        out_specs=(state_spec, P()),
+        in_specs=(spec,),
+        out_specs=(spec, P()),
         check_vma=False,
     )
