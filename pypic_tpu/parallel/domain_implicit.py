@@ -1,0 +1,278 @@
+"""Domain-decomposed implicit CN-Picard engine (slab-sharded fields).
+
+Composes the flagship energy-conserving engine (pypic.py:216-300, rebuilt in
+``pypic_tpu.engines.implicit``) with the slab machinery of
+``pypic_tpu.parallel.domain`` — and goes one step further than the explicit
+carrier: **the grid never exists globally**. The Ampere-law field advance
+``E1 = E0 + (dt/eps0)(<jh> - smooth(jh))`` (pypic.py:283) is local up to a
+scalar psum (the mean) and a radius-1 binomial stencil (a 1-node halo), so E
+and j stay slab-sharded through the whole Picard loop:
+
+* per iteration, each shard gathers the smoothed field guess from a
+  halo-extended slab (width ``halo + 2`` nodes, covering the worst-case
+  intra-step particle excursion), runs the Crank-Nicolson update in local
+  slab coordinates, and deposits the half-/full-step currents onto the
+  extended slab, folding halo contributions back to their owners with
+  ``ppermute`` — per-device grid work is O(ng/D + halo), never O(ng);
+* the Picard residual ``||Es - Eh||^2`` (pypic.py:289) and the current mean
+  are psum-reduced scalars, so the ``lax.while_loop`` trip count is
+  replicated across shards by construction;
+* particles whose half-step excursion exceeds ``halo`` cells are clamped to
+  the halo edge for grid operations and **counted** (``n_halo_clamped``) —
+  detected, never silent; size ``halo`` against dt * v_max / dx;
+* after convergence the final positions wrap and multi-hop migrate to their
+  owner slabs (``domain.migrate``).
+
+This is the BASELINE.json configs[4] workload ("domain-decomposed run at
+1e8 particles ... with halo exchange").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..constants import EPSILON_0
+from ..grid import GridSpec
+from ..ops import deposit, gather, grad_periodic, solve_periodic_neutralized
+from .domain import (
+    distribute_by_slab,
+    halo_extend,
+    halo_fold,
+    migrate,
+    ring_perms,
+    shard_state,  # noqa: F401  (re-export: states here shard the same way)
+    state_spec,
+)
+
+shard_map = jax.shard_map
+
+
+@dataclasses.dataclass(frozen=True)
+class DomainImplicitConfig:
+    grid: GridSpec  # periodic; ng must divide by num_shards
+    dt: float
+    p2c: float
+    num_shards: int
+    tol: float = 1e-3  # on ||Es - Eh||^2 (pypic.py:859)
+    maxiter: int = 20  # pypic.py:860
+    halo: int = 4  # max intra-step particle excursion, cells
+    migrate_cap: int = 4096
+    smooth: bool = True  # pypic.py:261,283 (False = gen-1 PIC_L.py variant)
+    axis_name: str = "slabs"
+    deposit_method: str = "auto"
+
+    def __post_init__(self):
+        for f in ("dt", "p2c", "tol"):
+            object.__setattr__(self, f, float(getattr(self, f)))
+        for f in ("maxiter", "halo", "migrate_cap", "num_shards"):
+            object.__setattr__(self, f, int(getattr(self, f)))
+        if self.grid.ng % self.num_shards:
+            raise ValueError(
+                f"ng={self.grid.ng} not divisible by {self.num_shards} shards"
+            )
+        if self.halo + 3 > self.cells_per_shard:
+            raise ValueError(
+                f"halo={self.halo} too large for {self.cells_per_shard}-cell "
+                "slabs (need halo + 3 <= cells_per_shard)"
+            )
+
+    @property
+    def cells_per_shard(self) -> int:
+        return self.grid.ng // self.num_shards
+
+
+class DomainImplicitState(struct.PyTreeNode):
+    p: jax.Array  # (S*capacity,) global grid coords, sharded
+    v: jax.Array  # (S*capacity,) [m/s], sharded
+    alive: jax.Array  # (S*capacity,) bool, sharded
+    q: jax.Array  # () [C]
+    m: jax.Array  # () [kg]
+    e: jax.Array  # (ng,) [V/m], slab-sharded
+    j: jax.Array  # (ng,) [A/m^2], slab-sharded
+    step: jax.Array  # () int32
+
+
+class StepMetrics(NamedTuple):
+    field_energy: jax.Array
+    kinetic_energy: jax.Array
+    current_bias: jax.Array
+    picard_iters: jax.Array
+    picard_residual: jax.Array
+    n_alive: jax.Array
+    n_migrated: jax.Array
+    n_dropped: jax.Array
+    n_halo_clamped: jax.Array  # final-iterate excursions beyond the halo
+
+
+def init_state(
+    x, v, q, m, cfg: DomainImplicitConfig, capacity_factor: float = 1.5,
+) -> DomainImplicitState:
+    """Slab-distribute particles; initial Poisson solve for E0 and deposit of
+    j0 on the full grid (pypic.py:549-554), then slab-split — init is host
+    side and O(ng) once."""
+    grid = cfg.grid
+    ng = grid.ng
+    dx = grid.dx
+    p_glob = (jnp.asarray(x) / dx).astype(jnp.float32)
+    v_glob = jnp.asarray(v, jnp.float32)
+    w = float(q) * (cfg.p2c / dx)
+    rho0 = deposit(p_glob, jnp.full_like(p_glob, w), ng, periodic=True,
+                   method="scatter")
+    j0 = deposit(p_glob, w * v_glob, ng, periodic=True, method="scatter")
+    phi0 = solve_periodic_neutralized(rho0, dx)
+    phi0 = phi0 - jnp.max(phi0)
+    e0 = -grad_periodic(phi0, dx)
+
+    (p_out, v_out), alive, _ = distribute_by_slab(
+        [np.asarray(p_glob), np.asarray(v_glob)], x, cfg, capacity_factor
+    )
+    return DomainImplicitState(
+        p=jnp.asarray(p_out.reshape(-1)),
+        v=jnp.asarray(v_out.reshape(-1)),
+        alive=jnp.asarray(alive.reshape(-1)),
+        q=jnp.asarray(q, jnp.float32),
+        m=jnp.asarray(m, jnp.float32),
+        e=e0.astype(jnp.float32),
+        j=j0.astype(jnp.float32),
+        step=jnp.asarray(0, jnp.int32),
+    )
+
+
+def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
+    grid = cfg.grid
+    ng = grid.ng
+    dx = grid.dx
+    dt = cfg.dt
+    dt_dx = dt / dx
+    c = cfg.cells_per_shard
+    d_tot = cfg.num_shards
+    ax = cfg.axis_name
+    h = cfg.halo
+    hw = h + 2  # +1 smoothing stencil, +1 CIC right node
+    ext_n = c + 2 * hw + 1
+    perm_r, perm_l = ring_perms(d_tot)
+
+    def smooth_own(f_own):
+        """Periodic binomial smoother on a slab-sharded field: radius-1
+        stencil via a 1-node halo (equals ops.smooth_periodic globally)."""
+        left = lax.ppermute(f_own[-1:], ax, perm_r)
+        right = lax.ppermute(f_own[:1], ax, perm_l)
+        ext = jnp.concatenate([left, f_own, right])
+        return 0.25 * (ext[:-2] + 2.0 * ext[1:-1] + ext[2:])
+
+    def smooth_valid(ext):
+        """Binomial smooth of an extended slab; valid on the interior, so the
+        result covers [lo - hw + 1, lo + c + hw - 1]."""
+        return 0.25 * (ext[:-2] + 2.0 * ext[1:-1] + ext[2:])
+
+    def clamp_loc(pl):
+        return jnp.clip(pl, -float(h), float(c + h))
+
+    def local_step(state: DomainImplicitState):
+        d = lax.axis_index(ax)
+        lo = d.astype(state.p.dtype) * c
+        alive = state.alive
+        p0l = jnp.where(alive, state.p - lo, 0.0)
+        v0 = jnp.where(alive, state.v, 0.0)
+        e0 = state.e  # (c,) own slab under shard_map
+        qm = state.q / state.m
+        w = jnp.where(alive, state.q * (cfg.p2c / dx), 0.0)
+
+        def slab_deposit(pl, val):
+            ext = deposit(
+                clamp_loc(pl) + hw, val, ext_n,
+                periodic=False, method=cfg.deposit_method,
+            )
+            return halo_fold(ext, c, hw, ax, perm_r, perm_l)
+
+        def cond(carry):
+            _, _, _, _, _, r, k = carry
+            return (r > cfg.tol) & (k < cfg.maxiter)
+
+        def body(carry):
+            es, psl, _, _, _, _, k = carry
+            # Gather the smoothed field guess at the position guess
+            # (pypic.py:261) from the halo-extended slab.
+            e_ext = halo_extend(es, hw, ax, perm_r, perm_l)
+            if cfg.smooth:
+                g_ext, off = smooth_valid(e_ext), hw - 1
+            else:
+                g_ext, off = e_ext, hw
+            e_p = gather(g_ext, clamp_loc(psl) + off, periodic=False)
+            # Crank-Nicolson update in slab coordinates (pypic.py:264-265).
+            accel = qm * e_p
+            p1l = p0l + dt_dx * v0 + (0.5 * dt * dt_dx) * accel
+            v1 = v0 + dt * accel
+            phl = 0.5 * (p0l + p1l)
+            vh = 0.5 * (v0 + v1)
+            jh = slab_deposit(phl, w * vh)
+            j1 = slab_deposit(p1l, w * v1)
+            # Ampere advance (pypic.py:283): the mean is a psum, the smoother
+            # a 1-node halo — no global grid anywhere.
+            j_mean = lax.psum(jnp.sum(jh), ax) / ng
+            e1 = e0 + (dt / EPSILON_0) * (
+                j_mean - (smooth_own(jh) if cfg.smooth else jh)
+            )
+            eh = 0.5 * (e1 + e0)
+            r = lax.psum(jnp.sum((es - eh) ** 2), ax)
+            return eh, phl, (p1l, v1), e1, j1, r, k + 1
+
+        carry0 = (
+            e0, p0l, (p0l, v0), e0, state.j,
+            jnp.asarray(jnp.inf, e0.dtype), jnp.asarray(0, jnp.int32),
+        )
+        _, _, (p1l, v1), e1, j1, r, k = lax.while_loop(cond, body, carry0)
+
+        n_halo_clamped = lax.psum(
+            jnp.sum((alive & ((p1l < -h) | (p1l > c + h))).astype(jnp.int32)),
+            ax,
+        )
+
+        # Wrap to global coordinates and multi-hop migrate to owner slabs.
+        p1 = jnp.where(alive, jnp.mod(p1l + lo, ng), 0.0)
+        v1 = jnp.where(alive, v1, 0.0)
+        (p2, v2), alive1, n_migrated, n_dropped = migrate(
+            [p1, v1], alive, d,
+            ng=ng, cells_per_shard=c, num_shards=d_tot,
+            cap=cfg.migrate_cap, ax=ax,
+        )
+
+        metrics = StepMetrics(
+            field_energy=0.5 * EPSILON_0 * dx * lax.psum(jnp.sum(e1 * e1), ax),
+            kinetic_energy=lax.psum(
+                0.5 * cfg.p2c * state.m
+                * jnp.sum(jnp.where(alive, v1 * v1, 0.0)),
+                ax,
+            ),
+            current_bias=lax.psum(jnp.sum(j1), ax) / ng,
+            picard_iters=k,
+            picard_residual=r,
+            n_alive=lax.psum(jnp.sum(alive1.astype(jnp.int32)), ax),
+            n_migrated=n_migrated,
+            n_dropped=n_dropped,
+            n_halo_clamped=n_halo_clamped,
+        )
+        new_state = state.replace(
+            p=p2, v=v2, alive=alive1, e=e1, j=j1, step=state.step + 1
+        )
+        return new_state, metrics
+
+    spec = DomainImplicitState(
+        p=P(ax), v=P(ax), alive=P(ax), q=P(), m=P(), e=P(ax), j=P(ax),
+        step=P(),
+    )
+    return shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(spec,),
+        out_specs=(spec, P()),
+        check_vma=False,
+    )

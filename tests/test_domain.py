@@ -150,3 +150,45 @@ def test_migrate_multihop_routes_distant_particles():
     surviving = np.sort(np.asarray(t2)[np.asarray(alive2)])
     np.testing.assert_array_equal(surviving, np.arange(d_tot * n_per))
     assert int(n_mig) > 0
+
+
+def test_domain_implicit_matches_single_device(problem):
+    """8-shard slab-sharded CN-Picard == single-device composed implicit
+    (VERDICT round-1 item 2): same Picard envelope, same trajectories to
+    f32 reduction-order tolerance."""
+    from pypic_tpu.engines import implicit
+    from pypic_tpu.parallel import domain_implicit as di
+
+    grid, x, v, params = problem
+    dt = 0.1 / params.wp
+
+    cfg1 = implicit.ImplicitConfig(
+        grid, dt, params.p2c, tol=1e-6, maxiter=40, backend="composed"
+    )
+    st1 = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg1)
+    _, m1 = run(implicit.make_step(cfg1), st1, 50)
+
+    mesh = make_mesh(8, axis="slabs")
+    cfg8 = di.DomainImplicitConfig(
+        grid, dt, params.p2c, num_shards=8, tol=1e-6, maxiter=40,
+        halo=4, migrate_cap=2048,
+    )
+    st8 = di.shard_state(
+        di.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg8), mesh, cfg8
+    )
+    _, m8 = run(di.make_step(cfg8, mesh), st8, 50)
+
+    ee1 = np.asarray(m1.field_energy, np.float64)
+    ee8 = np.asarray(m8.field_energy, np.float64)
+    np.testing.assert_allclose(ee8, ee1, rtol=1e-4)
+    ke1 = np.asarray(m1.kinetic_energy, np.float64)
+    ke8 = np.asarray(m8.kinetic_energy, np.float64)
+    np.testing.assert_allclose(ke8, ke1, rtol=1e-5)
+    assert (np.asarray(m8.n_alive) == 16_000).all()
+    assert np.asarray(m8.n_dropped).sum() == 0
+    assert np.asarray(m8.n_halo_clamped).sum() == 0
+    assert np.asarray(m8.n_migrated).sum() > 0
+    # Picard converges in the same envelope
+    np.testing.assert_array_equal(
+        np.asarray(m8.picard_iters), np.asarray(m1.picard_iters)
+    )
