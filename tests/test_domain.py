@@ -192,3 +192,51 @@ def test_domain_implicit_matches_single_device(problem):
     np.testing.assert_array_equal(
         np.asarray(m8.picard_iters), np.asarray(m1.picard_iters)
     )
+
+
+def test_domain_sheath_floating_potential():
+    """8-shard bounded sheath reproduces the single-device acceptance
+    (tests/test_sheath.py::test_sheath_formation_wall_potential): walls
+    charge several Te/e below the quasi-neutral core (VERDICT item 3)."""
+    from pypic_tpu.constants import K_BOLTZMANN
+    from pypic_tpu.parallel import domain_sheath as ds
+
+    density = 1e19
+    dt = 1e-12
+    dx = 1e-5
+    te = ti = 10.0 * 11600.0
+    ng = 56  # divisible by 8 (reference uses 51, PIC_L_DD.py:325)
+    n = 10_000
+    length = dx * (ng - 1)
+    grid = GridSpec(ng, length, "dirichlet-dirichlet")
+    d = init.initialize_sheath(n, density, 1.0, 0.0, grid, te, ti, seed=3)
+    p2c = length * density / n
+
+    mesh = make_mesh(8, axis="slabs")
+    cfg = ds.DomainSheathConfig(
+        grid, dt, p2c,
+        kbte=K_BOLTZMANN * te, kbti=K_BOLTZMANN * ti,
+        num_shards=8, halo=2, migrate_cap=4096,
+        exit_hist_vmax=3e6, record_exit_after_step=300,
+    )
+    st = ds.shard_state(
+        ds.init_state(d["x"], d["v"], d["q"], d["m"], d["species"], cfg,
+                      seed=1),
+        mesh, cfg,
+    )
+    _, m = run(ds.make_step(cfg, mesh), st, 1500)
+
+    assert np.asarray(m.n_dropped).sum() == 0
+    n_act = np.asarray(m.n_active)
+    lost = np.asarray(m.n_lost_left) + np.asarray(m.n_lost_right)
+    np.testing.assert_array_equal(n_act + lost, n)
+    assert np.asarray(m.n_migrated).sum() > 0
+
+    phi = np.asarray(m.phi, np.float64)[-300:].mean(axis=0)
+    te_volts = te * K_BOLTZMANN / E_CHARGE  # 10 V
+    drop_l = phi[0] - phi.max()
+    drop_r = phi[-1] - phi.max()
+    assert drop_l < -0.5 * te_volts, f"left wall drop {drop_l}"
+    assert drop_r < -0.5 * te_volts, f"right wall drop {drop_r}"
+    assert drop_l > -4.0 * te_volts and drop_r > -4.0 * te_volts
+    assert np.argmax(phi) not in (0, len(phi) - 1)
