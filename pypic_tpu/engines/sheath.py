@@ -54,6 +54,7 @@ from ..ops import (
     deposit,
     gather,
     grad_neg_bounded,
+    histogram_add,
     integrate_neg_trapz,
 )
 
@@ -223,7 +224,9 @@ def make_step(cfg: SheathConfig):
             act = jnp.where(right, LOST_RIGHT, act)
             act = jnp.where(left, LOST_LEFT, act)
 
-            # Exit-velocity histograms (outgoing-positive), per species.
+            # Exit-velocity histograms (outgoing-positive), per species —
+            # as a width-0 tent deposit (ops.histogram_add), not an XLA
+            # scatter: this runs inside the Picard loop, ~17x per step.
             if cfg.exit_hist_vmax > 0.0:
                 vout = jnp.where(right, u0, jnp.where(left, -u0, 0.0))
                 rec = (right | left) & (state.step >= cfg.record_exit_after_step)
@@ -233,13 +236,12 @@ def make_step(cfg: SheathConfig):
                      * (bins / (2.0 * cfg.exit_hist_vmax))).astype(jnp.int32),
                     0, bins - 1,
                 )
-                for s, row in ((1, 0), (2, 1)):
-                    sel = rec & (species == s)
-                    hist = hist.at[row, :].add(
-                        jnp.zeros((bins,), hist.dtype).at[idx].add(
-                            jnp.where(sel, 1.0, 0.0)
-                        )
-                    )
+                flat = jnp.clip(species - 1, 0, 1) * bins + idx
+                upd = histogram_add(
+                    flat, jnp.where(rec, 1.0, 0.0).astype(hist.dtype),
+                    2 * bins, method=cfg.deposit_method,
+                )
+                hist = hist + upd.reshape(2, bins)
 
             jh = _deposit_currents(xh, uh, q, act)
             j1 = _deposit_currents(x1, u1, q, act)

@@ -1,6 +1,6 @@
 """Grid kernels: CIC gather/deposit, finite differences, field solvers."""
 
-from .cic import cic_indices_weights, gather, deposit  # noqa: F401
+from .cic import cic_indices_weights, gather, deposit, histogram_add  # noqa: F401
 from .fd import (  # noqa: F401
     smooth_periodic,
     smooth_bounded,

@@ -161,6 +161,26 @@ def _deposit_matmul(p, values, ng: int, periodic: bool, chunk: int):
     return jnp.zeros((ng,), dtype=dtype).at[g].add(flat)
 
 
+def histogram_add(idx, values, nbins: int, *, method: str = "auto"):
+    """Weighted histogram of integer bin indices — as a CIC deposit.
+
+    A histogram is a width-0 tent deposit: with exactly-integer positions the
+    right-node CIC weight is identically zero, so routing through ``deposit``
+    gets the TPU tent-matmul/Pallas path instead of XLA's serialized scatter
+    (measured 25x at 1e6 values: 8.8 ms scatter vs ~0.35 ms deposit on v5e).
+    Used for the IEAD wall-impact histograms (pygcpic.py:1259-1262) and the
+    exit-velocity histograms (the rebuild's form of PIC_L_DD.py:495-504).
+
+    Args:
+        idx: (n,) int bin indices, already clipped to [0, nbins - 1].
+        values: (n,) weights (0 for masked-out rows).
+        nbins: number of bins.
+    """
+    return deposit(
+        idx.astype(values.dtype), values, nbins, periodic=False, method=method
+    )
+
+
 def deposit(
     p,
     values,

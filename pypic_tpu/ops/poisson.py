@@ -101,7 +101,8 @@ def solve_dirichlet(rho, dx):
     return phi - jnp.min(phi)
 
 
-def solve_boltzmann_dirichlet(rho, n0, te, dx, tol=1e-9, maxiter=1000):
+def solve_boltzmann_dirichlet(rho, n0, te, dx, tol=1e-9, maxiter=1000,
+                              phi0=None):
     """Newton solve of the nonlinear Boltzmann-electron Poisson equation with
     Dirichlet-Dirichlet walls (pygcpic.py:1005-1053).
 
@@ -110,6 +111,10 @@ def solve_boltzmann_dirichlet(rho, n0, te, dx, tol=1e-9, maxiter=1000):
         n0: Boltzmann electron reference density [1/m^3].
         te: electron temperature [K].
         dx: grid spacing [m].
+        phi0: optional warm start (the reference warm-starts its inner
+            bicgstab at the previous phi, pygcpic.py:1046; the converged
+            Newton answer is start-independent within tol, but a previous-step
+            phi roughly halves the iteration count in quasi-steady sheaths).
 
     Returns:
         NewtonResult(phi shifted to min 0, iterations, residual |dphi|^2).
@@ -140,7 +145,7 @@ def solve_boltzmann_dirichlet(rho, n0, te, dx, tol=1e-9, maxiter=1000):
         phi = phi - dphi
         return phi, jnp.dot(dphi, dphi), it + 1
 
-    phi0 = jnp.zeros((ng,), dtype)
+    phi0 = jnp.zeros((ng,), dtype) if phi0 is None else phi0.astype(dtype)
     phi, residual, it = lax.while_loop(
         cond, body, (phi0, jnp.asarray(1.0, dtype), jnp.asarray(0, jnp.int32))
     )

@@ -45,7 +45,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..constants import EPSILON_0
 from ..engines.sheath import ACTIVE, LOST_LEFT, LOST_RIGHT
 from ..grid import GridSpec
-from ..ops import deposit, gather, integrate_neg_trapz
+from ..ops import deposit, gather, histogram_add, integrate_neg_trapz
 from .domain import distribute_by_slab, halo_extend, halo_fold, migrate, ring_perms
 
 shard_map = jax.shard_map
@@ -316,13 +316,12 @@ def make_step(cfg: DomainSheathConfig, mesh: Mesh):
                      * (bins / (2.0 * cfg.exit_hist_vmax))).astype(jnp.int32),
                     0, bins - 1,
                 )
-                for s, row in ((1, 0), (2, 1)):
-                    sel = rec & (species == s)
-                    hist = hist.at[row, :].add(
-                        jnp.zeros((bins,), hist.dtype).at[idx].add(
-                            jnp.where(sel, 1.0, 0.0)
-                        )
-                    )
+                flat = jnp.clip(species - 1, 0, 1) * bins + idx
+                upd = histogram_add(
+                    flat, jnp.where(rec, 1.0, 0.0).astype(hist.dtype),
+                    2 * bins, method=cfg.deposit_method,
+                )
+                hist = hist + upd.reshape(2, bins)
 
             jh = _deposit_currents(xh, uh, act)
             j1 = _deposit_currents(x1, u1, act)

@@ -145,7 +145,7 @@ def test_bca_escape_region_deactivates_wall_born():
     mid = cfg.grid.num_cells / 2.0
     st = st.replace(
         p=st.p.at[0].set(mid),
-        v=st.v.at[0].set(jnp.asarray([1.0, 0.0, 0.0])),
+        v=st.v.at[0].set(jnp.asarray([1.0, 0.0, 0.0], st.v.dtype)),
         from_wall=st.from_wall.at[0].set(1),
         charge_state=st.charge_state.at[0].set(0.0),  # neutral: no cap refill
     )
@@ -166,7 +166,7 @@ def test_iead_excludes_out_of_range_impacts():
     v_huge = 5e6  # ~130 keV for H
     st = st.replace(
         p=st.p.at[0].set(0.5),
-        v=st.v.at[0].set(jnp.asarray([-v_huge, 0.0, 0.0])),
+        v=st.v.at[0].set(jnp.asarray([-v_huge, 0.0, 0.0], st.v.dtype)),
     )
     step = magnetized.make_step(cfg)
     st2, m = step(st)
