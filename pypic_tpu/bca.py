@@ -38,11 +38,46 @@ class BCAInterface(Protocol):
         """-> (sputtered, reflected) arrays of rows [E_eV, ca, cb, cg, m_amu, Z]."""
         ...
 
+    def run_from_iead(self, energy_edges, angle_edges, iead,
+                      num_histories: int = 100
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """Histogram-driven channel (pygcpic.py:1299-1300
+        ``run_tridyn_simulations_from_iead``): consume a 2D (energy, angle)
+        wall-impact histogram instead of per-impact lists — the pic_iead
+        end-of-run post-process path."""
+        ...
+
+
+def _iead_to_impacts(energy_edges, angle_edges, iead):
+    """Expand an (ne, na) count histogram to per-impact bin-center
+    (energies, angles) lists — the from-IEAD channel reconstructs impacts at
+    bin centers (edges as produced by np.histogram2d, pygcpic.py:1259)."""
+    energy_edges = np.asarray(energy_edges, np.float64)
+    angle_edges = np.asarray(angle_edges, np.float64)
+    iead = np.asarray(iead)
+    if energy_edges.size == iead.shape[0]:  # centers given, not edges
+        e_cent = energy_edges
+    else:
+        e_cent = 0.5 * (energy_edges[:-1] + energy_edges[1:])
+    if angle_edges.size == iead.shape[1]:
+        a_cent = angle_edges
+    else:
+        a_cent = 0.5 * (angle_edges[:-1] + angle_edges[1:])
+    counts = np.rint(iead).astype(np.int64)
+    ee, aa = np.meshgrid(e_cent, a_cent, indexing="ij")
+    reps = counts.reshape(-1)
+    return np.repeat(ee.reshape(-1), reps), np.repeat(aa.reshape(-1), reps)
+
 
 class NullBCA:
     """Coupling disabled (pygcpic.py:1767 run_tridyn=False)."""
 
     def run(self, energies_ev, angles_deg, num_histories: int = 100):
+        empty = np.zeros((0, 6))
+        return empty, empty
+
+    def run_from_iead(self, energy_edges, angle_edges, iead,
+                      num_histories: int = 100):
         empty = np.zeros((0, 6))
         return empty, empty
 
@@ -111,6 +146,14 @@ class BinaryCollisionModel:
         )
         return sputtered, reflected
 
+    def run_from_iead(self, energy_edges, angle_edges, iead,
+                      num_histories: int = 100):
+        """Histogram-driven channel: reconstruct per-impact (E, theta) at the
+        bin centers and run the same surface model (the reference's
+        run_tridyn_simulations_from_iead, pygcpic.py:1299-1300)."""
+        e, a = _iead_to_impacts(energy_edges, angle_edges, iead)
+        return self.run(e, a, num_histories=num_histories)
+
 
 class FTridynBCA:
     """The real external F-TRIDYN coupling (pygcpic.py:1389-1390,
@@ -132,6 +175,63 @@ class FTridynBCA:
             np.asarray(sput[::num_histories], np.float64).reshape(-1, 6),
             np.asarray(refl[::num_histories], np.float64).reshape(-1, 6),
         )
+
+    def run_from_iead(self, energy_edges, angle_edges, iead,
+                      num_histories: int = 100):
+        """pic_iead's end-of-run channel (pygcpic.py:1299-1300)."""
+        sput, refl = self._iface.run_tridyn_simulations_from_iead(
+            np.asarray(energy_edges), np.asarray(angle_edges),
+            np.asarray(iead), number_histories=num_histories,
+        )
+        return (
+            np.asarray(sput[::num_histories], np.float64).reshape(-1, 6),
+            np.asarray(refl[::num_histories], np.float64).reshape(-1, 6),
+        )
+
+
+def postprocess_iead(
+    iead, energy_max_ev: float, angle_max_deg: float,
+    model_source_wall: "BCAInterface", model_wall_wall: "BCAInterface",
+    num_histories: int = 100,
+):
+    """pic_iead's end-of-run surface post-process (pygcpic.py:1296-1305):
+    feed the accumulated per-species IEAD histograms through the BCA — the
+    source-species IEAD through the source->wall interface and the
+    wall-species IEAD through wall->wall — and derive the
+    deposited/reflected/sputtered budget the reference prints
+    (pygcpic.py:1301-1305).
+
+    Args:
+        iead: (2, ne, na) histograms — row 0 source species (D), row 1 wall
+            species (B), the layout of MagnetizedState.iead for the pic_iead
+            preset.
+        energy_max_ev / angle_max_deg: histogram ranges (pygcpic.py:1259:
+            range=[[0, 4 phi_f], [0, 90]]).
+
+    Returns:
+        dict with the reference's printed budget plus the raw product rows.
+    """
+    iead = np.asarray(iead)
+    s, ne, na = iead.shape
+    e_edges = np.linspace(0.0, energy_max_ev, ne + 1)
+    a_edges = np.linspace(0.0, angle_max_deg, na + 1)
+    src_s, src_r = model_source_wall.run_from_iead(
+        e_edges, a_edges, iead[0], num_histories=num_histories
+    )
+    wall_s, wall_r = model_wall_wall.run_from_iead(
+        e_edges, a_edges, iead[1], num_histories=num_histories
+    )
+    num_incident_wall = float(iead[1].sum())
+    num_reflected_wall = len(wall_r)
+    return dict(
+        num_incident_source=float(iead[0].sum()),
+        num_incident_wall=num_incident_wall,
+        num_deposited_wall=num_incident_wall - num_reflected_wall,
+        num_reflected_wall=num_reflected_wall,
+        num_sputtered=len(wall_s) + len(src_s),
+        source_sputtered=src_s, source_reflected=src_r,
+        wall_sputtered=wall_s, wall_reflected=wall_r,
+    )
 
 
 def particles_from_energy_angle(

@@ -66,23 +66,48 @@ def _cmd_run(args):
         jax.profiler.start_trace(profile_dir)
         print(f"profiling to {profile_dir}", file=sys.stderr)
 
-    t0 = time.time()
+    # Particle trajectory dump for the offline phase-space replay
+    # (pypic_vpython.py:14 format: "x,v" rows, fixed particles per frame).
+    dump_path = os.path.join(outdir, "particle_output.txt")
+
+    def _dump_frame(st):
+        if not args.dump_particles:
+            return
+        k = args.dump_particles
+        x = np.asarray(st.p)[:k] * preset.config.grid.dx
+        v = np.asarray(st.v)
+        v = (v[:, 0] if v.ndim == 2 else v)[:k]
+        with open(dump_path, "a") as f:
+            np.savetxt(f, np.stack([x, v], axis=-1), delimiter=",")
+
+    # chunk the scan when periodic checkpoints or particle dumps need the
+    # state on host mid-run (reference cadences: checkpoint every 100 steps,
+    # pygcpic.py:1627-1632; per-frame particle writes, pygcpic.py:1440-1447)
+    span_size = 0
     if mgr is not None and args.steps > mgr.every:
-        # chunk the scan so periodic checkpoints hit disk mid-run
-        # (reference cadence: every 100 steps, pygcpic.py:1627-1632).
+        span_size = mgr.every
+    if args.dump_particles and args.dump_every:
+        if span_size and span_size != args.dump_every:
+            print("dump-every follows checkpoint chunking cadence "
+                  f"({span_size})", file=sys.stderr)
+        elif not span_size and args.dump_every < args.steps:
+            span_size = args.dump_every
+
+    t0 = time.time()
+    if span_size:
         # Thinning must be uniform across every chunk or the metric rows
         # would mix cadences — disable it (with a warning) unless every
         # span is divisible by plot_every.
         spans = []
         left = args.steps
         while left > 0:
-            spans.append(min(mgr.every, left))
+            spans.append(min(span_size, left))
             left -= spans[-1]
         thin = bool(args.plot_every) and all(
             s % args.plot_every == 0 for s in spans
         )
         if args.plot_every and not thin:
-            print("plot-every incompatible with checkpoint chunking "
+            print("plot-every incompatible with chunking "
                   "(span not divisible); keeping full-cadence metrics",
                   file=sys.stderr)
         final = state
@@ -92,11 +117,14 @@ def _cmd_run(args):
             final, m = _run_span(final, span, thin)
             chunks.append(m)
             done += span
-            mgr.maybe_save(final, done)
+            if mgr is not None:
+                mgr.maybe_save(final, done)
+            _dump_frame(final)
         metrics = jax.tree.map(lambda *xs: np.concatenate(xs), *chunks)
     else:
         thin = bool(args.plot_every) and args.steps % args.plot_every == 0
         final, metrics = _run_span(state, args.steps, thin)
+        _dump_frame(final)
     jax.block_until_ready(jax.tree.leaves(metrics)[0])
     if args.profile:
         jax.profiler.stop_trace()
@@ -142,6 +170,26 @@ def _cmd_run(args):
             outdir, mdict["field_energy"], np.asarray(current), meta_params
         )
 
+    # pic_iead end-of-run surface post-process (pygcpic.py:1296-1305):
+    # accumulated IEADs through the BCA, budget printed + written as JSON
+    if args.bca_postprocess and hasattr(final, "iead"):
+        from . import bca as bca_mod
+
+        stats = bca_mod.postprocess_iead(
+            np.asarray(final.iead),
+            preset.config.iead_energy_max, preset.config.iead_angle_max,
+            bca_mod.BinaryCollisionModel(incident_m_amu=2.0, incident_z=1),
+            bca_mod.BinaryCollisionModel(incident_m_amu=10.81, incident_z=5),
+        )
+        print(  # the reference's budget line (pygcpic.py:1305)
+            f"num_deposited: {stats['num_deposited_wall']:.0f}, "
+            f"num_sputtered: {stats['num_sputtered']}, "
+            f"{stats['num_reflected_wall']}, "
+            f"{stats['num_incident_wall']:.0f}", file=sys.stderr)
+        with open(os.path.join(outdir, "bca_postprocess.json"), "w") as f:
+            json.dump({k: v for k, v in stats.items()
+                       if np.isscalar(v)}, f, indent=1)
+
     # summary plot for the periodic engines
     if args.plot and hasattr(final, "v") and np.asarray(final.v).ndim == 1:
         params = preset.meta.get("params")
@@ -185,6 +233,15 @@ def main(argv=None):
                     help="clear outdir first (run_pypic.py:8-10)")
     rp.add_argument("--profile", action="store_true",
                     help="write a jax.profiler trace to outdir/profile")
+    rp.add_argument("--dump-particles", type=int, default=0,
+                    help="append (x, v) rows for the first K particles to "
+                         "particle_output.txt for the phase-space replay "
+                         "(pypic_vpython.py format)")
+    rp.add_argument("--dump-every", type=int, default=0,
+                    help="particle-dump cadence in steps (chunks the run)")
+    rp.add_argument("--bca-postprocess", action="store_true",
+                    help="feed the end-of-run IEADs through the surface "
+                         "model (pic_iead post-process, pygcpic.py:1299-1305)")
     rp.set_defaults(fn=_cmd_run)
 
     args = ap.parse_args(argv)

@@ -131,6 +131,17 @@ def convert(directory, prefix, start, stop, skip, outname,
     return outname
 
 
+def load_particle_dump(path, particles_per_frame: int):
+    """Load a comma-delimited (x, v) particle dump (the CLI's
+    ``--dump-particles`` output; format of pypic_vpython.py:14
+    ``np.genfromtxt('particle_output.txt', delimiter=",")``) into per-frame
+    (xs, vs) arrays for ``phase_space_replay`` (frame chunking as
+    pypic_vpython.py:26-31)."""
+    data = np.genfromtxt(path, delimiter=",")
+    data = data.reshape(-1, particles_per_frame, 2)
+    return data[:, :, 0], data[:, :, 1]
+
+
 def phase_space_replay(outname, xs, vs, skip: int = 1, max_particles: int = 5000,
                        duration: float = 0.1):
     """Offline (x, v) phase-space animation of dumped particle data, colored

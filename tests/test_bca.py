@@ -176,3 +176,53 @@ def test_iead_excludes_out_of_range_impacts():
     assert int(m.n_hit_wall) >= 1
     # top energy bin not inflated by the out-of-range impact
     assert iead[0, -1, :].sum() == 0.0
+
+
+def test_run_from_iead_matches_expanded_list():
+    """The histogram-driven channel (pygcpic.py:1299-1300) is the per-impact
+    channel evaluated at bin centers with histogram multiplicities."""
+    model = bca.BinaryCollisionModel(seed=7)
+    ne, na = 4, 3
+    iead = np.zeros((ne, na))
+    iead[3, 0] = 50   # 50 impacts at high energy, normal incidence
+    iead[1, 2] = 20
+    e_edges = np.linspace(0.0, 400.0, ne + 1)
+    a_edges = np.linspace(0.0, 90.0, na + 1)
+    s, r = model.run_from_iead(e_edges, a_edges, iead)
+    s2, r2 = bca.BinaryCollisionModel(seed=7).run(
+        np.concatenate([np.full(50, 350.0), np.full(20, 150.0)]),
+        np.concatenate([np.full(50, 15.0), np.full(20, 75.0)]),
+    )
+    # same RNG seed + same reconstructed impact list -> identical products
+    np.testing.assert_allclose(s, s2)
+    np.testing.assert_allclose(r, r2)
+    # null interface stays empty
+    s0, r0 = bca.NullBCA().run_from_iead(e_edges, a_edges, iead)
+    assert s0.shape == (0, 6) and r0.shape == (0, 6)
+
+
+def test_postprocess_iead_budget():
+    """pic_iead parity: a short magnetized run's accumulated IEADs feed the
+    end-of-run BCA post-process and the deposited/reflected/sputtered budget
+    balances (pygcpic.py:1301-1305)."""
+    from pypic_tpu import presets as presets_mod
+    from pypic_tpu.runner import run as run_steps
+
+    pre = presets_mod.pic_iead(n_per_species=400)
+    step = pre.make_step()
+    fin, _ = run_steps(step, pre.state, 150)
+    iead = np.asarray(fin.iead)
+    assert iead.sum() > 0  # impacts accumulated
+    stats = bca.postprocess_iead(
+        iead, pre.config.iead_energy_max, pre.config.iead_angle_max,
+        bca.BinaryCollisionModel(incident_m_amu=2.0, incident_z=1, seed=1),
+        bca.BinaryCollisionModel(incident_m_amu=10.81, incident_z=5, seed=2),
+    )
+    assert stats["num_incident_source"] == iead[0].sum()
+    assert stats["num_incident_wall"] == iead[1].sum()
+    assert (stats["num_deposited_wall"] + stats["num_reflected_wall"]
+            == stats["num_incident_wall"])
+    assert stats["num_sputtered"] >= 0
+    # product rows honor the row contract
+    for rows in (stats["source_sputtered"], stats["wall_reflected"]):
+        assert rows.ndim == 2 and rows.shape[1] == 6

@@ -148,3 +148,33 @@ def test_bench_contract(tmp_path):
     row = json.loads(lines[0])
     assert set(row) == {"metric", "value", "unit", "vs_baseline"}
     assert row["value"] > 0 and row["vs_baseline"] == row["value"] / 1e9
+
+
+def test_cli_particle_dump_and_bca_postprocess(tmp_path):
+    """--dump-particles feeds the offline replay (pypic_vpython parity) and
+    --bca-postprocess runs the pic_iead end-of-run surface budget."""
+    outdir = str(tmp_path / "plots")
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from pypic_tpu.cli import main;"
+        f"main(['run','pic_iead','--steps','30',"
+        f"'--outdir',r'{outdir}','--clean',"
+        f"'--dump-particles','100','--dump-every','10',"
+        f"'--bca-postprocess'])"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    dump = os.path.join(outdir, "particle_output.txt")
+    assert os.path.exists(dump)
+    xs, vs = viz.load_particle_dump(dump, 100)
+    assert xs.shape == (3, 100)  # 30 steps / dump-every 10
+    out = viz.phase_space_replay(str(tmp_path / "replay.gif"), xs, vs)
+    assert os.path.getsize(out) > 1000
+    pp = os.path.join(outdir, "bca_postprocess.json")
+    assert os.path.exists(pp)
+    stats = json.load(open(pp))
+    assert (stats["num_deposited_wall"] + stats["num_reflected_wall"]
+            == stats["num_incident_wall"])
