@@ -90,3 +90,35 @@ def test_dryrun_multichip_fresh_process():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "OK" in proc.stdout
+
+
+def test_maybe_initialize_distributed_noop_without_env():
+    from pypic_tpu.parallel.mesh import maybe_initialize_distributed
+
+    assert maybe_initialize_distributed() is False
+
+
+def test_maybe_initialize_distributed_single_process():
+    """Env-gated jax.distributed bootstrap actually initializes a (1-process)
+    distributed runtime in a fresh subprocess — the multi-host entry point
+    (SURVEY.md §5); true multi-host needs hardware this machine lacks."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYPIC_COORDINATOR="localhost:12357",
+               PYPIC_NUM_PROCESSES="1", PYPIC_PROCESS_ID="0")
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from pypic_tpu.parallel.mesh import maybe_initialize_distributed;"
+        "assert maybe_initialize_distributed() is True;"
+        "assert jax.process_count() == 1;"
+        "assert maybe_initialize_distributed() is True;"  # idempotent
+        "from pypic_tpu.parallel.mesh import make_mesh;"
+        "m = make_mesh(1); print('DIST OK')"
+    )
+    res = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, env=env, cwd=repo, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "DIST OK" in res.stdout
