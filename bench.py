@@ -1,14 +1,24 @@
 #!/usr/bin/env python
-"""Headline benchmark: particle pushes/sec/chip on the flagship implicit
-engine at the reference's canonical Landau-damping workload scaled to 1e8
-particles (run_pypic.py: pypic.main preset, pypic.py:846-855, at N=1e8
-instead of 1e6).
+"""Benchmarks: particle pushes/sec/chip against the BASELINE.md configs.
 
-Prints ONE JSON line:
+Default (the driver contract) prints ONE JSON line for the headline config —
+the flagship implicit engine at the reference's canonical Landau-damping
+workload (run_pypic.py: pypic.main preset, pypic.py:846-855) scaled to 1e8
+particles:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 vs_baseline is measured pushes/sec divided by the 1e9 north-star target
 (BASELINE.json; the reference publishes no numbers and cannot run in this
 image — it requires numba).
+
+``--all`` additionally runs the full BASELINE.md "configs to report" matrix,
+one JSON line per config:
+  1. two_stream   — explicit engine, ~1e4 particles (configs[0])
+  2. landau       — implicit engine, 1e5 particles (configs[1])
+  3. sheath       — bounded 2-species sheath, 1e6 (configs[2], PIC_L_DD)
+  4. magnetized   — Boris + Newton-Boltzmann + IEAD, 1e6 (configs[3])
+  5. domain       — domain-decomposed implicit at 1e8 over the device mesh
+                    (configs[4]; on this machine the mesh is the one chip)
+  6. headline     — implicit at 1e8 (north-star row)
 
 Timing notes: the axon TPU tunnel defers execution past block_until_ready,
 so timings fetch a scalar to host; warmup uses the *same* static step count
@@ -22,18 +32,36 @@ import time
 
 import numpy as np
 
+NORTH_STAR = 1e9
+_PICARD_INIT = "field"
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--particles", type=int, default=None)
-    ap.add_argument("--steps", type=int, default=10)
-    ap.add_argument("--tol", type=float, default=1e-9,
-                    help="Picard tolerance; 1e-9 measured at -1.6e-6 energy drift per "
-                         "1e4 steps — 600x inside the north star (reference parity: 1e-3)")
-    ap.add_argument("--drift-steps", type=int, default=0,
-                    help="additionally measure energy drift over this many steps")
-    args = ap.parse_args()
 
+def _emit(name, n, steps, elapsed, extra=""):
+    pushes = n * steps / elapsed
+    print(f"bench[{name}]: {elapsed / steps * 1e3:.2f} ms/step {extra}",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": f"{name}_pushes_per_sec_per_chip"
+        if name != "headline" else "particle_pushes_per_sec_per_chip",
+        "value": pushes,
+        "unit": "pushes/s",
+        "vs_baseline": pushes / NORTH_STAR,
+    }))
+    return pushes
+
+
+def _time(run_fn, warm=True):
+    """Run twice (compile+warm, then timed), return elapsed seconds."""
+    t0 = time.perf_counter()
+    run_fn()
+    print(f"  compile+first run {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+    run_fn()
+    return time.perf_counter() - t0
+
+
+def _landau_problem(n, tol, maxiter=50):
     import jax
     import jax.numpy as jnp
 
@@ -42,15 +70,10 @@ def main():
     )
     from pypic_tpu.grid import GridSpec
     from pypic_tpu.engines import implicit
-    from pypic_tpu.runner import run
-
-    on_tpu = jax.default_backend() == "tpu"
-    n = args.particles or (100_000_000 if on_tpu else 200_000)
 
     # Reference Landau preset (pypic.py:846-855).
     density = 1e5
     te = 100.0 * 11600.0
-    ti = 0.1 * 11600.0
     ng = 200
     dt = 1e-5
     debye = np.sqrt(K_BOLTZMANN * te * EPSILON_0 / E_CHARGE**2 / density)
@@ -58,55 +81,246 @@ def main():
     grid = GridSpec(ng, length, "periodic")
     p2c = length * density / n
 
-    print(f"bench: backend={jax.default_backend()} n={n:.2e} ng={ng} "
-          f"steps={args.steps}", file=sys.stderr)
-
-    # Device-side load of the Landau scenario: Maxwellian velocities and the
-    # cosine density perturbation applied as a position displacement (same
-    # perturbation amplitude as the reference's resampling loader).
+    # Device-side load: Maxwellian velocities and the cosine density
+    # perturbation applied as a position displacement (same perturbation
+    # amplitude as the reference's resampling loader).
     vth = np.sqrt(2.0 * K_BOLTZMANN * te / M_ELECTRON)
-    key = jax.random.PRNGKey(1)
-    kx, kv = jax.random.split(key)
+    kx, kv = jax.random.split(jax.random.PRNGKey(1))
     x = jax.random.uniform(kx, (n,), jnp.float32, 0.0, np.float32(length))
     v = jax.random.normal(kv, (n,), jnp.float32) * np.float32(vth / np.sqrt(2.0))
     k_pert = 2.0 * np.pi / length
     x = x + np.float32(0.8 / k_pert) * jnp.sin(k_pert * x) * 0.5
+    cfg = implicit.ImplicitConfig(grid, dt, p2c, tol=tol, maxiter=maxiter,
+                                  picard_init=_PICARD_INIT)
+    return grid, x, v, cfg
 
-    cfg = implicit.ImplicitConfig(
-        grid, dt, p2c, tol=args.tol, maxiter=50,
+
+def bench_headline(args):
+    import jax
+
+    from pypic_tpu.constants import E_CHARGE, M_ELECTRON
+    from pypic_tpu.engines import implicit
+    from pypic_tpu.runner import run
+
+    on_tpu = jax.default_backend() == "tpu"
+    n = args.particles or (100_000_000 if on_tpu else 200_000)
+    grid, x, v, cfg = _landau_problem(n, args.tol)
+    state = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
+    step = implicit.make_step(cfg)
+    print(f"bench: backend={jax.default_backend()} n={n:.2e} ng={grid.ng} "
+          f"steps={args.steps}", file=sys.stderr)
+
+    holder = {}
+
+    def go():
+        _, m = run(step, state, args.steps)
+        np.asarray(m.field_energy)
+        holder["m"] = m
+
+    elapsed = _time(go)
+    m = holder["m"]
+    iters = np.asarray(m.picard_iters)
+    _emit("headline", n, args.steps, elapsed,
+          f"(picard mean {iters.mean():.1f}, "
+          f"EE[0]={np.asarray(m.field_energy)[0]:.3e})")
+
+    if args.drift_steps:
+        # chunked dispatches: a single 1e4-step scan dispatch through the
+        # remote tunnel crashes the TPU worker; 1000-step spans are stable
+        chunk = min(1000, args.drift_steps)
+        st = state
+        tot0 = tot1 = None
+        done = 0
+        while done < args.drift_steps:
+            st, m2 = run(step, st, chunk)
+            tot = np.asarray(m2.field_energy, np.float64) + np.asarray(
+                m2.kinetic_energy, np.float64
+            )
+            if tot0 is None:
+                tot0 = tot[0]
+            print(f"  drift chunk [{done}-{done + chunk}): "
+                  f"{(tot[-1] - tot[0]) / tot0:+.3e}", file=sys.stderr)
+            tot1 = tot[-1]
+            done += chunk
+        print(f"bench: energy drift over {args.drift_steps} steps: "
+              f"{(tot1 - tot0) / tot0:.3e}", file=sys.stderr)
+
+
+def bench_two_stream(args):
+    """configs[0]: explicit two-stream at ~1e4 particles."""
+    import numpy as np
+
+    from pypic_tpu.constants import (
+        E_CHARGE, EPSILON_0, K_BOLTZMANN, M_ELECTRON,
     )
+    from pypic_tpu.grid import GridSpec
+    from pypic_tpu import initialize as init
+    from pypic_tpu.engines import explicit
+    from pypic_tpu.runner import run
+
+    n, steps = 10_000, 2000
+    density = 1e10
+    te = 0.1 * 11600.0
+    debye = np.sqrt(K_BOLTZMANN * te * EPSILON_0 / E_CHARGE**2 / density)
+    grid = GridSpec(200, 15.0 * debye, "periodic")
+    x, v, params = init.initialize_periodic(
+        "two-stream", n, density, 1, 0.05, grid, te, te, seed=2
+    )
+    cfg = explicit.ExplicitConfig(grid, 0.1 / params.wp, params.p2c)
+    st = explicit.init_state(x, v, -E_CHARGE, M_ELECTRON, grid)
+    step = explicit.make_step(cfg)
+
+    def go():
+        _, m = run(step, st, steps)
+        np.asarray(m.field_energy)
+
+    _emit("two_stream", n, steps, _time(go))
+
+
+def bench_landau(args):
+    """configs[1]: Landau damping at 1e5 particles, damping rate checked."""
+    from pypic_tpu.constants import E_CHARGE, M_ELECTRON
+    from pypic_tpu.engines import implicit
+    from pypic_tpu.runner import run
+
+    n, steps = 100_000, 500
+    grid, x, v, cfg = _landau_problem(n, 1e-6)
     state = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
     step = implicit.make_step(cfg)
 
-    t0 = time.perf_counter()
-    _, metrics = run(step, state, args.steps)
-    np.asarray(metrics.field_energy)
-    print(f"bench: compile+first run {time.perf_counter() - t0:.1f}s",
-          file=sys.stderr)
+    def go():
+        _, m = run(step, state, steps)
+        np.asarray(m.field_energy)
 
-    t0 = time.perf_counter()
-    _, metrics = run(step, state, args.steps)
-    ee = np.asarray(metrics.field_energy)
-    elapsed = time.perf_counter() - t0
-    pushes_per_sec = n * args.steps / elapsed
-    iters = np.asarray(metrics.picard_iters)
-    print(f"bench: {elapsed / args.steps * 1e3:.1f} ms/step, picard iters "
-          f"mean {iters.mean():.1f}, EE[0]={ee[0]:.3e}", file=sys.stderr)
+    _emit("landau", n, steps, _time(go))
 
-    if args.drift_steps:
-        _, m2 = run(step, state, args.drift_steps)
-        tot = np.asarray(m2.field_energy, np.float64) + np.asarray(
-            m2.kinetic_energy, np.float64
-        )
-        print(f"bench: energy drift over {args.drift_steps} steps: "
-              f"{(tot[-1] - tot[0]) / tot[0]:.3e}", file=sys.stderr)
 
-    print(json.dumps({
-        "metric": "particle_pushes_per_sec_per_chip",
-        "value": pushes_per_sec,
-        "unit": "pushes/s",
-        "vs_baseline": pushes_per_sec / 1e9,
-    }))
+def bench_sheath(args):
+    """configs[2]: bounded 2-species sheath at 1e6 (PIC_L_DD.py:320-331)."""
+    from pypic_tpu.constants import K_BOLTZMANN
+    from pypic_tpu.grid import GridSpec
+    from pypic_tpu import initialize as init
+    from pypic_tpu.engines import sheath
+    from pypic_tpu.runner import run
+
+    n, steps, ng = 1_000_000, 200, 51
+    density, dt, dx = 1e19, 1e-12, 1e-5
+    te = ti = 10.0 * 11600.0
+    length = dx * (ng - 1)
+    grid = GridSpec(ng, length, "dirichlet-dirichlet")
+    d = init.initialize_sheath(n, density, 1.0, 0.0, grid, te, ti, seed=3)
+    cfg = sheath.SheathConfig(
+        grid, dt, length * density / n,
+        kbte=K_BOLTZMANN * te, kbti=K_BOLTZMANN * ti,
+    )
+    st = sheath.init_state(d["x"], d["v"], d["q"], d["m"], d["species"], cfg)
+    step = sheath.make_step(cfg)
+
+    def go():
+        _, m = run(step, st, steps)
+        np.asarray(m.field_energy)
+
+    _emit("sheath", n, steps, _time(go))
+
+
+def bench_magnetized(args):
+    """configs[3]: magnetized Boris + Newton-Boltzmann + IEAD at 1e6
+    (pic_iead workload, pygcpic.py:1120-1305)."""
+    from pypic_tpu.presets import pic_iead
+    from pypic_tpu.runner import run
+
+    steps = 100
+    pre = pic_iead(n_per_species=1_000_000 // 6)
+    n = pre.state.p.shape[0]
+    step = pre.make_step()
+
+    def go():
+        _, m = run(step, pre.state, steps)
+        np.asarray(m.phi_max)
+
+    _emit("magnetized", n, steps, _time(go))
+
+
+def bench_domain(args):
+    """configs[4]: domain-decomposed implicit at 1e8 over the device mesh
+    (slab-sharded fields + halo exchange + migration; the mesh is whatever
+    this host exposes — one chip here, a pod elsewhere unchanged)."""
+    import jax
+
+    from pypic_tpu.constants import E_CHARGE, M_ELECTRON
+    from pypic_tpu.parallel import domain_implicit as di, make_mesh
+    from pypic_tpu.runner import run
+
+    on_tpu = jax.default_backend() == "tpu"
+    n = args.particles or (100_000_000 if on_tpu else 200_000)
+    steps = 10
+    n_dev = len(jax.devices())
+    grid, x, v, _ = _landau_problem(n, args.tol)
+    # halo from physics: worst-case intra-step excursion is ~|v| dt / dx;
+    # cover an 8-sigma Maxwellian tail (halo=4 measured 113k clamps per 1e9
+    # pushes on this workload — sigma here is ~1.1 cells/step)
+    sigma_cells = float(np.asarray(v).std()) * 1e-5 / grid.dx
+    halo = min(grid.ng // n_dev - 3, max(4, int(np.ceil(8.0 * sigma_cells))))
+    cfg = di.DomainImplicitConfig(
+        grid, 1e-5, grid.length * 1e5 / n, num_shards=n_dev,
+        tol=args.tol, maxiter=50, halo=halo,
+        migrate_cap=max(4096, 4 * (n // max(1, grid.ng))),
+    )
+    mesh = make_mesh(n_dev, axis="slabs")
+    st = di.shard_state(di.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg),
+                        mesh, cfg)
+    step = di.make_step(cfg, mesh)
+
+    holder = {}
+
+    def go():
+        _, m = run(step, st, steps)
+        np.asarray(m.field_energy)
+        holder["m"] = m
+
+    elapsed = _time(go)
+    m = holder["m"]
+    _emit("domain", n, steps, elapsed,
+          f"(shards={n_dev}, dropped={int(np.asarray(m.n_dropped).sum())}, "
+          f"halo_clamped={int(np.asarray(m.n_halo_clamped).sum())})")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--particles", type=int, default=None)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--tol", type=float, default=1e-9,
+                    help="Picard tolerance; 1e-9 measured at -1.6e-6 energy "
+                         "drift per 1e4 steps — 600x inside the north star "
+                         "(reference parity: 1e-3)")
+    ap.add_argument("--drift-steps", type=int, default=0,
+                    help="additionally measure energy drift over this many steps")
+    ap.add_argument("--all", action="store_true",
+                    help="run the full BASELINE.md config matrix")
+    ap.add_argument("--only", default=None,
+                    help="run a single named matrix config")
+    ap.add_argument("--picard-init", default="field",
+                    choices=("field", "extrapolate"),
+                    help="Picard initial iterate (see ImplicitConfig)")
+    args = ap.parse_args()
+    global _PICARD_INIT
+    _PICARD_INIT = args.picard_init
+
+    matrix = {
+        "two_stream": bench_two_stream,
+        "landau": bench_landau,
+        "sheath": bench_sheath,
+        "magnetized": bench_magnetized,
+        "domain": bench_domain,
+        "headline": bench_headline,
+    }
+    if args.only:
+        matrix[args.only](args)
+    elif args.all:
+        for fn in matrix.values():
+            fn(args)
+    else:
+        bench_headline(args)
 
 
 if __name__ == "__main__":

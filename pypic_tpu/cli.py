@@ -194,9 +194,10 @@ def _cmd_run(args):
     if args.plot and hasattr(final, "v") and np.asarray(final.v).ndim == 1:
         params = preset.meta.get("params")
         vth = np.sqrt(np.asarray(final.v).var()) + 1e-300
-        stride = max(1, args.plot_every or 1)
+        # scalar metrics are full-cadence even under --plot-every thinning
+        # (run_thinned thins only heavy array rows)
         times = np.arange(len(np.asarray(mdict["field_energy"]))) * (
-            preset.config.dt * stride
+            preset.config.dt
         )
         viz.summary_figure(
             os.path.join(outdir, "summary.png"),

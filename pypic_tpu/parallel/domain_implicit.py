@@ -66,6 +66,10 @@ class DomainImplicitConfig:
     halo: int = 4  # max intra-step particle excursion, cells
     migrate_cap: int = 4096
     smooth: bool = True  # pypic.py:261,283 (False = gen-1 PIC_L.py variant)
+    # 'field' = reference start es0 = E0 (pypic.py:253); 'extrapolate' =
+    # linear prediction E0 + (E0 - E_prev)/2 — same fixed point/tolerance,
+    # ~1 fewer Picard iteration (see engines.implicit.ImplicitConfig).
+    picard_init: str = "field"
     axis_name: str = "slabs"
     deposit_method: str = "auto"
 
@@ -97,6 +101,7 @@ class DomainImplicitState(struct.PyTreeNode):
     m: jax.Array  # () [kg]
     e: jax.Array  # (ng,) [V/m], slab-sharded
     j: jax.Array  # (ng,) [A/m^2], slab-sharded
+    e_prev: jax.Array  # (ng,) previous-step field (picard_init='extrapolate')
     step: jax.Array  # () int32
 
 
@@ -142,6 +147,7 @@ def init_state(
         m=jnp.asarray(m, jnp.float32),
         e=e0.astype(jnp.float32),
         j=j0.astype(jnp.float32),
+        e_prev=e0.astype(jnp.float32),
         step=jnp.asarray(0, jnp.int32),
     )
 
@@ -225,8 +231,12 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
             r = lax.psum(jnp.sum((es - eh) ** 2), ax)
             return eh, phl, (p1l, v1), e1, j1, r, k + 1
 
+        es0 = (
+            e0 + 0.5 * (e0 - state.e_prev)
+            if cfg.picard_init == "extrapolate" else e0
+        )
         carry0 = (
-            e0, p0l, (p0l, v0), e0, state.j,
+            es0, p0l, (p0l, v0), e0, state.j,
             jnp.asarray(jnp.inf, e0.dtype), jnp.asarray(0, jnp.int32),
         )
         _, _, (p1l, v1), e1, j1, r, k = lax.while_loop(cond, body, carry0)
@@ -261,13 +271,14 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
             n_halo_clamped=n_halo_clamped,
         )
         new_state = state.replace(
-            p=p2, v=v2, alive=alive1, e=e1, j=j1, step=state.step + 1
+            p=p2, v=v2, alive=alive1, e=e1, j=j1, e_prev=e0,
+            step=state.step + 1
         )
         return new_state, metrics
 
     spec = DomainImplicitState(
         p=P(ax), v=P(ax), alive=P(ax), q=P(), m=P(), e=P(ax), j=P(ax),
-        step=P(),
+        e_prev=P(ax), step=P(),
     )
     return shard_map(
         local_step,

@@ -32,21 +32,41 @@ def run(step_fn: Callable, state, num_steps: int):
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3))
 def run_thinned(step_fn: Callable, state, num_steps: int, every: int):
-    """Like ``run`` but keeps metrics only every ``every`` steps (the
-    reference's ``nplot`` cadence, pypic.py:579) to bound memory on long runs.
+    """Like ``run`` but thins only the *heavy* (per-step array) metrics to
+    every ``every`` steps; scalar metrics keep full per-step cadence.
 
-    num_steps must be a multiple of ``every``; the metric kept for each chunk
-    is the one from the chunk's final step.
+    This matches the reference's split: EE/KE time series are appended every
+    step (pypic.py:570-576) and only the plotting runs at the ``nplot``
+    cadence (pypic.py:579) — so rate fits over scalar series (e.g. the Landau
+    peak-envelope fit, diagnostics.damping_rate_from_peaks) stay usable on
+    thinned runs, while (ng,)-sized rows (phi, rho, impact buffers) are kept
+    once per chunk (the chunk's final step) to bound memory.
+
+    num_steps must be a multiple of ``every``.
     """
     if num_steps % every:
         raise ValueError("num_steps must be a multiple of every")
+
+    # scalar-ness of each metric leaf, from the step's abstract signature
+    is_scalar = jax.tree.map(
+        lambda a: a.ndim == 0, jax.eval_shape(step_fn, state)[1]
+    )
 
     def chunk(s, _):
         def body(s2, _):
             return step_fn(s2)
 
         s, metrics = lax.scan(body, s, None, length=every)
-        last = jax.tree.map(lambda a: a[-1], metrics)
-        return s, last
+        # per-step leaf shapes here are (every, ...): scalars keep all rows,
+        # heavy arrays keep the chunk-final row
+        mixed = jax.tree.map(
+            lambda a, sc: a if sc else a[-1], metrics, is_scalar
+        )
+        return s, mixed
 
-    return lax.scan(chunk, state, None, length=num_steps // every)
+    final, out = lax.scan(chunk, state, None, length=num_steps // every)
+    # scalar leaves come back (chunks, every) -> flatten to (num_steps,)
+    out = jax.tree.map(
+        lambda a, sc: a.reshape(num_steps) if sc else a, out, is_scalar
+    )
+    return final, out

@@ -221,3 +221,23 @@ def test_implicit_two_species_composed():
     assert np.isfinite(tot).all()
     drift = abs(tot[-1] - tot[0]) / tot[0]
     assert drift < 1e-4, f"two-species energy drift {drift}"
+
+
+def test_picard_extrapolated_init_same_physics_fewer_iters():
+    """picard_init='extrapolate' converges to the same fixed point (tight
+    tol) with no more iterations than the reference start es0 = E0 — it is a
+    solver accelerant, not a scheme change."""
+    grid, x, v, params = _two_stream_setup(n=10_000, ng=64)
+    dt = 0.1 / params.wp
+    runs = {}
+    for init in ("field", "extrapolate"):
+        cfg = implicit.ImplicitConfig(grid, dt, params.p2c, tol=1e-10,
+                                      maxiter=50, picard_init=init)
+        st = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
+        runs[init] = run(implicit.make_step(cfg), st, 200)[1]
+    ee_f = np.asarray(runs["field"].field_energy, np.float64)
+    ee_x = np.asarray(runs["extrapolate"].field_energy, np.float64)
+    np.testing.assert_allclose(ee_x, ee_f, rtol=2e-3)
+    it_f = np.asarray(runs["field"].picard_iters, np.float64)
+    it_x = np.asarray(runs["extrapolate"].picard_iters, np.float64)
+    assert it_x.mean() <= it_f.mean()

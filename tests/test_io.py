@@ -127,7 +127,7 @@ def test_cli_end_to_end(tmp_path):
     for f in ("time.out", "E2.txt", "metrics.npz", "metrics.jsonl", "summary.png"):
         assert os.path.exists(os.path.join(outdir, f)), f
     rows = [json.loads(line) for line in open(os.path.join(outdir, "metrics.jsonl"))]
-    assert len(rows) == 4  # 40 steps thinned by 10
+    assert len(rows) == 40  # scalar metrics stay full-cadence under thinning
     assert os.path.exists(os.path.join(outdir, "checkpoints", "state_0000000020.npz"))
 
 
@@ -178,3 +178,42 @@ def test_cli_particle_dump_and_bca_postprocess(tmp_path):
     stats = json.load(open(pp))
     assert (stats["num_deposited_wall"] + stats["num_reflected_wall"]
             == stats["num_incident_wall"])
+
+
+def test_run_thinned_keeps_scalars_full_cadence():
+    """run_thinned thins only heavy array rows (the reference appends EE/KE
+    every step and thins just plotting, pypic.py:570-579): scalar series stay
+    usable for rate fits on thinned runs."""
+    from pypic_tpu.constants import E_CHARGE, K_BOLTZMANN, M_ELECTRON, EPSILON_0
+    from pypic_tpu.grid import GridSpec
+    from pypic_tpu import initialize as init
+    from pypic_tpu.engines import implicit
+    from pypic_tpu.runner import run, run_thinned
+
+    density, te = 1e10, 0.1 * 11600.0
+    debye = np.sqrt(K_BOLTZMANN * te * EPSILON_0 / E_CHARGE**2 / density)
+    grid = GridSpec(64, 15.0 * debye, "periodic")
+    x, v, params = init.initialize_periodic(
+        "two-stream", 4000, density, 1, 0.05, grid, te, te, seed=2
+    )
+    cfg = implicit.ImplicitConfig(grid, 0.1 / params.wp, params.p2c,
+                                  tol=1e-6, maxiter=40)
+    st = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
+    _, full = run(implicit.make_step(cfg), st, 40)
+    _, thin = run_thinned(implicit.make_step(cfg), st, 40, 10)
+    # scalars identical to the unthinned run at every step
+    np.testing.assert_allclose(
+        np.asarray(thin.field_energy), np.asarray(full.field_energy)
+    )
+    assert np.asarray(thin.field_energy).shape == (40,)
+
+
+def test_run_thinned_heavy_rows_thinned():
+    """Heavy (ng,) metric rows keep only every-k cadence."""
+    from pypic_tpu.presets import pic_iead
+    from pypic_tpu.runner import run_thinned
+
+    pre = pic_iead(n_per_species=200)
+    _, m = run_thinned(pre.make_step(), pre.state, 20, 5)
+    assert np.asarray(m.phi).shape == (4, pre.config.grid.ng)
+    assert np.asarray(m.n_active).shape == (20,)
