@@ -226,3 +226,22 @@ def test_postprocess_iead_budget():
     # product rows honor the row contract
     for rows in (stats["source_sputtered"], stats["wall_reflected"]):
         assert rows.ndim == 2 and rows.shape[1] == 6
+
+
+def test_bca_driver_batched_cadence():
+    """pic_steps_per_bca batches k jitted steps per surface-model call; the
+    physics channel stays live (impacts collected from every step of the
+    block, products injected at block boundaries)."""
+    cfg, st, pre = _bca_setup(ppc=10)
+    model_sw = bca.BinaryCollisionModel(seed=1)
+    model_ww = bca.BinaryCollisionModel(incident_m_amu=10.81, incident_z=5,
+                                        seed=2)
+    fin, stats, hist = bca_driver.run_bca(
+        st, cfg, 120, model_sw, model_ww,
+        product_p2c=float(np.asarray(st.p2c)[0]), seed=3,
+        pic_steps_per_bca=10,
+    )
+    assert len(hist) == 120  # per-step metrics preserved
+    assert stats.source_incident > 100
+    assert stats.sputtered > 0 and stats.injected > 0
+    assert 0.0 < stats.total_yield() < 0.5
