@@ -299,9 +299,11 @@ def main():
                     help="run the full BASELINE.md config matrix")
     ap.add_argument("--only", default=None,
                     help="run a single named matrix config")
-    ap.add_argument("--picard-init", default="field",
+    ap.add_argument("--picard-init", default="extrapolate",
                     choices=("field", "extrapolate"),
-                    help="Picard initial iterate (see ImplicitConfig)")
+                    help="Picard initial iterate (see ImplicitConfig; "
+                         "extrapolate = same fixed point/tolerance, ~1 fewer "
+                         "iteration; 'field' = the reference's E0 start)")
     args = ap.parse_args()
     global _PICARD_INIT
     _PICARD_INIT = args.picard_init
