@@ -263,7 +263,7 @@ def bench_domain(args):
     halo = min(grid.ng // n_dev - 3, max(4, int(np.ceil(8.0 * sigma_cells))))
     cfg = di.DomainImplicitConfig(
         grid, 1e-5, grid.length * 1e5 / n, num_shards=n_dev,
-        tol=args.tol, maxiter=50, halo=halo,
+        tol=args.tol, maxiter=50, halo=halo, picard_init=_PICARD_INIT,
         migrate_cap=max(4096, 4 * (n // max(1, grid.ng))),
     )
     mesh = make_mesh(n_dev, axis="slabs")

@@ -337,6 +337,176 @@ def _scalars(qm, dt, dx, w, dtype):
 _SMEM_SPEC = pl.BlockSpec((4, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
 
+# ---------------------------------------------------------------------------
+# fused implicit Picard iteration on an extended (halo) slab — the
+# domain-decomposed engine's local pass (pypic_tpu.parallel.domain_implicit):
+# positions are local slab coordinates already shifted by the halo width, the
+# grid is bounded (no wrap — the ring halo exchange outside provides
+# periodicity), the deposit weight rides per particle (alive mask folded in),
+# and positions are clamped to the halo range for grid operations only (the
+# raw iterate is carried so excursion counting stays exact).
+# ---------------------------------------------------------------------------
+
+
+def _picard_iter_ext_kernel(
+    scal_ref, fwin_ref, ps_ref, p0_ref, v0_ref, w_ref, ph_ref, jh_ref,
+    *, num_k, block, stride, width, lo, hi,
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        jh_ref[:] = jnp.zeros_like(jh_ref)
+
+    qm_dt = scal_ref[0, 0]
+    qm_dt2_half = scal_ref[1, 0]
+    dt_dx = scal_ref[2, 0]
+
+    ps = jnp.clip(ps_ref[0, 0, :], lo, hi)
+    p0 = p0_ref[0, 0, :]
+    v0 = v0_ref[0, 0, :]
+    w = w_ref[0, 0, :]
+
+    e_p = _gather_at(fwin_ref, ps, num_k, block, stride, width)
+    p1 = p0 + dt_dx * v0 + qm_dt2_half * e_p
+    v1 = v0 + qm_dt * e_p
+    ph = 0.5 * (p0 + p1)
+    vh = 0.5 * (v0 + v1)
+    ph_ref[0, 0, :] = ph  # raw iterate (excursions counted by the caller)
+    _deposit_into(jh_ref, jnp.clip(ph, lo, hi), w * vh,
+                  num_k, block, stride, width)
+
+
+def _picard_final_ext_kernel(
+    scal_ref, fwin_ref, ps_ref, p0_ref, v0_ref, w_ref, p1_ref, v1_ref, j1_ref,
+    *, num_k, block, stride, width, lo, hi,
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        j1_ref[:] = jnp.zeros_like(j1_ref)
+
+    qm_dt = scal_ref[0, 0]
+    qm_dt2_half = scal_ref[1, 0]
+    dt_dx = scal_ref[2, 0]
+
+    ps = jnp.clip(ps_ref[0, 0, :], lo, hi)
+    p0 = p0_ref[0, 0, :]
+    v0 = v0_ref[0, 0, :]
+    w = w_ref[0, 0, :]
+
+    e_p = _gather_at(fwin_ref, ps, num_k, block, stride, width)
+    p1 = p0 + dt_dx * v0 + qm_dt2_half * e_p
+    v1 = v0 + qm_dt * e_p
+    p1_ref[0, 0, :] = p1  # raw (caller wraps to global + migrates)
+    v1_ref[0, 0, :] = v1
+    _deposit_into(j1_ref, jnp.clip(p1, lo, hi), w * v1,
+                  num_k, block, stride, width)
+
+
+def _ext_scalars(qm, dt, dx, dtype):
+    return jnp.stack(
+        [qm * dt, 0.5 * qm * dt * (dt / dx),
+         jnp.full_like(qm * dt, dt / dx), jnp.zeros_like(qm * dt)]
+    ).reshape(4, 1).astype(dtype)
+
+
+def picard_iteration_ext_pallas(
+    field_ext, ps, p0, v0, w, ext_n: int,
+    *, qm, dt: float, dx: float, lo: float, hi: float,
+    block: int = _DEFAULT_BLOCK,
+):
+    """Fused Picard inner pass on a bounded extended slab.
+
+    Args:
+        field_ext: (ext_n,) smoothed halo-extended field.
+        ps/p0/v0: local positions (shifted by the halo width) and velocities.
+        w: per-particle deposit prefactor, zero for dead slots.
+        lo/hi: position clamp for grid operations (halo excursion bound).
+
+    Returns (ph_raw, jh_ext).
+    """
+    stride, wdth = _choose_window(ext_n)
+    num_k = _num_windows(ext_n, stride)
+    fwin_t = _window_field_t(field_ext, num_k, False, stride, wdth)
+    (ps_b, p0_b, v0_b, w_b), nb = _pad_blocks([ps, p0, v0, w], block)
+    scal = _ext_scalars(qm, dt, dx, ps.dtype)
+    kern = functools.partial(
+        _picard_iter_ext_kernel, num_k=num_k, block=block,
+        stride=stride, width=wdth, lo=lo, hi=hi,
+    )
+    ph, jh = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            _SMEM_SPEC,
+            _acc_spec(num_k, wdth),
+            _particle_spec(block),
+            _particle_spec(block),
+            _particle_spec(block),
+            _particle_spec(block),
+        ],
+        out_specs=(_particle_spec(block), _acc_spec(num_k, wdth)),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, 1, block), ps.dtype),
+            jax.ShapeDtypeStruct((wdth, num_k), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(scal, fwin_t, ps_b, p0_b, v0_b, w_b)
+    n = ps.shape[0]
+    return (
+        ph.reshape(-1)[:n],
+        _fold_windows(jh.T.astype(ps.dtype), ext_n, False, stride),
+    )
+
+
+def picard_finalize_ext_pallas(
+    field_ext, ps, p0, v0, w, ext_n: int,
+    *, qm, dt: float, dx: float, lo: float, hi: float,
+    block: int = _DEFAULT_BLOCK,
+):
+    """Post-convergence pass on the extended slab: (p1_raw, v1, j1_ext)."""
+    stride, wdth = _choose_window(ext_n)
+    num_k = _num_windows(ext_n, stride)
+    fwin_t = _window_field_t(field_ext, num_k, False, stride, wdth)
+    (ps_b, p0_b, v0_b, w_b), nb = _pad_blocks([ps, p0, v0, w], block)
+    scal = _ext_scalars(qm, dt, dx, ps.dtype)
+    kern = functools.partial(
+        _picard_final_ext_kernel, num_k=num_k, block=block,
+        stride=stride, width=wdth, lo=lo, hi=hi,
+    )
+    p1, v1, j1 = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            _SMEM_SPEC,
+            _acc_spec(num_k, wdth),
+            _particle_spec(block),
+            _particle_spec(block),
+            _particle_spec(block),
+            _particle_spec(block),
+        ],
+        out_specs=(
+            _particle_spec(block),
+            _particle_spec(block),
+            _acc_spec(num_k, wdth),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, 1, block), ps.dtype),
+            jax.ShapeDtypeStruct((nb, 1, block), v0.dtype),
+            jax.ShapeDtypeStruct((wdth, num_k), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(scal, fwin_t, ps_b, p0_b, v0_b, w_b)
+    n = ps.shape[0]
+    return (
+        p1.reshape(-1)[:n],
+        v1.reshape(-1)[:n],
+        _fold_windows(j1.T.astype(ps.dtype), ext_n, False, stride),
+    )
+
+
 def picard_iteration_pallas(
     field_smoothed, ps, p0, v0, ng: int,
     *, qm, w, dt: float, dx: float, block: int = _DEFAULT_BLOCK,

@@ -70,6 +70,13 @@ class DomainImplicitConfig:
     # linear prediction E0 + (E0 - E_prev)/2 — same fixed point/tolerance,
     # ~1 fewer Picard iteration (see engines.implicit.ImplicitConfig).
     picard_init: str = "field"
+    # 'fused' runs each local Picard pass as one Pallas sweep over the shard's
+    # particles (gather from the halo-extended slab + CN + extended-slab
+    # deposit — the domain form of engines.implicit's fused backend);
+    # 'composed' assembles it from individual ops; 'auto' = fused on TPU.
+    # Like the single-device fused path, finalize recomputes (p1, v1, j1)
+    # from the *converged* half-step field.
+    backend: str = "auto"
     axis_name: str = "slabs"
     deposit_method: str = "auto"
 
@@ -182,6 +189,15 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
     def clamp_loc(pl):
         return jnp.clip(pl, -float(h), float(c + h))
 
+    use_fused = cfg.backend == "fused" or (
+        cfg.backend == "auto" and jax.default_backend() == "tpu"
+    )
+    if cfg.backend not in ("auto", "fused", "composed"):
+        raise ValueError(f"unknown backend {cfg.backend!r}")
+    # clamp bounds in shifted (halo/deposit) coordinates: xi in [-h, c+h]
+    clamp_lo_s = float(hw - h)
+    clamp_hi_s = float(c + h + hw)
+
     def local_step(state: DomainImplicitState):
         d = lax.axis_index(ax)
         lo = d.astype(state.p.dtype) * c
@@ -199,11 +215,32 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
             )
             return halo_fold(ext, c, hw, ax, perm_r, perm_l)
 
+        def smoothed_ext(es):
+            """Halo-extend (+ smooth) the field guess in the shifted deposit
+            coordinate system (ext_n nodes). With smoothing, the end nodes
+            are zero padding outside the clamp range — never gathered."""
+            e_ext = halo_extend(es, hw, ax, perm_r, perm_l)
+            if not cfg.smooth:
+                return e_ext
+            z = jnp.zeros((1,), e_ext.dtype)
+            return jnp.concatenate([z, smooth_valid(e_ext), z])
+
+        def ampere(es, jh):
+            # Ampere advance (pypic.py:283): the mean is a psum, the smoother
+            # a 1-node halo — no global grid anywhere.
+            j_mean = lax.psum(jnp.sum(jh), ax) / ng
+            e1 = e0 + (dt / EPSILON_0) * (
+                j_mean - (smooth_own(jh) if cfg.smooth else jh)
+            )
+            eh = 0.5 * (e1 + e0)
+            r = lax.psum(jnp.sum((es - eh) ** 2), ax)
+            return e1, eh, r
+
         def cond(carry):
             _, _, _, _, _, r, k = carry
             return (r > cfg.tol) & (k < cfg.maxiter)
 
-        def body(carry):
+        def body_composed(carry):
             es, psl, _, _, _, _, k = carry
             # Gather the smoothed field guess at the position guess
             # (pypic.py:261) from the halo-extended slab.
@@ -221,25 +258,50 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
             vh = 0.5 * (v0 + v1)
             jh = slab_deposit(phl, w * vh)
             j1 = slab_deposit(p1l, w * v1)
-            # Ampere advance (pypic.py:283): the mean is a psum, the smoother
-            # a 1-node halo — no global grid anywhere.
-            j_mean = lax.psum(jnp.sum(jh), ax) / ng
-            e1 = e0 + (dt / EPSILON_0) * (
-                j_mean - (smooth_own(jh) if cfg.smooth else jh)
-            )
-            eh = 0.5 * (e1 + e0)
-            r = lax.psum(jnp.sum((es - eh) ** 2), ax)
+            e1, eh, r = ampere(es, jh)
             return eh, phl, (p1l, v1), e1, j1, r, k + 1
+
+        def body_fused(carry):
+            from ..ops.pallas_cic import picard_iteration_ext_pallas
+
+            es, pss, placeholder, _, _, _, k = carry  # pss: shifted iterate
+            ph_s, jh_ext = picard_iteration_ext_pallas(
+                smoothed_ext(es), pss, p0s, v0, w, ext_n,
+                qm=qm, dt=dt, dx=dx, lo=clamp_lo_s, hi=clamp_hi_s,
+            )
+            jh = halo_fold(jh_ext, c, hw, ax, perm_r, perm_l)
+            e1, eh, r = ampere(es, jh)
+            return eh, ph_s, placeholder, e1, jh, r, k + 1
 
         es0 = (
             e0 + 0.5 * (e0 - state.e_prev)
             if cfg.picard_init == "extrapolate" else e0
         )
-        carry0 = (
-            es0, p0l, (p0l, v0), e0, state.j,
-            jnp.asarray(jnp.inf, e0.dtype), jnp.asarray(0, jnp.int32),
-        )
-        _, _, (p1l, v1), e1, j1, r, k = lax.while_loop(cond, body, carry0)
+        if use_fused:
+            from ..ops.pallas_cic import picard_finalize_ext_pallas
+
+            p0s = p0l + hw
+            carry0 = (
+                es0, p0s, (p0s, v0), e0, state.j,
+                jnp.asarray(jnp.inf, e0.dtype), jnp.asarray(0, jnp.int32),
+            )
+            es, pss, _, e1, _, r, k = lax.while_loop(cond, body_fused, carry0)
+            # finalize from the converged field (engines.implicit fused
+            # semantics): one extra sweep yields (p1, v1) and j1
+            p1s, v1, j1_ext = picard_finalize_ext_pallas(
+                smoothed_ext(es), pss, p0s, v0, w, ext_n,
+                qm=qm, dt=dt, dx=dx, lo=clamp_lo_s, hi=clamp_hi_s,
+            )
+            j1 = halo_fold(j1_ext, c, hw, ax, perm_r, perm_l)
+            p1l = p1s - hw
+        else:
+            carry0 = (
+                es0, p0l, (p0l, v0), e0, state.j,
+                jnp.asarray(jnp.inf, e0.dtype), jnp.asarray(0, jnp.int32),
+            )
+            _, _, (p1l, v1), e1, j1, r, k = lax.while_loop(
+                cond, body_composed, carry0
+            )
 
         n_halo_clamped = lax.psum(
             jnp.sum((alive & ((p1l < -h) | (p1l > c + h))).astype(jnp.int32)),

@@ -240,3 +240,38 @@ def test_domain_sheath_floating_potential():
     assert drop_r < -0.5 * te_volts, f"right wall drop {drop_r}"
     assert drop_l > -4.0 * te_volts and drop_r > -4.0 * te_volts
     assert np.argmax(phi) not in (0, len(phi) - 1)
+
+
+def test_domain_implicit_fused_matches_composed(problem):
+    """The Pallas extended-slab fused backend == the composed op backend
+    (interpret mode on CPU exercises the identical kernel code path)."""
+    from pypic_tpu.parallel import domain_implicit as di
+
+    grid, x, v, params = problem
+    dt = 0.1 / params.wp
+    mesh = make_mesh(8, axis="slabs")
+    runs = {}
+    for backend in ("composed", "fused"):
+        cfg = di.DomainImplicitConfig(
+            grid, dt, params.p2c, num_shards=8, tol=1e-6, maxiter=40,
+            halo=4, migrate_cap=2048, backend=backend,
+        )
+        st = di.shard_state(
+            di.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg), mesh, cfg
+        )
+        runs[backend] = run(di.make_step(cfg, mesh), st, 30)[1]
+    # the fused path finalizes from the converged field while composed
+    # returns the last iterate (engines.implicit fused semantics) — equal
+    # within the Picard tolerance, diverging slowly at f32
+    ee_c = np.asarray(runs["composed"].field_energy, np.float64)
+    ee_f = np.asarray(runs["fused"].field_energy, np.float64)
+    np.testing.assert_allclose(ee_f, ee_c, rtol=3e-3)
+    ke_c = np.asarray(runs["composed"].kinetic_energy, np.float64)
+    ke_f = np.asarray(runs["fused"].kinetic_energy, np.float64)
+    np.testing.assert_allclose(ke_f, ke_c, rtol=1e-4)
+    assert np.asarray(runs["fused"].n_dropped).sum() == 0
+    assert np.asarray(runs["fused"].n_halo_clamped).sum() == 0
+    np.testing.assert_array_equal(
+        np.asarray(runs["fused"].picard_iters),
+        np.asarray(runs["composed"].picard_iters),
+    )
