@@ -97,11 +97,30 @@ def run_bca(
     z_to_idx: Dict[int, int] = {z: i for i, z in enumerate(cfg.species_z)}
     metrics_hist = []
 
+    @jax.jit
+    def _pack(ms):
+        # one flat device array -> ONE host transfer per block instead of
+        # ~15 leaf fetches at ~45 ms tunnel latency each (all metric values
+        # are f32-exact: counts < 2^24, data already f32)
+        return jnp.concatenate(
+            [jnp.ravel(l).astype(jnp.float32) for l in jax.tree.leaves(ms)]
+        )
+
+    def _fetch(ms):
+        leaves, treedef = jax.tree.flatten(ms)
+        flat = np.asarray(_pack(ms))
+        out, o = [], 0
+        for l in leaves:
+            n_ = int(np.prod(l.shape)) if l.shape else 1
+            out.append(flat[o:o + n_].reshape(l.shape).astype(l.dtype))
+            o += n_
+        return jax.tree.unflatten(treedef, out)
+
     done = 0
     while done < steps:
         k_steps = min(pic_steps_per_bca, steps - done)
         state, ms = run_scan(step_raw, state, k_steps)
-        ms = jax.tree.map(np.asarray, ms)  # leaves stacked (k_steps, ...)
+        ms = _fetch(ms)  # leaves stacked (k_steps, ...), host numpy
         it = done + k_steps - 1
         done += k_steps
         metrics = jax.tree.map(lambda a: a[-1], ms)
@@ -165,18 +184,31 @@ def run_bca(
                 np.int32,
             )
             t_now = np.full(k, (it + 1) * cfg.dt, np.float32)
+            # pad the product batch to a power-of-2 bucket: the jitted inject
+            # would otherwise recompile for every distinct batch size (the
+            # dominant cost of the hybrid loop, ~3 s/call via the tunnel)
+            bucket = max(8, 1 << (k - 1).bit_length())
+            pad = bucket - k
+
+            def padded(a, dt_):
+                a = np.asarray(a, dt_)
+                return np.concatenate(
+                    [a, np.zeros((pad,) + a.shape[1:], dt_)]
+                )
+
             state, n_inj, n_drop = inject(
                 state,
-                jnp.asarray(batch["x"], jnp.float32),
-                jnp.asarray(batch["yz"], jnp.float32),
-                jnp.asarray(batch["v"], jnp.float32),
-                jnp.asarray(batch["m"], jnp.float32),
-                jnp.asarray(batch["charge_state"], jnp.float32),
-                jnp.asarray(batch["p2c"], jnp.float32),
-                jnp.asarray(sp_idx),
-                jnp.asarray(t_now),
-                jnp.ones(k, bool),
+                padded(batch["x"], np.float32),
+                padded(batch["yz"], np.float32),
+                padded(batch["v"], np.float32),
+                padded(batch["m"], np.float32),
+                padded(batch["charge_state"], np.float32),
+                padded(batch["p2c"], np.float32),
+                padded(sp_idx, np.int32),
+                padded(t_now, np.float32),
+                np.concatenate([np.ones(k, bool), np.zeros(pad, bool)]),
             )
+            n_inj, n_drop = np.asarray(jnp.stack([n_inj, n_drop]))  # 1 fetch
             stats.injected += int(n_inj)
             stats.dropped += int(n_drop)
 
