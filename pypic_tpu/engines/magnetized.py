@@ -106,6 +106,10 @@ class MagnetizedConfig:
     # accumulating their energy-angle distribution separately
     # (pygcpic.py:1529-1541, iead_out_* at 1426-1427).
     bca_escape: bool = False
+    # 'fused' runs the particle path as two Pallas sweeps — one dual-value
+    # deposit (rho + n share a tent build) and one bounded gather + Boris
+    # push — instead of four XLA passes; 'auto' = fused on TPU at scale.
+    backend: str = "auto"
     # The reference's eta = exp(phi/Te/11600) divides by Te *in Kelvin* and
     # then by 11600 again (pygcpic.py:890, 895), i.e. eta ~ 1 everywhere —
     # and that near-unity eta is precisely what keeps its adaptive-n0
@@ -340,17 +344,33 @@ def make_step(cfg: MagnetizedConfig):
         )
         return iead + upd.reshape(iead.shape)
 
+    def _use_fused(n):
+        if cfg.backend == "fused":
+            return True
+        if cfg.backend == "composed":
+            return False
+        if cfg.backend != "auto":
+            raise ValueError(f"unknown backend {cfg.backend!r}")
+        return jax.default_backend() == "tpu" and n >= 8192
+
     def step(state: MagnetizedState):
         key, k_ion, k_src = jax.random.split(state.rng, 3)
+        fused = _use_fused(state.p.shape[0])
         is_active = state.active == 1
         w_rho = jnp.where(
             is_active, state.charge_state * E_CHARGE * state.p2c / dx, 0.0
         )
         w_n = jnp.where(is_active, state.p2c / dx, 0.0)
-        rho = deposit(state.p, w_rho, ng, periodic=False,
-                      method=cfg.deposit_method)
-        n_dens = deposit(state.p, w_n, ng, periodic=False,
-                         method=cfg.deposit_method)
+        if fused:
+            from ..ops.pallas_cic import deposit2_pallas
+
+            rho, n_dens = deposit2_pallas(state.p, w_rho, w_n, ng,
+                                          periodic=False)
+        else:
+            rho = deposit(state.p, w_rho, ng, periodic=False,
+                          method=cfg.deposit_method)
+            n_dens = deposit(state.p, w_n, ng, periodic=False,
+                             method=cfg.deposit_method)
         n0, p_old = _boltzmann_weight(state, rho, n_dens)
         added = jnp.zeros_like(state.added)  # reset (pygcpic.py:1215,1492)
 
@@ -372,14 +392,32 @@ def make_step(cfg: MagnetizedConfig):
         e_field = grad_neg_bounded(phi, dx)
 
         # gather + Boris push (active only; inactive hold their state)
-        e_p = jnp.where(is_active, gather(e_field, state.p, periodic=False), 0.0)
-        x_si = state.p * dx
-        x1, yz1, v1 = boris_push_dt(
-            x_si, state.yz, state.v, e_p, b, state.charge_state, state.m, dt
-        )
-        p1 = jnp.where(is_active, x1 / dx, state.p)
-        yz1 = jnp.where(is_active[:, None], yz1, state.yz)
-        v1 = jnp.where(is_active[:, None], v1, state.v)
+        if fused:
+            from ..ops.pallas_cic import boris_gather_push_pallas
+
+            const = (0.5 * dt * E_CHARGE) * state.charge_state / state.m
+            act_f = is_active.astype(state.p.dtype)
+            p1, vx1, vy1, vz1 = boris_gather_push_pallas(
+                e_field, state.p,
+                state.v[:, 0], state.v[:, 1], state.v[:, 2],
+                const, act_f, b=cfg.b, dt=dt, dt_dx=dt / dx,
+            )
+            v1 = jnp.stack([vx1, vy1, vz1], axis=-1)
+            yz1 = jnp.where(
+                is_active[:, None], state.yz + dt * v1[:, 1:], state.yz
+            )
+        else:
+            e_p = jnp.where(
+                is_active, gather(e_field, state.p, periodic=False), 0.0
+            )
+            x_si = state.p * dx
+            x1, yz1, v1 = boris_push_dt(
+                x_si, state.yz, state.v, e_p, b, state.charge_state,
+                state.m, dt,
+            )
+            p1 = jnp.where(is_active, x1 / dx, state.p)
+            yz1 = jnp.where(is_active[:, None], yz1, state.yz)
+            v1 = jnp.where(is_active[:, None], v1, state.v)
         t1 = jnp.where(is_active, state.t + dt, state.t)
 
         # Dirichlet walls (pygcpic.py:668-689)
@@ -454,9 +492,11 @@ def make_step(cfg: MagnetizedConfig):
         if cfg.reactivate != "none":
             src = cfg.source
             inactive = active != 1
+            k_batch = state.p.shape[0]
+            rank = jnp.cumsum(inactive.astype(jnp.int32)) - 1
             if cfg.reactivate == "source":
                 batch = sources.sample_source_6d(
-                    k_src, state.p.shape[0], grid, src.ti, src.mass, vx=src.vx
+                    k_src, k_batch, grid, src.ti, src.mass, vx=src.vx
                 )
                 take = inactive
             elif cfg.reactivate == "capped-source":
@@ -464,7 +504,7 @@ def make_step(cfg: MagnetizedConfig):
                 # species population is below source_n; the rest stay free
                 # slots (reactivate-or-delete, pygcpic.py:1543-1549)
                 batch = sources.sample_source_6d(
-                    k_src, state.p.shape[0], grid, src.ti, src.mass, vx=src.vx
+                    k_src, k_batch, grid, src.ti, src.mass, vx=src.vx
                 )
                 n_src_active = jnp.sum(
                     ((active == 1)
@@ -472,21 +512,21 @@ def make_step(cfg: MagnetizedConfig):
                      & (charge_state > 0)).astype(jnp.int32)
                 )
                 deficit = jnp.maximum(cfg.source_n - n_src_active, 0)
-                rank = jnp.cumsum(inactive.astype(jnp.int32)) - 1
                 take = inactive & (rank < deficit)
             else:  # 'flux'
                 batch = sources.sample_flux_6d(
-                    k_src, state.p.shape[0], grid, src.ti, src.mass,
+                    k_src, k_batch, grid, src.ti, src.mass,
                     vx=src.vx, gamma=cfg.flux_gamma, vx_pert=cfg.flux_vx_pert,
                 )
                 batch["v"] = batch["v"].at[:, 0].set(
                     -jnp.abs(batch["v"][:, 0])  # pygcpic.py:2059
                 )
-                rank = jnp.cumsum(inactive.astype(jnp.int32)) - 1
                 take = inactive & (rank < cfg.flux_limit)
-            p1 = jnp.where(take, batch["x"] / dx, p1)
-            yz1 = jnp.where(take[:, None], batch["yz"], yz1)
-            v1 = jnp.where(take[:, None], batch["v"], v1)
+            bx = batch["x"] / dx
+            bv = batch["v"]
+            p1 = jnp.where(take, bx, p1)
+            yz1 = jnp.where(take[:, None], 0.0, yz1)  # both samplers: yz = 0
+            v1 = jnp.where(take[:, None], bv, v1)
             m_arr = jnp.where(take, src.mass, m_arr)
             charge_state = jnp.where(take, src.charge_state, charge_state)
             p2c_arr = jnp.where(take, src.p2c, p2c_arr)

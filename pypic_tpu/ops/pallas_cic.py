@@ -198,6 +198,143 @@ def deposit_pallas(p, values, ng: int, *, periodic: bool, block: int = _DEFAULT_
     return _fold_windows(acc.T.astype(values.dtype), ng, periodic, stride)
 
 
+def _deposit2_kernel(p_ref, va_ref, vb_ref, a_ref, b_ref,
+                     *, num_k, block, stride, width):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        a_ref[:] = jnp.zeros_like(a_ref)
+        b_ref[:] = jnp.zeros_like(b_ref)
+
+    p = p_ref[0, 0, :]
+    k, d = _window_decompose(p, num_k, stride)
+    tent = _tent_t(d, block, width)  # built ONCE for both deposits
+    sel_t = _sel_t(k, num_k, p.dtype)
+    a_ref[:] += lax.dot_general(
+        tent * va_ref[0, 0, :][None, :], sel_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(a_ref.dtype)
+    b_ref[:] += lax.dot_general(
+        tent * vb_ref[0, 0, :][None, :], sel_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(b_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("ng", "periodic", "block"))
+def deposit2_pallas(p, va, vb, ng: int, *, periodic: bool,
+                    block: int = _DEFAULT_BLOCK):
+    """Two CIC deposits sharing one particle sweep and one tent build —
+    the rho + number-density pair of the Boltzmann weighting
+    (pygcpic.py:841-905) costs barely more than one deposit."""
+    stride, width = _choose_window(ng)
+    num_k = _num_windows(ng, stride)
+    (p_b, va_b, vb_b), nb = _pad_blocks([p, va, vb], block)
+    a, b = pl.pallas_call(
+        functools.partial(_deposit2_kernel, num_k=num_k, block=block,
+                          stride=stride, width=width),
+        grid=(nb,),
+        in_specs=[_particle_spec(block)] * 3,
+        out_specs=(_acc_spec(num_k, width), _acc_spec(num_k, width)),
+        out_shape=(
+            jax.ShapeDtypeStruct((width, num_k), jnp.float32),
+            jax.ShapeDtypeStruct((width, num_k), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(p_b, va_b, vb_b)
+    return (
+        _fold_windows(a.T.astype(va.dtype), ng, periodic, stride),
+        _fold_windows(b.T.astype(vb.dtype), ng, periodic, stride),
+    )
+
+
+def _boris_kernel(
+    fwin_ref, p_ref, vx_ref, vy_ref, vz_ref, c_ref, act_ref,
+    p1_ref, vx1_ref, vy1_ref, vz1_ref,
+    *, num_k, block, stride, width, bx, by, bz, dt, dt_dx, hi,
+):
+    p = p_ref[0, 0, :]
+    vx0 = vx_ref[0, 0, :]
+    vy0 = vy_ref[0, 0, :]
+    vz0 = vz_ref[0, 0, :]
+    const = c_ref[0, 0, :]
+    act = act_ref[0, 0, :]
+
+    ex = _gather_at(fwin_ref, jnp.clip(p, 0.0, hi), num_k, block, stride,
+                    width)
+    # Boris-Buneman: half E kick, (t, s) rotation, half E kick, drift
+    # (pygcpic.py:460-507; E has only an x component on the 1D grid).
+    vx = vx0 + const * ex
+    tx = const * bx
+    ty = const * by
+    tz = const * bz
+    t2 = tx * tx + ty * ty + tz * tz
+    inv = 2.0 / (1.0 + t2)
+    sx = tx * inv
+    sy = ty * inv
+    sz = tz * inv
+    vfx = vx + vy0 * tz - vz0 * ty
+    vfy = vy0 + vz0 * tx - vx * tz
+    vfz = vz0 + vx * ty - vy0 * tx
+    vx = vx + (vfy * sz - vfz * sy)
+    vy = vy0 + (vfz * sx - vfx * sz)
+    vz = vz0 + (vfx * sy - vfy * sx)
+    vx = vx + const * ex
+
+    # inactive particles hold their state (the engine's where-masks)
+    p1_ref[0, 0, :] = jnp.where(act > 0, p + vx * dt_dx, p)
+    vx1_ref[0, 0, :] = jnp.where(act > 0, vx, vx0)
+    vy1_ref[0, 0, :] = jnp.where(act > 0, vy, vy0)
+    vz1_ref[0, 0, :] = jnp.where(act > 0, vz, vz0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("b", "dt", "dt_dx", "block")
+)
+def boris_gather_push_pallas(
+    field, p, vx, vy, vz, const, act, *, b, dt: float, dt_dx: float,
+    block: int = _DEFAULT_BLOCK,
+):
+    """Fused bounded CIC gather + Boris-Buneman push (one particle sweep).
+
+    Args:
+        field: (ng,) E_x on the bounded grid.
+        p: (n,) positions in grid coordinates.
+        vx/vy/vz: (n,) velocity components [m/s].
+        const: (n,) 0.5 dt e charge_state / m (zero for inactive is NOT
+            enough to freeze a particle — pass ``act``).
+        act: (n,) 1.0 for active particles, 0.0 to hold state.
+        b: static (bx, by, bz) tuple [T].
+        dt / dt_dx: timestep and dt/dx (static).
+
+    Returns (p1, vx1, vy1, vz1).
+    """
+    ng = field.shape[0]
+    stride, width = _choose_window(ng)
+    num_k = _num_windows(ng, stride)
+    fwin_t = _window_field_t(field, num_k, False, stride, width)
+    (p_b, vx_b, vy_b, vz_b, c_b, a_b), nb = _pad_blocks(
+        [p, vx, vy, vz, const, act], block
+    )
+    kern = functools.partial(
+        _boris_kernel, num_k=num_k, block=block, stride=stride, width=width,
+        bx=float(b[0]), by=float(b[1]), bz=float(b[2]),
+        dt=dt, dt_dx=dt_dx, hi=float(ng - 1),
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[_acc_spec(num_k, width)] + [_particle_spec(block)] * 6,
+        out_specs=(_particle_spec(block),) * 4,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((nb, 1, block), p.dtype) for _ in range(4)
+        ),
+        interpret=_interpret(),
+    )(fwin_t, p_b, vx_b, vy_b, vz_b, c_b, a_b)
+    n = p.shape[0]
+    return tuple(o.reshape(-1)[:n] for o in outs)
+
+
 # ---------------------------------------------------------------------------
 # gather
 # ---------------------------------------------------------------------------

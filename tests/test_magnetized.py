@@ -358,3 +358,34 @@ def test_step_determinism():
                      np.asarray(m.field_energy)))
     for a, b in zip(outs[0], outs[1]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_magnetized_fused_backend_matches_composed():
+    """The Pallas dual-deposit + fused gather/Boris backend == composed ops
+    for a single step (interpret mode on CPU runs the identical kernels).
+    Multi-step trajectories diverge chaotically from f32 reduction-order
+    lsb differences amplified by the discrete absorption-count feedback, so
+    the equivalence check is per-step on the continuous quantities."""
+    from pypic_tpu.presets import pic_iead
+    import dataclasses as dc
+
+    outs = {}
+    for backend in ("composed", "fused"):
+        pre = pic_iead(n_per_species=500)
+        cfg = dc.replace(pre.config, backend=backend)
+        st2, m = magnetized.make_step(cfg)(pre.state)
+        outs[backend] = (st2, m)
+    st_c, m_c = outs["composed"]
+    st_f, m_f = outs["fused"]
+    np.testing.assert_allclose(np.asarray(m_f.rho), np.asarray(m_c.rho),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(m_f.phi), np.asarray(m_c.phi),
+                               rtol=1e-3, atol=1e-8)
+    act = np.asarray(st_c.active) == 1
+    np.testing.assert_allclose(np.asarray(st_f.p)[act],
+                               np.asarray(st_c.p)[act], rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_f.v)[act],
+                               np.asarray(st_c.v)[act], rtol=2e-4, atol=1.0)
+    assert int(np.asarray(st_f.active).sum()) == int(
+        np.asarray(st_c.active).sum()
+    )
