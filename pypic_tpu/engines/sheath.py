@@ -74,6 +74,12 @@ class SheathConfig:
     maxiter: int = 20  # PIC_L_DD.py:318
     gamma: float = 0.0  # thermostat resampling probability (PIC_L_DD.py:331)
     deposit_method: str = "auto"
+    # 'fused' runs each Picard inner pass as one Pallas sweep (gather + CN +
+    # wall check + current deposit with the wall surface-charge terms folded
+    # into the same deposit); 'auto' = fused on TPU at scale. Like the
+    # implicit engine's fused path, (x1, u1, j1) come from a finalize pass
+    # over the converged field rather than the last iterate.
+    backend: str = "auto"
     # exit-velocity histogram (replaces the reference's dynamic vionout list)
     exit_hist_bins: int = 64
     exit_hist_vmax: float = 0.0  # [m/s]; 0 disables recording
@@ -200,6 +206,36 @@ def make_step(cfg: SheathConfig):
         u0 = v0[:, 0]
         qm = q / m
 
+        use_fused = cfg.backend == "fused" or (
+            cfg.backend == "auto"
+            and jax.default_backend() == "tpu"
+            and p0.shape[0] >= 8192
+        )
+        if cfg.backend not in ("auto", "fused", "composed"):
+            raise ValueError(f"unknown backend {cfg.backend!r}")
+
+        def _hist_update(hist, act_prev, act_new):
+            """Exit-velocity histograms from the status transition (the
+            fused kernel returns act; the binning stays outside)."""
+            if cfg.exit_hist_vmax <= 0.0:
+                return hist
+            right = (act_prev == ACTIVE) & (act_new == LOST_RIGHT)
+            left = (act_prev == ACTIVE) & (act_new == LOST_LEFT)
+            vout = jnp.where(right, u0, jnp.where(left, -u0, 0.0))
+            rec = (right | left) & (state.step >= cfg.record_exit_after_step)
+            bins = cfg.exit_hist_bins
+            idx = jnp.clip(
+                ((vout + cfg.exit_hist_vmax)
+                 * (bins / (2.0 * cfg.exit_hist_vmax))).astype(jnp.int32),
+                0, bins - 1,
+            )
+            flat = jnp.clip(species - 1, 0, 1) * bins + idx
+            upd = histogram_add(
+                flat, jnp.where(rec, 1.0, 0.0).astype(hist.dtype),
+                2 * bins, method=cfg.deposit_method,
+            )
+            return hist + upd.reshape(2, bins)
+
         # --- Picard loop (PIC_L_DD.py:458-533).
         def cond(carry):
             return (carry[-2] > cfg.tol) & (carry[-1] < cfg.maxiter)
@@ -250,13 +286,51 @@ def make_step(cfg: SheathConfig):
             r = jnp.linalg.norm(es - eh)
             return eh, xh, (x1, u1), (e1, j1), act, hist, r, k + 1
 
-        carry0 = (
-            e0, p0, (p0, u0), (e0, state.j), active, state.exit_hist,
-            jnp.asarray(jnp.inf, e0.dtype), jnp.asarray(0, jnp.int32),
-        )
-        _, _, (x1, u1), (e1, j1), active, exit_hist, r, k = lax.while_loop(
-            cond, body, carry0
-        )
+        if use_fused:
+            from ..ops.pallas_cic import (
+                sheath_finalize_pallas,
+                sheath_picard_pallas,
+            )
+
+            wall_ratio = float(dx * dx / dt)
+            w_arr = q * (cfg.p2c / dx)
+
+            def body_fused(carry):
+                es, ps, act_f, _, hist, _, k = carry
+                xh, act1, jh = sheath_picard_pallas(
+                    es, ps, p0, u0, qm, w_arr, act_f,
+                    dt=dt, dx=dx, wall_ratio=wall_ratio,
+                )
+                jh = jh.at[0].add(jh[1]).at[-1].add(jh[-2])
+                hist = _hist_update(hist, act_f, act1)
+                e1 = e0 + (dt / EPSILON_0) * (jnp.mean(jh) - jh)
+                eh = 0.5 * (e1 + e0)
+                r = jnp.linalg.norm(es - eh)
+                return eh, xh, act1, e1, hist, r, k + 1
+
+            act_f0 = active.astype(e0.dtype)
+            fcarry0 = (
+                e0, p0, act_f0, e0, state.exit_hist,
+                jnp.asarray(jnp.inf, e0.dtype), jnp.asarray(0, jnp.int32),
+            )
+            es, ps, act_f, e1, exit_hist, r, k = lax.while_loop(
+                cond, body_fused, fcarry0
+            )
+            x1, u1, act1, j1 = sheath_finalize_pallas(
+                es, ps, p0, u0, qm, w_arr, act_f,
+                dt=dt, dx=dx, wall_ratio=wall_ratio,
+            )
+            j1 = j1.at[0].add(j1[1]).at[-1].add(j1[-2])
+            exit_hist = _hist_update(exit_hist, act_f, act1)
+            active = act1.astype(jnp.int32)
+        else:
+            carry0 = (
+                e0, p0, (p0, u0), (e0, state.j), active, state.exit_hist,
+                jnp.asarray(jnp.inf, e0.dtype), jnp.asarray(0, jnp.int32),
+            )
+            _, _, (x1, u1), (e1, j1), active, exit_hist, r, k = lax.while_loop(
+                cond, body, carry0
+            )
 
         is_active = active == ACTIVE
         v1 = jnp.where(

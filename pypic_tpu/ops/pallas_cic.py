@@ -336,6 +336,172 @@ def boris_gather_push_pallas(
 
 
 # ---------------------------------------------------------------------------
+# fused bounded sheath Picard iteration (PIC_L_DD.py:458-533): gather + CN
+# push of active particles + wall-absorption check + current deposit with
+# the wall surface-charge terms folded into the SAME deposit — a particle
+# contributes either its current at the half-step position or its wall
+# charge at the wall node (PIC_L_DD.py:41-68), so one tent pass covers both.
+# ---------------------------------------------------------------------------
+
+
+def _sheath_common(fwin_ref, ps, p0, u0, qm, act, scal_ref,
+                   num_k, block, stride, width, cells):
+    dt = scal_ref[0, 0]
+    dt_dx = scal_ref[1, 0]
+    is_act = act > 0.5  # ACTIVE == 1; LOST_RIGHT == 0, LOST_LEFT == -1
+    e_p = _gather_at(
+        fwin_ref, jnp.clip(ps, 0.0, cells), num_k, block, stride, width
+    )
+    accel = qm * e_p
+    x1 = p0 + dt_dx * u0 + (0.5 * dt * dt_dx) * accel
+    u1 = u0 + dt * accel
+    x1 = jnp.where(is_act, x1, 0.0)
+    u1 = jnp.where(is_act, u1, 0.0)
+    xh = jnp.where(is_act, 0.5 * (p0 + x1), 0.0)
+    uh = jnp.where(is_act, 0.5 * (u0 + u1), 0.0)
+    # wall absorption on any of (x0, xh, x1) (PIC_L_DD.py:493-505)
+    right = is_act & (
+        (p0 >= cells) | (xh >= cells) | (x1 >= cells)
+    )
+    left = is_act & ((p0 <= 0.0) | (xh <= 0.0) | (x1 <= 0.0))
+    act1 = jnp.where(right, 0.0, act)
+    act1 = jnp.where(left, -1.0, act1)
+    return x1, u1, xh, uh, act1
+
+
+def _sheath_deposit_args(pos_active, val_active, act1, w, wall_ratio, cells):
+    """Current deposit value/position with wall charge folded in
+    (PIC_L_DD.py:50-63): active -> w*u at x; lost-left -> +w*ratio at node 0;
+    lost-right -> -w*ratio at the last node."""
+    is_act = act1 > 0.5
+    lost_left = act1 < -0.5
+    pos = jnp.where(is_act, pos_active, jnp.where(lost_left, 0.0, cells))
+    val = jnp.where(
+        is_act, w * val_active,
+        jnp.where(lost_left, w * wall_ratio, -w * wall_ratio),
+    )
+    return pos, val
+
+
+def _sheath_iter_kernel(
+    scal_ref, fwin_ref, ps_ref, p0_ref, u0_ref, qm_ref, w_ref, act_ref,
+    xh_ref, act1_ref, jh_ref,
+    *, num_k, block, stride, width, cells, wall_ratio,
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        jh_ref[:] = jnp.zeros_like(jh_ref)
+
+    x1, u1, xh, uh, act1 = _sheath_common(
+        fwin_ref, ps_ref[0, 0, :], p0_ref[0, 0, :], u0_ref[0, 0, :],
+        qm_ref[0, 0, :], act_ref[0, 0, :], scal_ref,
+        num_k, block, stride, width, cells,
+    )
+    xh_ref[0, 0, :] = xh
+    act1_ref[0, 0, :] = act1
+    pos, val = _sheath_deposit_args(xh, uh, act1, w_ref[0, 0, :],
+                                    wall_ratio, cells)
+    _deposit_into(jh_ref, pos, val, num_k, block, stride, width)
+
+
+def _sheath_final_kernel(
+    scal_ref, fwin_ref, ps_ref, p0_ref, u0_ref, qm_ref, w_ref, act_ref,
+    x1_ref, u1_ref, act1_ref, j1_ref,
+    *, num_k, block, stride, width, cells, wall_ratio,
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        j1_ref[:] = jnp.zeros_like(j1_ref)
+
+    x1, u1, xh, uh, act1 = _sheath_common(
+        fwin_ref, ps_ref[0, 0, :], p0_ref[0, 0, :], u0_ref[0, 0, :],
+        qm_ref[0, 0, :], act_ref[0, 0, :], scal_ref,
+        num_k, block, stride, width, cells,
+    )
+    x1_ref[0, 0, :] = x1
+    u1_ref[0, 0, :] = u1
+    act1_ref[0, 0, :] = act1
+    pos, val = _sheath_deposit_args(x1, u1, act1, w_ref[0, 0, :],
+                                    wall_ratio, cells)
+    _deposit_into(j1_ref, pos, val, num_k, block, stride, width)
+
+
+def _sheath_call(kernel, n_out_particles, es, ps, p0, u0, qm, w, act,
+                 *, dt, dx, wall_ratio, block):
+    ng = es.shape[0]
+    cells = float(ng - 1)
+    stride, width = _choose_window(ng)
+    num_k = _num_windows(ng, stride)
+    fwin_t = _window_field_t(es, num_k, False, stride, width)
+    (ps_b, p0_b, u0_b, qm_b, w_b, act_b), nb = _pad_blocks(
+        [ps, p0, u0, qm, w, act], block
+    )
+    scal = jnp.stack([
+        jnp.asarray(dt, ps.dtype), jnp.asarray(dt / dx, ps.dtype),
+        jnp.zeros((), ps.dtype), jnp.zeros((), ps.dtype),
+    ]).reshape(4, 1)
+    kern = functools.partial(
+        kernel, num_k=num_k, block=block, stride=stride, width=width,
+        cells=cells, wall_ratio=wall_ratio,
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[_SMEM_SPEC, _acc_spec(num_k, width)]
+        + [_particle_spec(block)] * 6,
+        out_specs=(_particle_spec(block),) * n_out_particles
+        + (_acc_spec(num_k, width),),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((nb, 1, block), ps.dtype)
+            for _ in range(n_out_particles)
+        ) + (jax.ShapeDtypeStruct((width, num_k), jnp.float32),),
+        interpret=_interpret(),
+    )(scal, fwin_t, ps_b, p0_b, u0_b, qm_b, w_b, act_b)
+    n = ps.shape[0]
+    parts = [o.reshape(-1)[:n] for o in outs[:-1]]
+    grid_acc = _fold_windows(outs[-1].T.astype(ps.dtype), ng, False, stride)
+    return parts, grid_acc
+
+
+def sheath_picard_pallas(es, ps, p0, u0, qm, w, act, *, dt: float, dx: float,
+                         wall_ratio: float, block: int = _DEFAULT_BLOCK):
+    """Fused sheath Picard inner pass (one particle sweep).
+
+    Args:
+        es: (ng,) bounded half-step field guess.
+        ps: (n,) position guess (previous xh).
+        p0/u0: step-start positions (grid coords) / x-velocities.
+        qm/w: per-particle q/m and deposit prefactor q p2c / dx (two
+            species ride as arrays).
+        act: (n,) float status: 1 active, 0 lost-right, -1 lost-left.
+        wall_ratio: dx^2/dt — (wall charge dx q p2c/dt) / (w = q p2c/dx).
+
+    Returns (xh, act1, jh) — jh includes the wall surface-charge terms but
+    NOT the edge fold (j[0]+=j[1]...), which the caller applies.
+    """
+    (xh, act1), jh = _sheath_call(
+        _sheath_iter_kernel, 2, es, ps, p0, u0, qm, w, act,
+        dt=dt, dx=dx, wall_ratio=wall_ratio, block=block,
+    )
+    return xh, act1, jh
+
+
+def sheath_finalize_pallas(es, ps, p0, u0, qm, w, act, *, dt: float,
+                           dx: float, wall_ratio: float,
+                           block: int = _DEFAULT_BLOCK):
+    """Post-convergence sheath pass: (x1, u1, act1, j1)."""
+    (x1, u1, act1), j1 = _sheath_call(
+        _sheath_final_kernel, 3, es, ps, p0, u0, qm, w, act,
+        dt=dt, dx=dx, wall_ratio=wall_ratio, block=block,
+    )
+    return x1, u1, act1, j1
+
+
+# ---------------------------------------------------------------------------
 # gather
 # ---------------------------------------------------------------------------
 

@@ -121,3 +121,33 @@ def test_wall_charge_current_terms():
     expected = dx * E_CHARGE * p2c / dt  # wall term, folded with j[1]
     assert j[0] != 0.0
     np.testing.assert_allclose(j[0], expected, rtol=1e-5)
+
+
+def test_sheath_fused_backend_matches_composed():
+    """The fused Pallas Picard pass (wall charge folded into the deposit) ==
+    composed ops for a single step; and the physics acceptance holds on a
+    short fused run (interpret mode exercises the kernels on CPU)."""
+    import dataclasses as dc
+
+    outs = {}
+    for backend in ("composed", "fused"):
+        cfg, st, te = _setup(n=8000)
+        cfg = dc.replace(cfg, backend=backend)
+        st2, m = sheath.make_step(cfg)(st)
+        outs[backend] = (st2, m)
+    st_c, m_c = outs["composed"]
+    st_f, m_f = outs["fused"]
+    # same Picard envelope and wall accounting
+    assert int(m_f.picard_iters) == int(m_c.picard_iters)
+    assert int(m_f.n_lost_left) == int(m_c.n_lost_left)
+    assert int(m_f.n_lost_right) == int(m_c.n_lost_right)
+    np.testing.assert_allclose(
+        np.asarray(m_f.phi), np.asarray(m_c.phi), rtol=1e-3, atol=1e-6
+    )
+    act = np.asarray(st_c.active) == 1
+    np.testing.assert_allclose(
+        np.asarray(st_f.p)[act], np.asarray(st_c.p)[act],
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_array_equal(np.asarray(st_f.active),
+                                  np.asarray(st_c.active))
