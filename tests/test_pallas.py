@@ -84,3 +84,75 @@ def test_deposit_pallas_padding_mask():
     out = deposit_pallas(p, val, 64, periodic=True)
     assert np.isclose(float(out.sum()), 2.0)
     assert np.isclose(float(out[5]), 1.0) and np.isclose(float(out[6]), 1.0)
+
+
+def test_histogram_add_matches_bincount():
+    from pypic_tpu.ops import histogram_add
+
+    rng = np.random.default_rng(0)
+    nbins = 3200
+    idx = jnp.asarray(rng.integers(0, nbins, 100_000), jnp.int32)
+    vals = jnp.asarray(rng.uniform(0, 1, 100_000), jnp.float32)
+    # masked rows contribute nothing
+    vals = vals.at[::7].set(0.0)
+    out = histogram_add(idx, vals, nbins)
+    expect = np.bincount(np.asarray(idx), weights=np.asarray(vals),
+                         minlength=nbins)
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5, atol=1e-4)
+
+
+def test_deposit2_matches_two_deposits():
+    from pypic_tpu.ops import deposit
+    from pypic_tpu.ops.pallas_cic import deposit2_pallas
+
+    rng = np.random.default_rng(1)
+    ng = 600
+    p = jnp.asarray(rng.uniform(0, ng - 1, 50_000), jnp.float32)
+    va = jnp.asarray(rng.normal(size=50_000), jnp.float32)
+    vb = jnp.asarray(rng.uniform(0, 2, 50_000), jnp.float32)
+    a, b = deposit2_pallas(p, va, vb, ng, periodic=False)
+    a1 = deposit(p, va, ng, periodic=False, method="scatter")
+    b1 = deposit(p, vb, ng, periodic=False, method="scatter")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a1),
+                               rtol=2e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(b1),
+                               rtol=2e-4, atol=1e-3)
+
+
+def test_boris_gather_push_matches_composed_ops():
+    from pypic_tpu.constants import E_CHARGE, M_PROTON
+    from pypic_tpu.ops import gather
+    from pypic_tpu.ops.pallas_cic import boris_gather_push_pallas
+    from pypic_tpu.push import boris_push_dt
+
+    rng = np.random.default_rng(2)
+    ng, n = 128, 20_000
+    dx, dt = 1e-5, 1e-10
+    field = jnp.asarray(rng.normal(0, 100, ng), jnp.float32)
+    p = jnp.asarray(rng.uniform(0, ng - 1, n), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1e4, (n, 3)), jnp.float32)
+    cs = jnp.asarray(rng.integers(1, 3, n), jnp.float32)
+    m = jnp.full((n,), 2.0 * M_PROTON, jnp.float32)
+    act = jnp.asarray(rng.uniform(size=n) < 0.9, jnp.float32)
+    b = (1.2, 0.7, -0.3)
+
+    p1, vx1, vy1, vz1 = boris_gather_push_pallas(
+        field, p, v[:, 0], v[:, 1], v[:, 2],
+        (0.5 * dt * E_CHARGE) * cs / m, act, b=b, dt=dt, dt_dx=dt / dx,
+    )
+    e_p = jnp.where(act > 0, gather(field, p, periodic=False, method="take"),
+                    0.0)
+    x1r, _, v1r = boris_push_dt(p * dx, jnp.zeros((n, 2)), v, e_p,
+                                jnp.asarray(b, jnp.float32), cs, m, dt)
+    is_act = np.asarray(act) > 0
+    # p + vx*dt/dx vs (x + vx*dt)/dx round differently at f32
+    np.testing.assert_allclose(np.asarray(p1)[is_act],
+                               np.asarray(x1r)[is_act] / dx, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(vx1)[is_act],
+                               np.asarray(v1r)[is_act, 0], rtol=1e-4,
+                               atol=1e-2)
+    # inactive particles hold their state exactly
+    np.testing.assert_array_equal(np.asarray(p1)[~is_act],
+                                  np.asarray(p)[~is_act])
+    np.testing.assert_array_equal(np.asarray(vy1)[~is_act],
+                                  np.asarray(v)[~is_act, 1])
