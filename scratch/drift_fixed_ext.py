@@ -33,6 +33,6 @@ def drift(maxiter, seed):
         done += 1000; tot1 = tot[-1]
     print(f"extrapolate fixed-{maxiter} seed={seed}: drift {(tot1-tot0)/tot0:+.3e}", flush=True)
 
-for mi in (4, 6):
-    for seed in (1, 7):
+for mi in (5,):
+    for seed in (1, 7, 3):
         drift(mi, seed)

@@ -241,3 +241,4 @@ def test_picard_extrapolated_init_same_physics_fewer_iters():
     it_f = np.asarray(runs["field"].picard_iters, np.float64)
     it_x = np.asarray(runs["extrapolate"].picard_iters, np.float64)
     assert it_x.mean() <= it_f.mean()
+
