@@ -62,6 +62,9 @@ def _time(run_fn, warm=True):
 
 
 def _landau_problem(n, tol, maxiter=50):
+    # maxiter also serves as the fixed-iteration knob for the conserving
+    # configuration: --tol 1e-30 --maxiter 6 --picard-init extrapolate
+    # measured <0.1% drift per 1e4 steps across seeds (PERF.md).
     import jax
     import jax.numpy as jnp
 
@@ -104,7 +107,7 @@ def bench_headline(args):
 
     on_tpu = jax.default_backend() == "tpu"
     n = args.particles or (100_000_000 if on_tpu else 200_000)
-    grid, x, v, cfg = _landau_problem(n, args.tol)
+    grid, x, v, cfg = _landau_problem(n, args.tol, maxiter=args.maxiter)
     state = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
     step = implicit.make_step(cfg)
     print(f"bench: backend={jax.default_backend()} n={n:.2e} ng={grid.ng} "
@@ -293,6 +296,9 @@ def main():
                     help="Picard tolerance; 1e-9 measured at -1.6e-6 energy "
                          "drift per 1e4 steps — 600x inside the north star "
                          "(reference parity: 1e-3)")
+    ap.add_argument("--maxiter", type=int, default=50,
+                    help="Picard iteration cap (with --tol 1e-30: a fixed "
+                         "count; 6 + extrapolate = the conserving config)")
     ap.add_argument("--drift-steps", type=int, default=0,
                     help="additionally measure energy drift over this many steps")
     ap.add_argument("--all", action="store_true",
