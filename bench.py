@@ -130,11 +130,11 @@ def bench_headline(args):
     if args.drift_steps:
         # chunked dispatches: a single 1e4-step scan dispatch through the
         # remote tunnel crashes the TPU worker; 1000-step spans are stable
-        chunk = min(1000, args.drift_steps)
         st = state
         tot0 = tot1 = None
         done = 0
         while done < args.drift_steps:
+            chunk = min(1000, args.drift_steps - done)
             st, m2 = run(step, st, chunk)
             tot = np.asarray(m2.field_energy, np.float64) + np.asarray(
                 m2.kinetic_energy, np.float64
@@ -293,9 +293,11 @@ def main():
     ap.add_argument("--particles", type=int, default=None)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--tol", type=float, default=1e-9,
-                    help="Picard tolerance; 1e-9 measured at -1.6e-6 energy "
-                         "drift per 1e4 steps — 600x inside the north star "
-                         "(reference parity: 1e-3)")
+                    help="Picard tolerance (reference parity: 1e-3, which "
+                         "does NOT conserve energy on this workload; see "
+                         "PERF.md's drift landscape — the conserving config "
+                         "is --tol 1e-30 --maxiter 6 --picard-init "
+                         "extrapolate)")
     ap.add_argument("--maxiter", type=int, default=50,
                     help="Picard iteration cap (with --tol 1e-30: a fixed "
                          "count; 6 + extrapolate = the conserving config)")
@@ -304,6 +306,8 @@ def main():
     ap.add_argument("--all", action="store_true",
                     help="run the full BASELINE.md config matrix")
     ap.add_argument("--only", default=None,
+                    choices=("two_stream", "landau", "sheath", "magnetized",
+                             "domain", "headline"),
                     help="run a single named matrix config")
     ap.add_argument("--picard-init", default="extrapolate",
                     choices=("field", "extrapolate"),

@@ -22,7 +22,10 @@ import numpy as np
 import jax
 
 _MANIFEST = "manifest.json"
-_FORMAT_VERSION = 1
+# v2: leaves are stored with their pytree key paths so adding a state field
+# to an engine never breaks restoring older checkpoints (new leaves fall back
+# to the template's value); v1 matched leaves positionally.
+_FORMAT_VERSION = 2
 
 
 def _flatten(state):
@@ -30,13 +33,21 @@ def _flatten(state):
     return leaves, treedef
 
 
+def _flatten_with_paths(state):
+    kps, treedef = jax.tree_util.tree_flatten_with_path(state)
+    paths = [jax.tree_util.keystr(kp) for kp, _ in kps]
+    leaves = [leaf for _, leaf in kps]
+    return paths, leaves, treedef
+
+
 def save(path: str, state, step: int | None = None, extra: dict | None = None):
     """Atomically save a state pytree to ``path`` (an .npz file)."""
-    leaves, _ = _flatten(state)
+    paths, leaves, _ = _flatten_with_paths(state)
     arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
     manifest = {
         "format_version": _FORMAT_VERSION,
         "num_leaves": len(leaves),
+        "leaf_paths": paths,
         "step": int(step) if step is not None else None,
         "extra": extra or {},
     }
@@ -63,26 +74,45 @@ def load(path: str, template):
     Returns:
         (state, manifest_dict)
     """
+    import sys
+
     with np.load(path, allow_pickle=False) as data:
         manifest = json.loads(str(data["__manifest__"]))
-        if manifest["format_version"] != _FORMAT_VERSION:
+        if manifest["format_version"] not in (1, _FORMAT_VERSION):
             raise ValueError(
                 f"checkpoint format {manifest['format_version']} != "
                 f"{_FORMAT_VERSION}"
             )
-        leaves, treedef = _flatten(template)
-        if manifest["num_leaves"] != len(leaves):
-            raise ValueError(
-                f"checkpoint has {manifest['num_leaves']} leaves, template "
-                f"has {len(leaves)} — engine/state mismatch"
-            )
+        paths, leaves, treedef = _flatten_with_paths(template)
+        if manifest["format_version"] == 1 or "leaf_paths" not in manifest:
+            # positional v1 layout: require an exact structural match
+            stored = {f"leaf_{i}": p for i, p in enumerate(paths)}
+            if manifest["num_leaves"] != len(leaves):
+                raise ValueError(
+                    f"v1 checkpoint has {manifest['num_leaves']} leaves, "
+                    f"template has {len(leaves)} — engine/state mismatch"
+                )
+            by_path = {p: data[f"leaf_{i}"] for i, p in enumerate(paths)}
+        else:
+            by_path = {
+                p: data[f"leaf_{i}"]
+                for i, p in enumerate(manifest["leaf_paths"])
+            }
         new_leaves = []
-        for i, leaf in enumerate(leaves):
-            arr = data[f"leaf_{i}"]
+        for p, leaf in zip(paths, leaves):
             want = np.asarray(leaf)
+            if p not in by_path:
+                # a field added to the engine state after this checkpoint was
+                # written: fall back to the template's (freshly initialized)
+                # value so resume still works
+                print(f"checkpoint: leaf {p} absent in {path}; using the "
+                      "template value", file=sys.stderr)
+                new_leaves.append(jax.numpy.asarray(want))
+                continue
+            arr = by_path[p]
             if arr.shape != want.shape or arr.dtype != want.dtype:
                 raise ValueError(
-                    f"leaf {i}: checkpoint {arr.shape}/{arr.dtype} vs "
+                    f"leaf {p}: checkpoint {arr.shape}/{arr.dtype} vs "
                     f"template {want.shape}/{want.dtype}"
                 )
             new_leaves.append(jax.numpy.asarray(arr))
@@ -99,15 +129,21 @@ class CheckpointManager:
         self.every = int(every)
         self.keep = int(keep)
         self.prefix = prefix
+        self._last_saved = 0
         os.makedirs(directory, exist_ok=True)
 
     def _path(self, step: int) -> str:
         return os.path.join(self.directory, f"{self.prefix}_{step:010d}.npz")
 
     def maybe_save(self, state, step: int) -> bool:
-        if step % self.every:
+        """Save when ``step`` crosses an ``every`` boundary since the last
+        save — correct both for per-step calls and for strided callers (e.g.
+        the hybrid BCA driver advancing pic_steps_per_bca steps per call,
+        where exact multiples may never be hit)."""
+        if step // self.every <= self._last_saved // self.every:
             return False
         save(self._path(step), state, step=step)
+        self._last_saved = step
         self._gc()
         return True
 

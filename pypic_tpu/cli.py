@@ -69,6 +69,8 @@ def _cmd_run(args):
     # Particle trajectory dump for the offline phase-space replay
     # (pypic_vpython.py:14 format: "x,v" rows, fixed particles per frame).
     dump_path = os.path.join(outdir, "particle_output.txt")
+    if args.dump_particles and os.path.exists(dump_path):
+        os.unlink(dump_path)  # frames append per span; never mix runs
 
     def _dump_frame(st):
         if not args.dump_particles:
@@ -175,11 +177,18 @@ def _cmd_run(args):
     if args.bca_postprocess and hasattr(final, "iead"):
         from . import bca as bca_mod
 
+        # incident species per IEAD row from the preset (default: pic_iead's
+        # D and B, pygcpic.py:1147-1180)
+        (m_src, z_src), (m_wall, z_wall) = preset.meta.get(
+            "bca_incident", ((2.0, 1), (10.81, 5))
+        )
         stats = bca_mod.postprocess_iead(
             np.asarray(final.iead),
             preset.config.iead_energy_max, preset.config.iead_angle_max,
-            bca_mod.BinaryCollisionModel(incident_m_amu=2.0, incident_z=1),
-            bca_mod.BinaryCollisionModel(incident_m_amu=10.81, incident_z=5),
+            bca_mod.BinaryCollisionModel(incident_m_amu=m_src,
+                                         incident_z=z_src),
+            bca_mod.BinaryCollisionModel(incident_m_amu=m_wall,
+                                         incident_z=z_wall),
         )
         print(  # the reference's budget line (pygcpic.py:1305)
             f"num_deposited: {stats['num_deposited_wall']:.0f}, "

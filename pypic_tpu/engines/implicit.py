@@ -177,7 +177,6 @@ def make_step(cfg: ImplicitConfig):
             picard_finalize_pallas,
         )
 
-        iteration = picard_iteration_pallas
         p0, v0, e0 = state.p, state.v, state.e
         # q/m are scalars on this path (checked by the dispatcher below).
         qm_s = state.q / state.m
@@ -189,7 +188,7 @@ def make_step(cfg: ImplicitConfig):
 
         def body(carry):
             es, ps, _, _, k = carry
-            ph, jh = iteration(
+            ph, jh = picard_iteration_pallas(
                 _smooth(es), ps, p0, v0, ng,
                 qm=qm_s, w=w_s, dt=dt, dx=dx,
             )

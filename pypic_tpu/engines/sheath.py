@@ -242,6 +242,7 @@ def make_step(cfg: SheathConfig):
 
         def body(carry):
             es, ps, _, _, act, hist, _, k = carry
+            act_prev = act
             is_active = act == ACTIVE
             e_p = jnp.where(
                 is_active, gather(es, ps, periodic=False), 0.0
@@ -260,24 +261,7 @@ def make_step(cfg: SheathConfig):
             act = jnp.where(right, LOST_RIGHT, act)
             act = jnp.where(left, LOST_LEFT, act)
 
-            # Exit-velocity histograms (outgoing-positive), per species —
-            # as a width-0 tent deposit (ops.histogram_add), not an XLA
-            # scatter: this runs inside the Picard loop, ~17x per step.
-            if cfg.exit_hist_vmax > 0.0:
-                vout = jnp.where(right, u0, jnp.where(left, -u0, 0.0))
-                rec = (right | left) & (state.step >= cfg.record_exit_after_step)
-                bins = cfg.exit_hist_bins
-                idx = jnp.clip(
-                    ((vout + cfg.exit_hist_vmax)
-                     * (bins / (2.0 * cfg.exit_hist_vmax))).astype(jnp.int32),
-                    0, bins - 1,
-                )
-                flat = jnp.clip(species - 1, 0, 1) * bins + idx
-                upd = histogram_add(
-                    flat, jnp.where(rec, 1.0, 0.0).astype(hist.dtype),
-                    2 * bins, method=cfg.deposit_method,
-                )
-                hist = hist + upd.reshape(2, bins)
+            hist = _hist_update(hist, act_prev, act)
 
             jh = _deposit_currents(xh, uh, q, act)
             j1 = _deposit_currents(x1, u1, q, act)

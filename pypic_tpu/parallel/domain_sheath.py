@@ -118,6 +118,7 @@ class StepMetrics(NamedTuple):
     n_lost_right: jax.Array
     n_migrated: jax.Array
     n_dropped: jax.Array
+    n_halo_clamped: jax.Array  # final-iterate excursions beyond the halo
     phi: jax.Array  # (ng,) replicated diagnostic
 
 
@@ -341,6 +342,13 @@ def make_step(cfg: DomainSheathConfig, mesh: Mesh):
         )
 
         is_act = filled & (active == ACTIVE)
+        # halo-excursion accounting (detected, never silent — the grid ops
+        # clamp to [-halo, c+halo], so an excursion past it deposited at the
+        # clamp edge; size cfg.halo against dt * v_max / dx)
+        n_halo_clamped = lax.psum(
+            jnp.sum((is_act & ((x1 < -h) | (x1 > c + h))).astype(jnp.int32)),
+            ax,
+        )
         v1 = jnp.where(
             is_act[:, None],
             jnp.stack([u1, v0[:, 1], v0[:, 2]], axis=-1),
@@ -383,6 +391,7 @@ def make_step(cfg: DomainSheathConfig, mesh: Mesh):
             ),
             n_migrated=mig1 + mig2,
             n_dropped=drop1 + drop2,
+            n_halo_clamped=n_halo_clamped,
             phi=phi,
         )
         new_state = state.replace(

@@ -195,7 +195,8 @@ def pic_iead(n_per_species: int = 1000, ng: int = 600, seed: int = 1) -> Preset:
     )
     st = magnetized.init_state(x, v, m, cs, p2c_arr, sp, cfg, seed=seed)
     return Preset("pic_iead", magnetized, cfg, st,
-                  dict(floating_potential=phi_f))
+                  dict(floating_potential=phi_f,
+                       bca_incident=((2.0, 1), (10.81, 5))))
 
 
 def pic_bca_aps(ppc: int = 200, seed: int = 1,

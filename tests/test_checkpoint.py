@@ -85,3 +85,51 @@ def test_load_rejects_shape_mismatch(tmp_path):
     bad_template = st.replace(p=st.p[:100])
     with pytest.raises(ValueError, match="leaf"):
         checkpoint.load(path, bad_template)
+
+
+def test_restore_tolerates_added_state_field(tmp_path):
+    """A checkpoint written before an engine gained a state field restores
+    with the template's value for the new leaf (name-based v2 layout)."""
+    import dataclasses
+
+    from pypic_tpu import checkpoint
+
+    @dataclasses.dataclass
+    class Old:
+        a: object
+        b: object
+
+    @dataclasses.dataclass
+    class New:
+        a: object
+        b: object
+        c: object
+
+    import jax
+
+    jax.tree_util.register_dataclass(Old, data_fields=["a", "b"],
+                                     meta_fields=[])
+    jax.tree_util.register_dataclass(New, data_fields=["a", "b", "c"],
+                                     meta_fields=[])
+    path = str(tmp_path / "old.npz")
+    checkpoint.save(path, Old(a=np.arange(4.0), b=np.float32(2.0)), step=7)
+    template = New(a=np.zeros(4), b=np.float32(0.0), c=np.float32(9.0))
+    restored, manifest = checkpoint.load(path, template)
+    np.testing.assert_array_equal(np.asarray(restored.a), np.arange(4.0))
+    assert float(restored.b) == 2.0
+    assert float(restored.c) == 9.0  # template fallback for the new field
+    assert manifest["step"] == 7
+
+
+def test_checkpoint_manager_strided_cadence(tmp_path):
+    """maybe_save fires on every-boundary crossings even when the caller
+    advances in strides that never hit exact multiples (the batched BCA
+    driver, pic_steps_per_bca=7)."""
+    from pypic_tpu import checkpoint
+
+    mgr = checkpoint.CheckpointManager(str(tmp_path / "ck"), every=100)
+    state = {"x": np.arange(3.0)}
+    saved = [s for s in range(7, 800, 7) if mgr.maybe_save(state, s)]
+    assert saved  # crossings at 105, 203, ...
+    assert saved[0] == 105
+    assert len(saved) == 7  # one save per century crossed below 800
