@@ -56,6 +56,12 @@ class DomainConfig:
     p2c: float
     num_shards: int
     migrate_cap: int = 4096  # per-direction bucket size per migration round
+    # 'replicated' all_gathers the (small) grid and solves the FFT Poisson on
+    # every shard — right for the reference's ng of 40-800; 'distributed'
+    # keeps the solve slab-local via tridiagonal substructuring (O(ng/D)
+    # work + O(D) interface comm, parallel.distributed_poisson) — the
+    # large-Ng scaling path (SURVEY.md §5).
+    field_solve: str = "replicated"
     axis_name: str = "slabs"
     deposit_method: str = "auto"
 
@@ -319,6 +325,12 @@ def make_step(cfg: DomainConfig, mesh: Mesh):
     d_tot = cfg.num_shards
     ax = cfg.axis_name
     perm_r, perm_l = ring_perms(d_tot)
+    if cfg.field_solve == "distributed":
+        from .distributed_poisson import make_distributed_periodic_poisson
+
+        dist_solve = make_distributed_periodic_poisson(ng, dx, d_tot, ax)
+    elif cfg.field_solve != "replicated":
+        raise ValueError(f"unknown field_solve {cfg.field_solve!r}")
 
     def local_step(state: DomainState):
         d = lax.axis_index(ax)
@@ -336,14 +348,28 @@ def make_step(cfg: DomainConfig, mesh: Mesh):
         )
         rho_own = halo_fold(rho_ext, c, 0, ax, perm_r, perm_l)
 
-        # --- replicated global field solve (ng small; all_gather is O(ng))
-        rho_full = lax.all_gather(rho_own, ax, tiled=True)
-        phi = solve_periodic_neutralized(rho_full, dx)
-        phi = phi - jnp.max(phi)
-        e_full = -grad_periodic(phi, dx)
+        if cfg.field_solve == "distributed":
+            # slab-local Poisson (substructuring); E by a 1-node-halo
+            # centered difference (E is gauge-invariant, so no max shift),
+            # gather from the slab + one right-halo node in local coords
+            phi_own = dist_solve(rho_own)
+            phi_ext = halo_extend(phi_own, 1, ax, perm_r, perm_l)
+            e_own = -(phi_ext[2:c + 2] - phi_ext[:c]) / (2.0 * dx)
+            e_gather = halo_extend(e_own, 0, ax, perm_r, perm_l)
+            e_p = jnp.where(
+                alive, gather(e_gather, p_loc, periodic=False), 0.0
+            )
+            e_energy = lax.psum(jnp.sum(e_own * e_own), ax)
+        else:
+            # --- replicated global solve (ng small; all_gather is O(ng))
+            rho_full = lax.all_gather(rho_own, ax, tiled=True)
+            phi = solve_periodic_neutralized(rho_full, dx)
+            phi = phi - jnp.max(phi)
+            e_full = -grad_periodic(phi, dx)
+            e_p = jnp.where(alive, gather(e_full, p, periodic=True), 0.0)
+            e_energy = jnp.sum(e_full * e_full)
 
-        # --- gather + push + periodic wrap (global positions)
-        e_p = jnp.where(alive, gather(e_full, p, periodic=True), 0.0)
+        # --- push + periodic wrap (global positions)
         p1, v1 = leapfrog_push(p, v, e_p, qm, dt, dt_dx)
         p1 = jnp.mod(p1, ng)
         p1 = jnp.where(alive, p1, 0.0)
@@ -357,7 +383,7 @@ def make_step(cfg: DomainConfig, mesh: Mesh):
         )
 
         metrics = StepMetrics(
-            field_energy=0.5 * EPSILON_0 * dx * jnp.sum(e_full * e_full),
+            field_energy=0.5 * EPSILON_0 * dx * e_energy,
             kinetic_energy=lax.psum(
                 0.5 * cfg.p2c * state.m * jnp.sum(jnp.where(alive, v * v, 0.0)),
                 ax,

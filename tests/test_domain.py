@@ -275,3 +275,57 @@ def test_domain_implicit_fused_matches_composed(problem):
         np.asarray(runs["fused"].picard_iters),
         np.asarray(runs["composed"].picard_iters),
     )
+
+
+def test_distributed_poisson_matches_fft_solve():
+    """The substructured slab-local Poisson solve (O(ng/D) local + O(D)
+    interface comm) matches the replicated FFT solve's zero-mean phi."""
+    from jax.sharding import PartitionSpec as P
+    import jax.numpy as jnp
+    from pypic_tpu.ops import solve_periodic_neutralized
+    from pypic_tpu.parallel.distributed_poisson import (
+        make_distributed_periodic_poisson,
+    )
+
+    ng, d_tot, dx = 256, 8, 0.37
+    rng = np.random.default_rng(5)
+    rho = jnp.asarray(rng.normal(0.0, 1e-8, ng), jnp.float32)
+
+    mesh = make_mesh(d_tot, axis="slabs")
+    solve = make_distributed_periodic_poisson(ng, dx, d_tot, "slabs")
+    phi_dist = jax.shard_map(
+        solve, mesh=mesh, in_specs=(P("slabs"),), out_specs=P("slabs"),
+        check_vma=False,
+    )(rho)
+
+    phi_fft = solve_periodic_neutralized(rho, dx)
+    phi_fft = phi_fft - jnp.mean(phi_fft)
+    scale = float(jnp.abs(phi_fft).max())
+    np.testing.assert_allclose(
+        np.asarray(phi_dist, np.float64), np.asarray(phi_fft, np.float64),
+        atol=2e-5 * scale,
+    )
+
+
+def test_domain_explicit_distributed_solve_matches_replicated(problem):
+    """field_solve='distributed' (slab-local substructured Poisson + 1-node
+    halo gradient) reproduces the replicated-FFT trajectories."""
+    grid, x, v, params = problem
+    dt = 0.1 / params.wp
+    mesh = make_mesh(8, axis="slabs")
+    runs = {}
+    for fs in ("replicated", "distributed"):
+        dcfg = domain.DomainConfig(grid, dt, params.p2c, num_shards=8,
+                                   migrate_cap=2048, field_solve=fs)
+        dst = domain.shard_state(
+            domain.init_state(x, v, -E_CHARGE, M_ELECTRON, dcfg), mesh, dcfg
+        )
+        runs[fs] = run(domain.make_step(dcfg, mesh), dst, 100)[1]
+    ee_r = np.asarray(runs["replicated"].field_energy, np.float64)
+    ee_d = np.asarray(runs["distributed"].field_energy, np.float64)
+    np.testing.assert_allclose(ee_d, ee_r, rtol=2e-3)
+    ke_r = np.asarray(runs["replicated"].kinetic_energy, np.float64)
+    ke_d = np.asarray(runs["distributed"].kinetic_energy, np.float64)
+    np.testing.assert_allclose(ke_d, ke_r, rtol=1e-4)
+    assert (np.asarray(runs["distributed"].n_alive) == 16_000).all()
+    assert np.asarray(runs["distributed"].n_dropped).sum() == 0
