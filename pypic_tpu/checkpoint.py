@@ -28,11 +28,6 @@ _MANIFEST = "manifest.json"
 _FORMAT_VERSION = 2
 
 
-def _flatten(state):
-    leaves, treedef = jax.tree_util.tree_flatten(state)
-    return leaves, treedef
-
-
 def _flatten_with_paths(state):
     kps, treedef = jax.tree_util.tree_flatten_with_path(state)
     paths = [jax.tree_util.keystr(kp) for kp, _ in kps]
@@ -86,7 +81,6 @@ def load(path: str, template):
         paths, leaves, treedef = _flatten_with_paths(template)
         if manifest["format_version"] == 1 or "leaf_paths" not in manifest:
             # positional v1 layout: require an exact structural match
-            stored = {f"leaf_{i}": p for i, p in enumerate(paths)}
             if manifest["num_leaves"] != len(leaves):
                 raise ValueError(
                     f"v1 checkpoint has {manifest['num_leaves']} leaves, "
