@@ -92,6 +92,14 @@ def load(path: str, template):
                 p: data[f"leaf_{i}"]
                 for i, p in enumerate(manifest["leaf_paths"])
             }
+        # a checkpoint leaf the template does not know is a rename or a
+        # wrong-engine template — refuse rather than silently mixing states
+        unknown = sorted(set(by_path) - set(paths))
+        if unknown:
+            raise ValueError(
+                f"checkpoint leaves {unknown} not in the template state "
+                f"(paths: {paths}) — engine/state mismatch"
+            )
         new_leaves = []
         for p, leaf in zip(paths, leaves):
             want = np.asarray(leaf)

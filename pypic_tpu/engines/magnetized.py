@@ -492,8 +492,10 @@ def make_step(cfg: MagnetizedConfig):
         if cfg.reactivate != "none":
             src = cfg.source
             inactive = active != 1
+            from ..utils import compact_rows
+
             k_batch = state.p.shape[0]
-            rank = jnp.cumsum(inactive.astype(jnp.int32)) - 1
+            rank = compact_rows(inactive)
             if cfg.reactivate == "source":
                 batch = sources.sample_source_6d(
                     k_src, k_batch, grid, src.ti, src.mass, vx=src.vx

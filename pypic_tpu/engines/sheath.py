@@ -216,7 +216,13 @@ def make_step(cfg: SheathConfig):
 
         def _hist_update(hist, act_prev, act_new):
             """Exit-velocity histograms from the status transition (the
-            fused kernel returns act; the binning stays outside)."""
+            fused kernel returns act; the binning stays outside).
+
+            Edge: a particle crossing BOTH walls within one Picard iteration
+            (possible only for a re-injected particle drawn exactly at a
+            wall) is binned by its final status (left); the pre-refactor
+            inline code binned it as a right exit while still flagging it
+            LOST_LEFT — a measure-zero diagnostic difference."""
             if cfg.exit_hist_vmax <= 0.0:
                 return hist
             right = (act_prev == ACTIVE) & (act_new == LOST_RIGHT)

@@ -237,8 +237,9 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
             return e1, eh, r
 
         def cond(carry):
-            _, _, _, _, _, r, k = carry
-            return (r > cfg.tol) & (k < cfg.maxiter)
+            # shared by both backends (their carries differ in length):
+            # residual and iteration count ride at the end
+            return (carry[-2] > cfg.tol) & (carry[-1] < cfg.maxiter)
 
         def body_composed(carry):
             es, psl, _, _, _, _, k = carry
@@ -264,14 +265,14 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
         def body_fused(carry):
             from ..ops.pallas_cic import picard_iteration_ext_pallas
 
-            es, pss, placeholder, _, _, _, k = carry  # pss: shifted iterate
+            es, pss, _, _, _, k = carry  # pss: shifted local iterate
             ph_s, jh_ext = picard_iteration_ext_pallas(
                 smoothed_ext(es), pss, p0s, v0, w, ext_n,
                 qm=qm, dt=dt, dx=dx, lo=clamp_lo_s, hi=clamp_hi_s,
             )
             jh = halo_fold(jh_ext, c, hw, ax, perm_r, perm_l)
             e1, eh, r = ampere(es, jh)
-            return eh, ph_s, placeholder, e1, jh, r, k + 1
+            return eh, ph_s, e1, jh, r, k + 1
 
         es0 = (
             e0 + 0.5 * (e0 - state.e_prev)
@@ -282,10 +283,10 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
 
             p0s = p0l + hw
             carry0 = (
-                es0, p0s, (p0s, v0), e0, state.j,
+                es0, p0s, e0, state.j,
                 jnp.asarray(jnp.inf, e0.dtype), jnp.asarray(0, jnp.int32),
             )
-            es, pss, _, e1, _, r, k = lax.while_loop(cond, body_fused, carry0)
+            es, pss, e1, _, r, k = lax.while_loop(cond, body_fused, carry0)
             # finalize from the converged field (engines.implicit fused
             # semantics): one extra sweep yields (p1, v1) and j1
             p1s, v1, j1_ext = picard_finalize_ext_pallas(
