@@ -34,6 +34,8 @@ import numpy as np
 
 NORTH_STAR = 1e9
 _PICARD_INIT = "field"
+_FINALIZE = "converged"
+_ACCEL = "none"
 
 
 def _emit(name, n, steps, elapsed, extra=""):
@@ -94,7 +96,8 @@ def _landau_problem(n, tol, maxiter=50):
     k_pert = 2.0 * np.pi / length
     x = x + np.float32(0.8 / k_pert) * jnp.sin(k_pert * x) * 0.5
     cfg = implicit.ImplicitConfig(grid, dt, p2c, tol=tol, maxiter=maxiter,
-                                  picard_init=_PICARD_INIT)
+                                  picard_init=_PICARD_INIT,
+                                  finalize=_FINALIZE, picard_accel=_ACCEL)
     return grid, x, v, cfg
 
 
@@ -267,6 +270,7 @@ def bench_domain(args):
     cfg = di.DomainImplicitConfig(
         grid, 1e-5, grid.length * 1e5 / n, num_shards=n_dev,
         tol=args.tol, maxiter=50, halo=halo, picard_init=_PICARD_INIT,
+        finalize=_FINALIZE,
         migrate_cap=max(4096, 4 * (n // max(1, grid.ng))),
     )
     mesh = make_mesh(n_dev, axis="slabs")
@@ -310,13 +314,26 @@ def main():
                              "domain", "headline"),
                     help="run a single named matrix config")
     ap.add_argument("--picard-init", default="extrapolate",
-                    choices=("field", "extrapolate"),
+                    choices=("field", "extrapolate", "extrapolate2"),
                     help="Picard initial iterate (see ImplicitConfig; "
                          "extrapolate = same fixed point/tolerance, ~1 fewer "
                          "iteration; 'field' = the reference's E0 start)")
+    ap.add_argument("--finalize", default="converged",
+                    choices=("converged", "converged-deposit", "iterate"),
+                    help="step finalize (see ImplicitConfig.finalize; "
+                         "'converged' = deposit-free conserving sweep from "
+                         "the converged field [default]; 'iterate' = the "
+                         "reference's last-iterate return, fastest but "
+                         "~5x the energy drift on the violent headline "
+                         "workload)")
+    ap.add_argument("--picard-accel", default="none",
+                    choices=("none", "anderson"),
+                    help="Picard iterate mixing (see ImplicitConfig)")
     args = ap.parse_args()
-    global _PICARD_INIT
+    global _PICARD_INIT, _FINALIZE, _ACCEL
     _PICARD_INIT = args.picard_init
+    _FINALIZE = args.finalize
+    _ACCEL = args.picard_accel
 
     matrix = {
         "two_stream": bench_two_stream,

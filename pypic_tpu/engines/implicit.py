@@ -73,12 +73,39 @@ class ImplicitConfig:
     # pypic_tpu.parallel.dataparallel).
     axis_name: str | None = None
     # Initial guess for the Picard half-step field iterate:
-    #   'field'       — es0 = E0, the reference's start (pypic.py:253);
-    #   'extrapolate' — es0 = E0 + (E0 - E_prev)/2, the linear prediction of
+    #   'field'        — es0 = E0, the reference's start (pypic.py:253);
+    #   'extrapolate'  — es0 = E0 + (E0 - E_prev)/2, the linear prediction of
     #     E at t + dt/2. Same fixed point and tolerance — purely a solver
     #     accelerant (~1 fewer Picard iteration per step once the field
-    #     evolves smoothly, ~25% at tol=1e-9 on the 1e8 headline).
+    #     evolves smoothly, ~25% at tol=1e-9 on the 1e8 headline);
+    #   'extrapolate2' — quadratic prediction through (E_prev2, E_prev, E0)
+    #     evaluated at t + dt/2: (15 E0 - 10 E_prev + 3 E_prev2)/8.
     picard_init: str = "field"
+    # What the step returns after the Picard loop exits (backend='fused'):
+    #   'converged' (default) — recompute (p1, v1) with one extra fused sweep
+    #     from the *converged* half-step field: a strictly tighter fixed-point
+    #     evaluation than the reference (measured 10x better energy drift on
+    #     the violent headline workload, PERF.md). The finalize sweep skips
+    #     the purely-diagnostic full-step current deposit: state.j holds the
+    #     half-step current jh that drove the Ampere advance, and the skipped
+    #     deposit's exact grid mean still feeds the current_bias metric
+    #     (periodic CIC tent weights sum to 1, so mean = w sum(v1)/ng);
+    #   'converged-deposit' — same, plus the true full-step j1 deposit into
+    #     state.j (one more tent build in the finalize sweep);
+    #   'iterate'   — the reference's semantics (pypic.py:293-295): return
+    #     the LAST Picard iterate's (p1, v1), reconstructed elementwise from
+    #     the iterate's v1 (p1 = p0 + dt/dx * (v0+v1)/2) — no extra particle
+    #     sweep, fastest, but carries the reference's own last-iterate
+    #     consistency bias (~-1.1e-2 per 1e4 steps on the violent headline
+    #     workload vs ~-2e-3 'converged' at tol 1e-9; PERF.md drift table).
+    finalize: str = "converged"
+    # Picard iterate update:
+    #   'none'     — plain fixed-point es <- eh (the reference);
+    #   'anderson' — Anderson(1) secant mixing on the field iterate: same
+    #     fixed point, typically fewer iterations at tight tolerances. O(ng)
+    #     extra work per iteration. The residual test stays on the unmixed
+    #     ||es - eh||^2 so the tolerance means the same thing.
+    picard_accel: str = "none"
 
     def __post_init__(self):
         # numpy scalars are not weakly typed and would promote float32 state.
@@ -86,6 +113,12 @@ class ImplicitConfig:
         object.__setattr__(self, "p2c", float(self.p2c))
         object.__setattr__(self, "tol", float(self.tol))
         object.__setattr__(self, "maxiter", int(self.maxiter))
+        if self.picard_init not in ("field", "extrapolate", "extrapolate2"):
+            raise ValueError(f"unknown picard_init {self.picard_init!r}")
+        if self.finalize not in ("converged", "converged-deposit", "iterate"):
+            raise ValueError(f"unknown finalize {self.finalize!r}")
+        if self.picard_accel not in ("none", "anderson"):
+            raise ValueError(f"unknown picard_accel {self.picard_accel!r}")
 
 
 class ImplicitState(struct.PyTreeNode):
@@ -96,6 +129,7 @@ class ImplicitState(struct.PyTreeNode):
     e: jax.Array  # (ng,) electric field [V/m]
     j: jax.Array  # (ng,) current density [A/m^2]
     e_prev: jax.Array  # (ng,) previous-step field (picard_init='extrapolate')
+    e_prev2: jax.Array  # (ng,) field two steps back (picard_init='extrapolate2')
     step: jax.Array  # () int32
 
 
@@ -127,7 +161,8 @@ def init_state(x, v, q, m, cfg: ImplicitConfig, dtype=jnp.float32) -> ImplicitSt
     e0 = -grad_periodic(phi0, dx)
     return ImplicitState(
         p=p, v=v, q=q, m=m, e=e0.astype(dtype), j=j0.astype(dtype),
-        e_prev=e0.astype(dtype), step=jnp.asarray(0, jnp.int32),
+        e_prev=e0.astype(dtype), e_prev2=e0.astype(dtype),
+        step=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -160,20 +195,47 @@ def make_step(cfg: ImplicitConfig):
         """Initial Picard iterate (see ImplicitConfig.picard_init)."""
         if cfg.picard_init == "extrapolate":
             return state.e + 0.5 * (state.e - state.e_prev)
-        if cfg.picard_init != "field":
-            raise ValueError(f"unknown picard_init {cfg.picard_init!r}")
+        if cfg.picard_init == "extrapolate2":
+            return 0.125 * (15.0 * state.e - 10.0 * state.e_prev
+                            + 3.0 * state.e_prev2)
         return state.e
+
+    anderson = cfg.picard_accel == "anderson"
+
+    def _mix(es, eh, k, aux):
+        """Next Picard iterate from the map output eh (Anderson(1) secant
+        mixing when enabled — same fixed point, fewer iterations)."""
+        if not anderson:
+            return eh, aux
+        g_prev, f_prev = aux
+        f = eh - es
+        df = f - f_prev
+        denom = jnp.sum(df * df)
+        gamma = jnp.sum(df * f) / jnp.where(denom > 0, denom, 1.0)
+        # Safeguarded: plain fixed-point on the first iteration / degenerate
+        # secant; step-size clip keeps a noisy f32 residual from extrapolating
+        # wildly inside the round-off noise ball.
+        gamma = jnp.where(denom > 0, jnp.clip(gamma, -5.0, 5.0), 0.0)
+        es_next = jnp.where(k > 0, eh - gamma * (eh - g_prev), eh)
+        return es_next, (eh, f)
+
+    def _mix_init(e0):
+        return (jnp.zeros_like(e0), jnp.zeros_like(e0)) if anderson else ()
 
     def step_fused(state: ImplicitState):
         """Pallas-fused Picard: one particle sweep per inner iteration.
 
-        Equivalent to the composed path with one refinement: the final
+        finalize='converged' refines the composed path: the final
         (p1, v1, j1) are recomputed from the *converged* half-step field
-        (pypic.py returns the last iterate's instead) — a strictly tighter
-        fixed-point evaluation within the same tolerance.
+        with one extra sweep — a strictly tighter fixed-point evaluation
+        within the same tolerance. finalize='iterate' returns the last
+        Picard iterate like the reference (pypic.py:293-295), with (p1, v1)
+        reconstructed elementwise from the iterate's full-step velocity —
+        no extra sweep.
         """
         from ..ops.pallas_cic import (
             picard_iteration_pallas,
+            picard_finalize_nodep_pallas,
             picard_finalize_pallas,
         )
 
@@ -181,45 +243,80 @@ def make_step(cfg: ImplicitConfig):
         # q/m are scalars on this path (checked by the dispatcher below).
         qm_s = state.q / state.m
         w_s = state.q * (cfg.p2c * inv_dx)
+        emit_v = cfg.finalize == "iterate"
 
-        def cond(carry):
-            _, _, _, r, k = carry
-            return (r > cfg.tol) & (k < cfg.maxiter)
+        def cond(c):
+            return (c["r"] > cfg.tol) & (c["k"] < cfg.maxiter)
 
-        def body(carry):
-            es, ps, _, _, k = carry
-            ph, jh = picard_iteration_pallas(
-                _smooth(es), ps, p0, v0, ng,
-                qm=qm_s, w=w_s, dt=dt, dx=dx,
+        def body(c):
+            es = c["es"]
+            outs = picard_iteration_pallas(
+                _smooth(es), c["ps"], p0, v0, ng,
+                qm=qm_s, w=w_s, dt=dt, dx=dx, emit_v=emit_v,
             )
-            jh = _allreduce(jh)
+            jh = _allreduce(outs[-1])
             e1 = e0 + (dt / EPSILON_0) * (jnp.mean(jh) - _smooth(jh))
             eh = 0.5 * (e1 + e0)
             r = jnp.sum((es - eh) ** 2)
-            return eh, ph, e1, r, k + 1
+            es_next, aux = _mix(es, eh, c["k"], c["aux"])
+            nxt = dict(c, es=es_next, ps=outs[0], e1=e1, r=r, k=c["k"] + 1,
+                       aux=aux)
+            if keep_jh:
+                nxt["jh"] = jh
+            if emit_v:
+                nxt["v1"] = outs[1]
+            return nxt
 
-        carry0 = (
-            _es0(state), p0, e0,
-            jnp.asarray(jnp.inf, e0.dtype),
-            jnp.asarray(0, jnp.int32),
-        )
-        es, ps, e1, r, k = lax.while_loop(cond, body, carry0)
-        p1, v1, j1 = picard_finalize_pallas(
-            _smooth(es), ps, p0, v0, ng, qm=qm_s, w=w_s, dt=dt, dx=dx
-        )
-        j1 = _allreduce(j1)
+        keep_jh = cfg.finalize in ("iterate", "converged")
+        c0 = {
+            "es": _es0(state), "ps": p0, "e1": e0,
+            "r": jnp.asarray(jnp.inf, e0.dtype),
+            "k": jnp.asarray(0, jnp.int32),
+            "aux": _mix_init(e0),
+        }
+        if keep_jh:
+            c0["jh"] = state.j
+        if emit_v:
+            c0["v1"] = v0
+        c = lax.while_loop(cond, body, c0)
+        e1, r, k = c["e1"], c["r"], c["k"]
+
+        if emit_v:
+            v1 = c["v1"]
+            # p1 of the same iterate: qm dt^2/2 e_p == dt/dx * (v1 - v0)/2,
+            # so p1 = p0 + dt/dx (v0 + v1)/2 (pypic.py:264, re-associated).
+            p1 = p0 + (0.5 * dt_dx) * (v0 + v1)
+            p1 = p1 - jnp.floor(p1 * (1.0 / ng)) * ng
+            j1 = c["jh"]  # half-step current that drove the Ampere advance
+            # Exact grid mean of the skipped full-step deposit: periodic CIC
+            # tent weights sum to 1, so mean(deposit(p1, w v1)) == w sum(v1)/ng.
+            current_bias = (w_s / ng) * _allreduce(jnp.sum(v1))
+        elif cfg.finalize == "converged":
+            p1, v1 = picard_finalize_nodep_pallas(
+                _smooth(c["es"]), c["ps"], p0, v0, ng,
+                qm=qm_s, dt=dt, dx=dx,
+            )
+            j1 = c["jh"]
+            current_bias = (w_s / ng) * _allreduce(jnp.sum(v1))
+        else:  # 'converged-deposit'
+            p1, v1, j1 = picard_finalize_pallas(
+                _smooth(c["es"]), c["ps"], p0, v0, ng,
+                qm=qm_s, w=w_s, dt=dt, dx=dx,
+            )
+            j1 = _allreduce(j1)
+            current_bias = jnp.mean(j1)
 
         metrics = StepMetrics(
             field_energy=0.5 * EPSILON_0 * dx * jnp.sum(e1 * e1),
             kinetic_energy=_allreduce(0.5 * cfg.p2c * jnp.sum(state.m * v1 * v1)),
-            current_bias=jnp.mean(j1),
+            current_bias=current_bias,
             picard_iters=k,
             picard_residual=r,
             tracer_x=_from_shard0(p1[cfg.tracer]),
             tracer_v=_from_shard0(v1[cfg.tracer]),
         )
         new_state = state.replace(p=p1, v=v1, e=e1, j=j1, e_prev=state.e,
-                                  step=state.step + 1)
+                                  e_prev2=state.e_prev, step=state.step + 1)
         return new_state, metrics
 
     def step(state: ImplicitState):
@@ -233,16 +330,20 @@ def make_step(cfg: ImplicitConfig):
         return step_composed(state)
 
     def step_composed(state: ImplicitState):
+        """Op-composed step (per-particle q/m capable). Always returns the
+        last Picard iterate and deposits j1 every iteration, exactly like
+        the reference loop body (pypic.py:274-295) — cfg.finalize only
+        affects the fused path."""
         p0, v0, e0 = state.p, state.v, state.e
         qm = state.q / state.m
         w = state.q * (cfg.p2c * inv_dx)  # deposit prefactor q p2c / dx
 
         def cond(carry):
-            _, _, _, _, _, r, k = carry
+            _, _, _, _, _, r, k, _ = carry
             return (r > cfg.tol) & (k < cfg.maxiter)
 
         def body(carry):
-            es, ps, _, _, _, _, k = carry
+            es, ps, _, _, _, _, k, aux = carry
             # Gather smoothed field guess at position guess (pypic.py:261).
             e_p = gather(_smooth(es), ps, periodic=True)
             # Crank-Nicolson update (pypic.py:264-265), in grid coords.
@@ -261,7 +362,8 @@ def make_step(cfg: ImplicitConfig):
             e1 = e0 + (dt / EPSILON_0) * (jnp.mean(jh) - _smooth(jh))
             eh = 0.5 * (e1 + e0)
             r = jnp.sum((es - eh) ** 2)
-            return eh, ph, (p1, v1), e1, j1, r, k + 1
+            es_next, aux = _mix(es, eh, k, aux)
+            return es_next, ph, (p1, v1), e1, j1, r, k + 1, aux
 
         carry0 = (
             _es0(state),
@@ -271,8 +373,9 @@ def make_step(cfg: ImplicitConfig):
             state.j,
             jnp.asarray(jnp.inf, e0.dtype),
             jnp.asarray(0, jnp.int32),
+            _mix_init(e0),
         )
-        _, _, (p1, v1), e1, j1, r, k = lax.while_loop(cond, body, carry0)
+        _, _, (p1, v1), e1, j1, r, k, _ = lax.while_loop(cond, body, carry0)
 
         metrics = StepMetrics(
             field_energy=0.5 * EPSILON_0 * dx * jnp.sum(e1 * e1),
@@ -284,7 +387,7 @@ def make_step(cfg: ImplicitConfig):
             tracer_v=_from_shard0(v1[cfg.tracer]),
         )
         new_state = state.replace(p=p1, v=v1, e=e1, j=j1, e_prev=state.e,
-                                  step=state.step + 1)
+                                  e_prev2=state.e_prev, step=state.step + 1)
         return new_state, metrics
 
     return step

@@ -88,6 +88,12 @@ class MagnetizedConfig:
     # fixed-shape equivalent of pic_bca_aps's reactivate-or-delete logic
     # (pygcpic.py:1543-1563)
     source_n: int = 0
+    # RNG for the full-capacity re-activation batch ('source'/'capped-source'
+    # policies): 'hash' = counter-based mixer + Box-Muller
+    # (sources.sample_source_6d_hash — identical distribution, ~0.8 ms/step
+    # cheaper at 1e6 capacity on v5e); 'threefry' = jax.random. The 'flux'
+    # policy always uses threefry (categorical table draw).
+    source_sampler: str = "hash"
     flux_limit: int = 0  # max re-activations/step on the 'flux' policy
     flux_gamma: float = 0.0  # perturbed-beam fraction (pygcpic.py:2008)
     flux_vx_pert: float = 0.0
@@ -125,6 +131,8 @@ class MagnetizedConfig:
             object.__setattr__(self, f, float(getattr(self, f)))
         object.__setattr__(self, "b", tuple(float(v) for v in self.b))
         object.__setattr__(self, "species_z", tuple(int(z) for z in self.species_z))
+        if self.source_sampler not in ("hash", "threefry"):
+            raise ValueError(f"unknown source_sampler {self.source_sampler!r}")
 
 
 class MagnetizedState(struct.PyTreeNode):
@@ -496,8 +504,12 @@ def make_step(cfg: MagnetizedConfig):
 
             k_batch = state.p.shape[0]
             rank = compact_rows(inactive)
+            sample_source = (
+                sources.sample_source_6d_hash
+                if cfg.source_sampler == "hash" else sources.sample_source_6d
+            )
             if cfg.reactivate == "source":
-                batch = sources.sample_source_6d(
+                batch = sample_source(
                     k_src, k_batch, grid, src.ti, src.mass, vx=src.vx
                 )
                 take = inactive
@@ -505,7 +517,7 @@ def make_step(cfg: MagnetizedConfig):
                 # pic_bca_aps: refill only while the active ionized source-
                 # species population is below source_n; the rest stay free
                 # slots (reactivate-or-delete, pygcpic.py:1543-1549)
-                batch = sources.sample_source_6d(
+                batch = sample_source(
                     k_src, k_batch, grid, src.ti, src.mass, vx=src.vx
                 )
                 n_src_active = jnp.sum(

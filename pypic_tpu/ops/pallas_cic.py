@@ -566,9 +566,13 @@ def _deposit_into(out_ref, pos, values, num_k, block, stride, width):
 
 
 def _picard_iter_kernel(
-    scal_ref, fwin_ref, ps_ref, p0_ref, v0_ref, ph_ref, jh_ref,
-    *, num_k, ng, block, n_valid, stride, width,
+    scal_ref, fwin_ref, ps_ref, p0_ref, v0_ref, ph_ref, *rest,
+    num_k, ng, block, n_valid, stride, width, emit_v,
 ):
+    if emit_v:
+        v1_ref, jh_ref = rest
+    else:
+        (jh_ref,) = rest
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -595,6 +599,11 @@ def _picard_iter_kernel(
     ph = ph - jnp.floor(ph * (1.0 / ng)) * ng
     vh = 0.5 * (v0 + v1)
     ph_ref[0, 0, :] = ph
+    if emit_v:
+        # Full-step velocity of THIS iterate: with finalize='iterate' the
+        # engine reconstructs (p1, v1) of the last Picard iterate from it
+        # (pypic.py:293-295 returns the last iterate) — no extra sweep.
+        v1_ref[0, 0, :] = v1
 
     vals = (w * vh) * _lane_mask(i, block, n_valid, ph.dtype)
     _deposit_into(jh_ref, ph, vals, num_k, block, stride, width)
@@ -630,6 +639,30 @@ def _picard_final_kernel(
     _deposit_into(j1_ref, p1, vals, num_k, block, stride, width)
 
 
+def _picard_final_nodep_kernel(
+    scal_ref, fwin_ref, ps_ref, p0_ref, v0_ref, p1_ref, v1_ref,
+    *, num_k, ng, block, stride, width,
+):
+    """Finalize sweep without the full-step current deposit: the deposit is
+    purely diagnostic (the Ampere advance consumed only jh, pypic.py:283),
+    and its exact grid mean is recoverable as w sum(v1)/ng — so the default
+    finalize='converged' skips the tent build entirely (~30% of the sweep)."""
+    qm_dt = scal_ref[0, 0]
+    qm_dt2_half = scal_ref[1, 0]
+    dt_dx = scal_ref[2, 0]
+
+    ps = ps_ref[0, 0, :]
+    p0 = p0_ref[0, 0, :]
+    v0 = v0_ref[0, 0, :]
+
+    e_p = _gather_at(fwin_ref, ps, num_k, block, stride, width)
+    p1 = p0 + dt_dx * v0 + qm_dt2_half * e_p
+    v1 = v0 + qm_dt * e_p
+    p1 = p1 - jnp.floor(p1 * (1.0 / ng)) * ng  # pypic.py:277
+    p1_ref[0, 0, :] = p1
+    v1_ref[0, 0, :] = v1
+
+
 def _scalars(qm, dt, dx, w, dtype):
     return jnp.stack(
         [qm * dt, 0.5 * qm * dt * (dt / dx),
@@ -652,9 +685,13 @@ _SMEM_SPEC = pl.BlockSpec((4, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
 
 def _picard_iter_ext_kernel(
-    scal_ref, fwin_ref, ps_ref, p0_ref, v0_ref, w_ref, ph_ref, jh_ref,
-    *, num_k, block, stride, width, lo, hi,
+    scal_ref, fwin_ref, ps_ref, p0_ref, v0_ref, w_ref, ph_ref, *rest,
+    num_k, block, stride, width, lo, hi, emit_v,
 ):
+    if emit_v:
+        v1_ref, jh_ref = rest
+    else:
+        (jh_ref,) = rest
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -676,6 +713,8 @@ def _picard_iter_ext_kernel(
     ph = 0.5 * (p0 + p1)
     vh = 0.5 * (v0 + v1)
     ph_ref[0, 0, :] = ph  # raw iterate (excursions counted by the caller)
+    if emit_v:
+        v1_ref[0, 0, :] = v1  # see _picard_iter_kernel: finalize='iterate'
     _deposit_into(jh_ref, jnp.clip(ph, lo, hi), w * vh,
                   num_k, block, stride, width)
 
@@ -708,6 +747,62 @@ def _picard_final_ext_kernel(
                   num_k, block, stride, width)
 
 
+def _picard_final_ext_nodep_kernel(
+    scal_ref, fwin_ref, ps_ref, p0_ref, v0_ref, p1_ref, v1_ref,
+    *, num_k, block, stride, width, lo, hi,
+):
+    """Extended-slab finalize without the j1 deposit (see
+    _picard_final_nodep_kernel — same rationale, domain form)."""
+    qm_dt = scal_ref[0, 0]
+    qm_dt2_half = scal_ref[1, 0]
+    dt_dx = scal_ref[2, 0]
+
+    ps = jnp.clip(ps_ref[0, 0, :], lo, hi)
+    p0 = p0_ref[0, 0, :]
+    v0 = v0_ref[0, 0, :]
+
+    e_p = _gather_at(fwin_ref, ps, num_k, block, stride, width)
+    p1_ref[0, 0, :] = p0 + dt_dx * v0 + qm_dt2_half * e_p  # raw: caller wraps
+    v1_ref[0, 0, :] = v0 + qm_dt * e_p
+
+
+def picard_finalize_ext_nodep_pallas(
+    field_ext, ps, p0, v0, ext_n: int,
+    *, qm, dt: float, dx: float, lo: float, hi: float,
+    block: int = _DEFAULT_BLOCK,
+):
+    """Post-convergence extended-slab pass without the j1 deposit:
+    (p1_raw, v1)."""
+    stride, wdth = _choose_window(ext_n)
+    num_k = _num_windows(ext_n, stride)
+    fwin_t = _window_field_t(field_ext, num_k, False, stride, wdth)
+    (ps_b, p0_b, v0_b), nb = _pad_blocks([ps, p0, v0], block)
+    scal = _ext_scalars(qm, dt, dx, ps.dtype)
+    kern = functools.partial(
+        _picard_final_ext_nodep_kernel, num_k=num_k, block=block,
+        stride=stride, width=wdth, lo=lo, hi=hi,
+    )
+    p1, v1 = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            _SMEM_SPEC,
+            _acc_spec(num_k, wdth),
+            _particle_spec(block),
+            _particle_spec(block),
+            _particle_spec(block),
+        ],
+        out_specs=(_particle_spec(block), _particle_spec(block)),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, 1, block), ps.dtype),
+            jax.ShapeDtypeStruct((nb, 1, block), v0.dtype),
+        ),
+        interpret=_interpret(),
+    )(scal, fwin_t, ps_b, p0_b, v0_b)
+    n = ps.shape[0]
+    return p1.reshape(-1)[:n], v1.reshape(-1)[:n]
+
+
 def _ext_scalars(qm, dt, dx, dtype):
     return jnp.stack(
         [qm * dt, 0.5 * qm * dt * (dt / dx),
@@ -718,7 +813,7 @@ def _ext_scalars(qm, dt, dx, dtype):
 def picard_iteration_ext_pallas(
     field_ext, ps, p0, v0, w, ext_n: int,
     *, qm, dt: float, dx: float, lo: float, hi: float,
-    block: int = _DEFAULT_BLOCK,
+    block: int = _DEFAULT_BLOCK, emit_v: bool = False,
 ):
     """Fused Picard inner pass on a bounded extended slab.
 
@@ -727,8 +822,10 @@ def picard_iteration_ext_pallas(
         ps/p0/v0: local positions (shifted by the halo width) and velocities.
         w: per-particle deposit prefactor, zero for dead slots.
         lo/hi: position clamp for grid operations (halo excursion bound).
+        emit_v: also return the iterate's full-step velocity (for the
+            no-extra-sweep finalize='iterate').
 
-    Returns (ph_raw, jh_ext).
+    Returns (ph_raw, jh_ext), or (ph_raw, v1, jh_ext) with ``emit_v``.
     """
     stride, wdth = _choose_window(ext_n)
     num_k = _num_windows(ext_n, stride)
@@ -737,9 +834,10 @@ def picard_iteration_ext_pallas(
     scal = _ext_scalars(qm, dt, dx, ps.dtype)
     kern = functools.partial(
         _picard_iter_ext_kernel, num_k=num_k, block=block,
-        stride=stride, width=wdth, lo=lo, hi=hi,
+        stride=stride, width=wdth, lo=lo, hi=hi, emit_v=emit_v,
     )
-    ph, jh = pl.pallas_call(
+    n_pout = 2 if emit_v else 1
+    outs = pl.pallas_call(
         kern,
         grid=(nb,),
         in_specs=[
@@ -750,17 +848,17 @@ def picard_iteration_ext_pallas(
             _particle_spec(block),
             _particle_spec(block),
         ],
-        out_specs=(_particle_spec(block), _acc_spec(num_k, wdth)),
-        out_shape=(
-            jax.ShapeDtypeStruct((nb, 1, block), ps.dtype),
-            jax.ShapeDtypeStruct((wdth, num_k), jnp.float32),
-        ),
+        out_specs=(_particle_spec(block),) * n_pout + (_acc_spec(num_k, wdth),),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((nb, 1, block), ps.dtype)
+            for _ in range(n_pout)
+        ) + (jax.ShapeDtypeStruct((wdth, num_k), jnp.float32),),
         interpret=_interpret(),
     )(scal, fwin_t, ps_b, p0_b, v0_b, w_b)
     n = ps.shape[0]
-    return (
-        ph.reshape(-1)[:n],
-        _fold_windows(jh.T.astype(ps.dtype), ext_n, False, stride),
+    parts = tuple(o.reshape(-1)[:n] for o in outs[:-1])
+    return parts + (
+        _fold_windows(outs[-1].T.astype(ps.dtype), ext_n, False, stride),
     )
 
 
@@ -813,9 +911,12 @@ def picard_finalize_ext_pallas(
 def picard_iteration_pallas(
     field_smoothed, ps, p0, v0, ng: int,
     *, qm, w, dt: float, dx: float, block: int = _DEFAULT_BLOCK,
+    emit_v: bool = False,
 ):
-    """Fused Picard inner pass. Returns (ph, jh): the new half-step positions
-    (the next iteration's gather guess) and the (ng,) half-step current."""
+    """Fused Picard inner pass. Returns (ph, jh) — the new half-step
+    positions (the next iteration's gather guess) and the (ng,) half-step
+    current — or (ph, v1, jh) with ``emit_v`` (the iterate's full-step
+    velocity, for the no-extra-sweep finalize)."""
     stride, wdth = _choose_window(ng)
     num_k = _num_windows(ng, stride)
     fwin_t = _window_field_t(field_smoothed, num_k, True, stride, wdth)
@@ -823,9 +924,10 @@ def picard_iteration_pallas(
     scal = _scalars(qm, dt, dx, w, ps.dtype)
     kern = functools.partial(
         _picard_iter_kernel, num_k=num_k, ng=ng, block=block,
-        n_valid=ps.shape[0], stride=stride, width=wdth,
+        n_valid=ps.shape[0], stride=stride, width=wdth, emit_v=emit_v,
     )
-    ph, jh = pl.pallas_call(
+    n_pout = 2 if emit_v else 1
+    outs = pl.pallas_call(
         kern,
         grid=(nb,),
         in_specs=[
@@ -835,15 +937,52 @@ def picard_iteration_pallas(
             _particle_spec(block),
             _particle_spec(block),
         ],
-        out_specs=(_particle_spec(block), _acc_spec(num_k, wdth)),
+        out_specs=(_particle_spec(block),) * n_pout + (_acc_spec(num_k, wdth),),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((nb, 1, block), ps.dtype)
+            for _ in range(n_pout)
+        ) + (jax.ShapeDtypeStruct((wdth, num_k), jnp.float32),),
+        interpret=_interpret(),
+    )(scal, fwin_t, ps_b, p0_b, v0_b)
+    n = ps.shape[0]
+    parts = tuple(o.reshape(-1)[:n] for o in outs[:-1])
+    return parts + (_fold_windows(outs[-1].T.astype(ps.dtype), ng, True, stride),)
+
+
+def picard_finalize_nodep_pallas(
+    field_smoothed, ps, p0, v0, ng: int,
+    *, qm, dt: float, dx: float, block: int = _DEFAULT_BLOCK,
+):
+    """Post-convergence pass without the j1 deposit: final (p1, v1) only
+    (see _picard_final_nodep_kernel)."""
+    stride, wdth = _choose_window(ng)
+    num_k = _num_windows(ng, stride)
+    fwin_t = _window_field_t(field_smoothed, num_k, True, stride, wdth)
+    (ps_b, p0_b, v0_b), nb = _pad_blocks([ps, p0, v0], block)
+    scal = _scalars(qm, dt, dx, jnp.zeros_like(qm), ps.dtype)
+    kern = functools.partial(
+        _picard_final_nodep_kernel, num_k=num_k, ng=ng, block=block,
+        stride=stride, width=wdth,
+    )
+    p1, v1 = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            _SMEM_SPEC,
+            _acc_spec(num_k, wdth),
+            _particle_spec(block),
+            _particle_spec(block),
+            _particle_spec(block),
+        ],
+        out_specs=(_particle_spec(block), _particle_spec(block)),
         out_shape=(
             jax.ShapeDtypeStruct((nb, 1, block), ps.dtype),
-            jax.ShapeDtypeStruct((wdth, num_k), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, block), v0.dtype),
         ),
         interpret=_interpret(),
     )(scal, fwin_t, ps_b, p0_b, v0_b)
     n = ps.shape[0]
-    return ph.reshape(-1)[:n], _fold_windows(jh.T.astype(ps.dtype), ng, True, stride)
+    return p1.reshape(-1)[:n], v1.reshape(-1)[:n]
 
 
 def picard_finalize_pallas(

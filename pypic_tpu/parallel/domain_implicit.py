@@ -68,14 +68,21 @@ class DomainImplicitConfig:
     smooth: bool = True  # pypic.py:261,283 (False = gen-1 PIC_L.py variant)
     # 'field' = reference start es0 = E0 (pypic.py:253); 'extrapolate' =
     # linear prediction E0 + (E0 - E_prev)/2 — same fixed point/tolerance,
-    # ~1 fewer Picard iteration (see engines.implicit.ImplicitConfig).
+    # ~1 fewer Picard iteration; 'extrapolate2' = quadratic prediction
+    # (15 E0 - 10 E_prev + 3 E_prev2)/8 (see engines.implicit.ImplicitConfig).
     picard_init: str = "field"
+    # 'converged' (default) recomputes (p1, v1) from the *converged*
+    # half-step field with one extra fused sweep, skipping the purely-
+    # diagnostic j1 deposit (state.j = half-step current); 'converged-
+    # deposit' also deposits the true j1; 'iterate' returns the last Picard
+    # iterate like the reference (pypic.py:293-295) with no extra sweep but
+    # its last-iterate drift bias (see engines.implicit.ImplicitConfig
+    # .finalize and PERF.md's drift table). Fused backend only.
+    finalize: str = "converged"
     # 'fused' runs each local Picard pass as one Pallas sweep over the shard's
     # particles (gather from the halo-extended slab + CN + extended-slab
     # deposit — the domain form of engines.implicit's fused backend);
     # 'composed' assembles it from individual ops; 'auto' = fused on TPU.
-    # Like the single-device fused path, finalize recomputes (p1, v1, j1)
-    # from the *converged* half-step field.
     backend: str = "auto"
     axis_name: str = "slabs"
     deposit_method: str = "auto"
@@ -94,6 +101,10 @@ class DomainImplicitConfig:
                 f"halo={self.halo} too large for {self.cells_per_shard}-cell "
                 "slabs (need halo + 3 <= cells_per_shard)"
             )
+        if self.picard_init not in ("field", "extrapolate", "extrapolate2"):
+            raise ValueError(f"unknown picard_init {self.picard_init!r}")
+        if self.finalize not in ("converged", "converged-deposit", "iterate"):
+            raise ValueError(f"unknown finalize {self.finalize!r}")
 
     @property
     def cells_per_shard(self) -> int:
@@ -109,6 +120,7 @@ class DomainImplicitState(struct.PyTreeNode):
     e: jax.Array  # (ng,) [V/m], slab-sharded
     j: jax.Array  # (ng,) [A/m^2], slab-sharded
     e_prev: jax.Array  # (ng,) previous-step field (picard_init='extrapolate')
+    e_prev2: jax.Array  # (ng,) field two steps back (picard_init='extrapolate2')
     step: jax.Array  # () int32
 
 
@@ -155,6 +167,7 @@ def init_state(
         e=e0.astype(jnp.float32),
         j=j0.astype(jnp.float32),
         e_prev=e0.astype(jnp.float32),
+        e_prev2=e0.astype(jnp.float32),
         step=jnp.asarray(0, jnp.int32),
     )
 
@@ -262,39 +275,80 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
             e1, eh, r = ampere(es, jh)
             return eh, phl, (p1l, v1), e1, j1, r, k + 1
 
+        emit_v = cfg.finalize == "iterate"
+
         def body_fused(carry):
             from ..ops.pallas_cic import picard_iteration_ext_pallas
 
-            es, pss, _, _, _, k = carry  # pss: shifted local iterate
-            ph_s, jh_ext = picard_iteration_ext_pallas(
+            es, pss = carry[0], carry[1]  # pss: shifted local iterate
+            outs = picard_iteration_ext_pallas(
                 smoothed_ext(es), pss, p0s, v0, w, ext_n,
                 qm=qm, dt=dt, dx=dx, lo=clamp_lo_s, hi=clamp_hi_s,
+                emit_v=emit_v,
             )
-            jh = halo_fold(jh_ext, c, hw, ax, perm_r, perm_l)
+            jh = halo_fold(outs[-1], c, hw, ax, perm_r, perm_l)
             e1, eh, r = ampere(es, jh)
-            return eh, ph_s, e1, jh, r, k + 1
+            if emit_v:
+                return eh, outs[0], outs[1], e1, jh, r, k_next(carry)
+            return eh, outs[0], e1, jh, r, k_next(carry)
 
-        es0 = (
-            e0 + 0.5 * (e0 - state.e_prev)
-            if cfg.picard_init == "extrapolate" else e0
-        )
+        def k_next(carry):
+            return carry[-1] + 1
+
+        if cfg.picard_init == "extrapolate":
+            es0 = e0 + 0.5 * (e0 - state.e_prev)
+        elif cfg.picard_init == "extrapolate2":
+            es0 = 0.125 * (15.0 * e0 - 10.0 * state.e_prev
+                           + 3.0 * state.e_prev2)
+        else:
+            es0 = e0
         if use_fused:
-            from ..ops.pallas_cic import picard_finalize_ext_pallas
+            from ..ops.pallas_cic import (
+                picard_finalize_ext_nodep_pallas,
+                picard_finalize_ext_pallas,
+            )
 
             p0s = p0l + hw
-            carry0 = (
-                es0, p0s, e0, state.j,
-                jnp.asarray(jnp.inf, e0.dtype), jnp.asarray(0, jnp.int32),
-            )
-            es, pss, e1, _, r, k = lax.while_loop(cond, body_fused, carry0)
-            # finalize from the converged field (engines.implicit fused
-            # semantics): one extra sweep yields (p1, v1) and j1
-            p1s, v1, j1_ext = picard_finalize_ext_pallas(
-                smoothed_ext(es), pss, p0s, v0, w, ext_n,
-                qm=qm, dt=dt, dx=dx, lo=clamp_lo_s, hi=clamp_hi_s,
-            )
-            j1 = halo_fold(j1_ext, c, hw, ax, perm_r, perm_l)
-            p1l = p1s - hw
+            if emit_v:
+                carry0 = (
+                    es0, p0s, v0, e0, state.j,
+                    jnp.asarray(jnp.inf, e0.dtype), jnp.asarray(0, jnp.int32),
+                )
+                es, pss, v1, e1, jh, r, k = lax.while_loop(
+                    cond, body_fused, carry0
+                )
+                # Last Picard iterate, no extra sweep (pypic.py:293-295):
+                # p1 = p0 + dt/dx (v0 + v1)/2 elementwise; state.j holds the
+                # half-step current that drove the Ampere advance; the exact
+                # mean of the skipped full-step deposit is w sum(v1)/ng.
+                p1l = p0l + (0.5 * dt_dx) * (v0 + v1)
+                j1 = jh
+                mean_j1 = lax.psum(jnp.sum(w * v1), ax) / ng
+            else:
+                carry0 = (
+                    es0, p0s, e0, state.j,
+                    jnp.asarray(jnp.inf, e0.dtype), jnp.asarray(0, jnp.int32),
+                )
+                es, pss, e1, jh, r, k = lax.while_loop(
+                    cond, body_fused, carry0
+                )
+                # finalize from the converged field (engines.implicit fused
+                # semantics): one extra sweep yields (p1, v1)
+                if cfg.finalize == "converged":
+                    p1s, v1 = picard_finalize_ext_nodep_pallas(
+                        smoothed_ext(es), pss, p0s, v0, ext_n,
+                        qm=qm, dt=dt, dx=dx, lo=clamp_lo_s, hi=clamp_hi_s,
+                    )
+                    j1 = jh
+                    mean_j1 = lax.psum(jnp.sum(w * v1), ax) / ng
+                else:  # 'converged-deposit'
+                    p1s, v1, j1_ext = picard_finalize_ext_pallas(
+                        smoothed_ext(es), pss, p0s, v0, w, ext_n,
+                        qm=qm, dt=dt, dx=dx, lo=clamp_lo_s, hi=clamp_hi_s,
+                    )
+                    j1 = halo_fold(j1_ext, c, hw, ax, perm_r, perm_l)
+                    mean_j1 = lax.psum(jnp.sum(j1), ax) / ng
+                p1l = p1s - hw
         else:
             carry0 = (
                 es0, p0l, (p0l, v0), e0, state.j,
@@ -303,6 +357,7 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
             _, _, (p1l, v1), e1, j1, r, k = lax.while_loop(
                 cond, body_composed, carry0
             )
+            mean_j1 = lax.psum(jnp.sum(j1), ax) / ng
 
         n_halo_clamped = lax.psum(
             jnp.sum((alive & ((p1l < -h) | (p1l > c + h))).astype(jnp.int32)),
@@ -325,7 +380,7 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
                 * jnp.sum(jnp.where(alive, v1 * v1, 0.0)),
                 ax,
             ),
-            current_bias=lax.psum(jnp.sum(j1), ax) / ng,
+            current_bias=mean_j1,
             picard_iters=k,
             picard_residual=r,
             n_alive=lax.psum(jnp.sum(alive1.astype(jnp.int32)), ax),
@@ -335,13 +390,13 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
         )
         new_state = state.replace(
             p=p2, v=v2, alive=alive1, e=e1, j=j1, e_prev=e0,
-            step=state.step + 1
+            e_prev2=state.e_prev, step=state.step + 1
         )
         return new_state, metrics
 
     spec = DomainImplicitState(
         p=P(ax), v=P(ax), alive=P(ax), q=P(), m=P(), e=P(ax), j=P(ax),
-        e_prev=P(ax), step=P(),
+        e_prev=P(ax), e_prev2=P(ax), step=P(),
     )
     return shard_map(
         local_step,

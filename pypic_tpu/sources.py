@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .constants import K_BOLTZMANN
 from .grid import GridSpec
@@ -35,6 +36,74 @@ def sample_source_6d(key, n: int, grid: GridSpec, ti: float, mass: float,
     x = jax.random.normal(kx, (n,), dtype) * (length / 12.0) + length / 2.0
     x = jnp.mod(x, length)
     v = jax.random.normal(kv, (n, 3), dtype) * vth + vx
+    return {"x": x, "yz": jnp.zeros((n, 2), dtype), "v": v}
+
+
+# --- counter-based fast sampler -------------------------------------------
+#
+# Re-activation policies resample a full-capacity batch every step and mask
+# in the handful of slots that actually need it (fixed shapes under jit).
+# jax.random's threefry + erfinv at capacity=1e6 x 4 draws measured ~0.84 ms
+# on v5e — a third of the whole magnetized step. The TPU-native replacement
+# is a counter-based generator (the curand/Philox idea): hash (slot index,
+# step seed) with a strong 32-bit mixer and turn the uniforms into exact
+# gaussians via Box-Muller. ~30 fused elementwise VPU ops per slot, no
+# tables, bit-deterministic given the step key, identical distribution.
+
+
+def _mix32(x):
+    """murmur3 finalizer (public domain): full-avalanche 32-bit mixer."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+_GOLDEN = 0x9E3779B9  # 2^32 / phi: decorrelates stream offsets
+
+
+def hash_uniforms(seed, n: int, streams: int, dtype=jnp.float32):
+    """(streams, n) uniforms in (0, 1), open at both ends (Box-Muller safe).
+
+    seed: uint32 scalar (vary per step); each stream is an independent
+    full-period counter sequence.
+    """
+    idx = lax.iota(jnp.uint32, n)
+    offs = (jnp.arange(1, streams + 1, dtype=jnp.uint32)
+            * jnp.uint32(_GOLDEN))[:, None]
+    h = _mix32(_mix32(idx[None, :] + offs) ^ jnp.uint32(seed))
+    # 24-bit mantissa path: u in [2^-25, 1 - 2^-25]
+    return ((h >> 8).astype(dtype) + 0.5) * dtype(2.0**-24)
+
+
+def hash_normals(seed, n: int, pairs: int, dtype=jnp.float32):
+    """(2*pairs, n) standard normals via Box-Muller on hash_uniforms."""
+    u = hash_uniforms(seed, n, 2 * pairs, dtype)
+    r = jnp.sqrt(-2.0 * jnp.log(u[0::2]))
+    theta = dtype(2.0 * np.pi) * u[1::2]
+    return jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=0)
+
+
+def seed_from_key(key):
+    """uint32 scalar seed from a jax PRNG key (deterministic per step)."""
+    data = jax.random.key_data(key).reshape(-1)
+    return (data[0] ^ data[-1]).astype(jnp.uint32)
+
+
+def sample_source_6d_hash(key, n: int, grid: GridSpec, ti: float,
+                          mass: float, vx: float = 0.0, dtype=jnp.float32):
+    """``sample_source_6d`` on the counter-based generator: identical
+    distribution (gaussian-in-x at L/2 sigma L/12 wrapped, Maxwellian
+    3-velocity + vx on every component, pygcpic.py:723-755), ~10x cheaper
+    per draw on TPU."""
+    length = grid.length
+    vth = float(np.sqrt(K_BOLTZMANN * float(ti) / float(mass)))
+    z = hash_normals(seed_from_key(key), n, 2, dtype)
+    x = jnp.mod(z[0] * dtype(length / 12.0) + dtype(length / 2.0),
+                dtype(length))
+    v = z[1:4].T * dtype(vth) + dtype(vx)
     return {"x": x, "yz": jnp.zeros((n, 2), dtype), "v": v}
 
 

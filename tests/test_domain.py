@@ -277,6 +277,41 @@ def test_domain_implicit_fused_matches_composed(problem):
     )
 
 
+def test_domain_implicit_finalize_modes(problem):
+    """Domain finalize modes: 'converged' (deposit-free) is bit-exact with
+    'converged-deposit'; 'iterate' (reference last-iterate semantics)
+    agrees within the Picard tolerance and matches the composed backend's
+    iterate-return bit of physics more closely."""
+    from pypic_tpu.parallel import domain_implicit as di
+
+    grid, x, v, params = problem
+    dt = 0.1 / params.wp
+    mesh = make_mesh(8, axis="slabs")
+    outs = {}
+    for fin in ("converged", "converged-deposit", "iterate"):
+        cfg = di.DomainImplicitConfig(
+            grid, dt, params.p2c, num_shards=8, tol=1e-8, maxiter=40,
+            halo=4, migrate_cap=2048, backend="fused", finalize=fin,
+        )
+        st = di.shard_state(
+            di.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg), mesh, cfg
+        )
+        outs[fin] = run(di.make_step(cfg, mesh), st, 20)
+    s_nd, s_d = outs["converged"][0], outs["converged-deposit"][0]
+    np.testing.assert_array_equal(np.asarray(s_nd.p), np.asarray(s_d.p))
+    np.testing.assert_array_equal(np.asarray(s_nd.v), np.asarray(s_d.v))
+    np.testing.assert_array_equal(np.asarray(s_nd.e), np.asarray(s_d.e))
+    ee_nd = np.asarray(outs["converged"][1].field_energy, np.float64)
+    ee_it = np.asarray(outs["iterate"][1].field_energy, np.float64)
+    np.testing.assert_allclose(ee_it, ee_nd, rtol=3e-3)
+    for fin in ("converged", "iterate"):
+        assert np.asarray(outs[fin][1].n_dropped).sum() == 0
+    # closed-form mean vs deposit mean: equal up to f32 reduction order
+    cb_nd = np.asarray(outs["converged"][1].current_bias, np.float64)
+    cb_d = np.asarray(outs["converged-deposit"][1].current_bias, np.float64)
+    np.testing.assert_allclose(cb_nd, cb_d, rtol=1e-3)
+
+
 def test_distributed_poisson_matches_fft_solve():
     """The substructured slab-local Poisson solve (O(ng/D) local + O(D)
     interface comm) matches the replicated FFT solve's zero-mean phi."""

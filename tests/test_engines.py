@@ -223,6 +223,60 @@ def test_implicit_two_species_composed():
     assert drift < 1e-4, f"two-species energy drift {drift}"
 
 
+def test_finalize_modes_agree_and_nodep_is_bit_exact():
+    """finalize='converged' (deposit-free sweep) is trajectory-bit-exact
+    with 'converged-deposit' (the deposit was diagnostic only); 'iterate'
+    (the reference's last-iterate return, pypic.py:293-295) agrees to the
+    Picard tolerance."""
+    grid, x, v, params = _two_stream_setup(n=10_000, ng=64)
+    dt = 0.1 / params.wp
+    outs = {}
+    for fin in ("converged", "converged-deposit", "iterate"):
+        cfg = implicit.ImplicitConfig(grid, dt, params.p2c, tol=1e-10,
+                                      maxiter=50, backend="fused",
+                                      finalize=fin)
+        st = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
+        outs[fin] = run(implicit.make_step(cfg), st, 100)
+    s_nd, s_d, s_it = (outs[f][0] for f in
+                       ("converged", "converged-deposit", "iterate"))
+    np.testing.assert_array_equal(np.asarray(s_nd.p), np.asarray(s_d.p))
+    np.testing.assert_array_equal(np.asarray(s_nd.v), np.asarray(s_d.v))
+    np.testing.assert_array_equal(np.asarray(s_nd.e), np.asarray(s_d.e))
+    ee_nd = np.asarray(outs["converged"][1].field_energy, np.float64)
+    ee_it = np.asarray(outs["iterate"][1].field_energy, np.float64)
+    np.testing.assert_allclose(ee_it, ee_nd, rtol=2e-3)
+    # current_bias: the closed-form mean equals the deposit's mean up to
+    # f32 reduction order (different summation trees)
+    cb_nd = np.asarray(outs["converged"][1].current_bias, np.float64)
+    cb_d = np.asarray(outs["converged-deposit"][1].current_bias, np.float64)
+    np.testing.assert_allclose(cb_nd, cb_d, rtol=1e-3)
+
+
+def test_picard_quadratic_init_and_anderson_same_fixed_point():
+    """'extrapolate2' and Anderson(1) mixing reach the same fixed point at
+    tight tolerance with no more iterations than the linear-extrapolated
+    start — solver accelerants, not scheme changes."""
+    grid, x, v, params = _two_stream_setup(n=10_000, ng=64)
+    dt = 0.1 / params.wp
+    runs = {}
+    for label, kw in {
+        "base": dict(picard_init="extrapolate"),
+        "quad": dict(picard_init="extrapolate2"),
+        "anderson": dict(picard_init="extrapolate", picard_accel="anderson"),
+    }.items():
+        cfg = implicit.ImplicitConfig(grid, dt, params.p2c, tol=1e-10,
+                                      maxiter=50, **kw)
+        st = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
+        runs[label] = run(implicit.make_step(cfg), st, 200)[1]
+    ee_b = np.asarray(runs["base"].field_energy, np.float64)
+    for label in ("quad", "anderson"):
+        ee = np.asarray(runs[label].field_energy, np.float64)
+        np.testing.assert_allclose(ee, ee_b, rtol=2e-3)
+        it = np.asarray(runs[label].picard_iters, np.float64)
+        it_b = np.asarray(runs["base"].picard_iters, np.float64)
+        assert it.mean() <= it_b.mean() + 0.1
+
+
 def test_picard_extrapolated_init_same_physics_fewer_iters():
     """picard_init='extrapolate' converges to the same fixed point (tight
     tol) with no more iterations than the reference start es0 = E0 — it is a

@@ -188,6 +188,49 @@ def test_source_distribution_moments():
     np.testing.assert_allclose(np.asarray(b["v"]).std(axis=0), vth, rtol=0.02)
 
 
+def test_hash_sampler_distribution_matches_threefry():
+    """The counter-based sampler draws the same distribution as the
+    jax.random one (gaussian-in-x wrapped, Maxwellian + vx velocities)."""
+    grid = GridSpec(100, 1.0, "dirichlet-dirichlet")
+    ti, mass, vx = 10.0 * EV_TO_K, M_PROTON, 3e4
+    b = sources.sample_source_6d_hash(
+        jax.random.PRNGKey(7), 200_000, grid, ti, mass, vx=vx
+    )
+    x = np.asarray(b["x"], np.float64)
+    assert (x >= 0).all() and (x <= 1.0).all()
+    assert abs(x.mean() - 0.5) < 0.01
+    assert abs(x.std() - 1.0 / 12.0) < 0.005  # sigma = L/12 (pygcpic.py:749)
+    v = np.asarray(b["v"], np.float64)
+    vth = np.sqrt(K_BOLTZMANN * ti / mass)
+    np.testing.assert_allclose(v.std(axis=0), vth, rtol=0.02)
+    np.testing.assert_allclose(v.mean(axis=0), vx, atol=0.02 * vth)
+    # gaussian shape, not just matching moments: |skew| and excess kurtosis
+    z = (v[:, 0] - v[:, 0].mean()) / v[:, 0].std()
+    assert abs((z**3).mean()) < 0.05
+    assert abs((z**4).mean() - 3.0) < 0.1
+    # different keys give different draws; same key is deterministic
+    b2 = sources.sample_source_6d_hash(
+        jax.random.PRNGKey(8), 200_000, grid, ti, mass, vx=vx
+    )
+    assert not np.allclose(np.asarray(b2["x"]), x)
+    b3 = sources.sample_source_6d_hash(
+        jax.random.PRNGKey(7), 200_000, grid, ti, mass, vx=vx
+    )
+    np.testing.assert_array_equal(np.asarray(b3["x"]), np.asarray(b["x"]))
+
+
+def test_hash_uniforms_are_uniform_and_stream_independent():
+    u = np.asarray(sources.hash_uniforms(jnp.uint32(123), 100_000, 4),
+                   np.float64)
+    assert (u > 0).all() and (u < 1).all()
+    np.testing.assert_allclose(u.mean(axis=1), 0.5, atol=0.005)
+    np.testing.assert_allclose(u.var(axis=1), 1.0 / 12.0, rtol=0.02)
+    # adjacent streams decorrelated
+    c = np.corrcoef(u)
+    off = c[~np.eye(4, dtype=bool)]
+    assert np.abs(off).max() < 0.01
+
+
 def test_flux_distribution_incoming_and_flux_weighted():
     grid = GridSpec(100, 1.0, "dirichlet-dirichlet")
     ti, mass = 10.0 * EV_TO_K, M_PROTON
