@@ -204,23 +204,17 @@ def make_step(cfg: ImplicitConfig):
 
     def _mix(es, eh, k, aux):
         """Next Picard iterate from the map output eh (Anderson(1) secant
-        mixing when enabled — same fixed point, fewer iterations)."""
-        if not anderson:
-            return eh, aux
-        g_prev, f_prev = aux
-        f = eh - es
-        df = f - f_prev
-        denom = jnp.sum(df * df)
-        gamma = jnp.sum(df * f) / jnp.where(denom > 0, denom, 1.0)
-        # Safeguarded: plain fixed-point on the first iteration / degenerate
-        # secant; step-size clip keeps a noisy f32 residual from extrapolating
-        # wildly inside the round-off noise ball.
-        gamma = jnp.where(denom > 0, jnp.clip(gamma, -5.0, 5.0), 0.0)
-        es_next = jnp.where(k > 0, eh - gamma * (eh - g_prev), eh)
-        return es_next, (eh, f)
+        mixing when enabled — same fixed point; see ops.accel)."""
+        from ..ops.accel import anderson_mix
+
+        # fields are replicated under data-parallel sharding, so the inner
+        # products need no psum
+        return anderson_mix(es, eh, k, aux) if anderson else (eh, aux)
 
     def _mix_init(e0):
-        return (jnp.zeros_like(e0), jnp.zeros_like(e0)) if anderson else ()
+        from ..ops.accel import mix_init
+
+        return mix_init(e0, anderson)
 
     def step_fused(state: ImplicitState):
         """Pallas-fused Picard: one particle sweep per inner iteration.

@@ -84,12 +84,26 @@ class SheathConfig:
     exit_hist_bins: int = 64
     exit_hist_vmax: float = 0.0  # [m/s]; 0 disables recording
     record_exit_after_step: int = 2000  # PIC_L_DD.py:497
+    # Initial Picard iterate: 'field' = the reference's es0 = E0
+    # (PIC_L_DD.py:456); 'extrapolate' = E0 + (E0 - E_prev)/2, the linear
+    # half-step prediction — same fixed point and tolerance (see
+    # engines.implicit.ImplicitConfig.picard_init).
+    picard_init: str = "field"
+    # 'anderson' = Anderson(1) secant mixing on the field iterate (same
+    # fixed point, fewer iterations; decisive here — the bounded sheath's
+    # plain Picard loop takes ~17 iterations at the reference tolerance,
+    # see ops.accel and PERF.md).
+    picard_accel: str = "none"
 
     def __post_init__(self):
         for f in ("dt", "p2c", "kbte", "kbti", "tol", "gamma", "exit_hist_vmax"):
             object.__setattr__(self, f, float(getattr(self, f)))
         for f in ("maxiter", "exit_hist_bins", "record_exit_after_step"):
             object.__setattr__(self, f, int(getattr(self, f)))
+        if self.picard_init not in ("field", "extrapolate"):
+            raise ValueError(f"unknown picard_init {self.picard_init!r}")
+        if self.picard_accel not in ("none", "anderson"):
+            raise ValueError(f"unknown picard_accel {self.picard_accel!r}")
 
 
 class SheathState(struct.PyTreeNode):
@@ -101,6 +115,7 @@ class SheathState(struct.PyTreeNode):
     active: jax.Array  # (n,) int32 in {1, 0, -1}
     e: jax.Array  # (ng,) field [V/m]
     j: jax.Array  # (ng,) current density [A/m^2]
+    e_prev: jax.Array  # (ng,) previous-step field (picard_init='extrapolate')
     rng: jax.Array  # PRNG key
     exit_hist: jax.Array  # (2, bins) outgoing-velocity histograms (e-, ion)
     step: jax.Array  # () int32
@@ -141,6 +156,7 @@ def init_state(
         active=jnp.full(p.shape, ACTIVE, jnp.int32),
         e=jnp.zeros((ng,), dtype),
         j=j0.astype(dtype),
+        e_prev=jnp.zeros((ng,), dtype),
         rng=jax.random.PRNGKey(seed),
         exit_hist=jnp.zeros((2, cfg.exit_hist_bins), dtype),
         step=jnp.asarray(0, jnp.int32),
@@ -243,11 +259,23 @@ def make_step(cfg: SheathConfig):
             return hist + upd.reshape(2, bins)
 
         # --- Picard loop (PIC_L_DD.py:458-533).
+        from ..ops.accel import anderson_mix, mix_init
+
+        anderson = cfg.picard_accel == "anderson"
+
+        def _mix(es, eh, k, aux):
+            return anderson_mix(es, eh, k, aux) if anderson else (eh, aux)
+
+        es0 = (
+            e0 + 0.5 * (e0 - state.e_prev)
+            if cfg.picard_init == "extrapolate" else e0
+        )
+
         def cond(carry):
             return (carry[-2] > cfg.tol) & (carry[-1] < cfg.maxiter)
 
         def body(carry):
-            es, ps, _, _, act, hist, _, k = carry
+            es, ps, _, _, act, hist, aux, _, k = carry
             act_prev = act
             is_active = act == ACTIVE
             e_p = jnp.where(
@@ -274,7 +302,8 @@ def make_step(cfg: SheathConfig):
             e1 = e0 + (dt / EPSILON_0) * (jnp.mean(jh) - jh)
             eh = 0.5 * (e1 + e0)
             r = jnp.linalg.norm(es - eh)
-            return eh, xh, (x1, u1), (e1, j1), act, hist, r, k + 1
+            es_next, aux = _mix(es, eh, k, aux)
+            return es_next, xh, (x1, u1), (e1, j1), act, hist, aux, r, k + 1
 
         if use_fused:
             from ..ops.pallas_cic import (
@@ -286,7 +315,7 @@ def make_step(cfg: SheathConfig):
             w_arr = q * (cfg.p2c / dx)
 
             def body_fused(carry):
-                es, ps, act_f, _, hist, _, k = carry
+                es, ps, act_f, _, hist, aux, _, k = carry
                 xh, act1, jh = sheath_picard_pallas(
                     es, ps, p0, u0, qm, w_arr, act_f,
                     dt=dt, dx=dx, wall_ratio=wall_ratio,
@@ -296,14 +325,15 @@ def make_step(cfg: SheathConfig):
                 e1 = e0 + (dt / EPSILON_0) * (jnp.mean(jh) - jh)
                 eh = 0.5 * (e1 + e0)
                 r = jnp.linalg.norm(es - eh)
-                return eh, xh, act1, e1, hist, r, k + 1
+                es_next, aux = _mix(es, eh, k, aux)
+                return es_next, xh, act1, e1, hist, aux, r, k + 1
 
             act_f0 = active.astype(e0.dtype)
             fcarry0 = (
-                e0, p0, act_f0, e0, state.exit_hist,
+                es0, p0, act_f0, e0, state.exit_hist, mix_init(e0, anderson),
                 jnp.asarray(jnp.inf, e0.dtype), jnp.asarray(0, jnp.int32),
             )
-            es, ps, act_f, e1, exit_hist, r, k = lax.while_loop(
+            es, ps, act_f, e1, exit_hist, _, r, k = lax.while_loop(
                 cond, body_fused, fcarry0
             )
             x1, u1, act1, j1 = sheath_finalize_pallas(
@@ -315,12 +345,12 @@ def make_step(cfg: SheathConfig):
             active = act1.astype(jnp.int32)
         else:
             carry0 = (
-                e0, p0, (p0, u0), (e0, state.j), active, state.exit_hist,
+                es0, p0, (p0, u0), (e0, state.j), active, state.exit_hist,
+                mix_init(e0, anderson),
                 jnp.asarray(jnp.inf, e0.dtype), jnp.asarray(0, jnp.int32),
             )
-            _, _, (x1, u1), (e1, j1), active, exit_hist, r, k = lax.while_loop(
-                cond, body, carry0
-            )
+            (_, _, (x1, u1), (e1, j1), active, exit_hist, _, r,
+             k) = lax.while_loop(cond, body, carry0)
 
         is_active = active == ACTIVE
         v1 = jnp.where(
@@ -344,7 +374,7 @@ def make_step(cfg: SheathConfig):
             phi=phi,
         )
         new_state = state.replace(
-            p=x1, v=v1, active=active, e=e1, j=j1, rng=key,
+            p=x1, v=v1, active=active, e=e1, j=j1, e_prev=e0, rng=key,
             exit_hist=exit_hist, step=state.step + 1,
         )
         return new_state, metrics

@@ -69,6 +69,12 @@ class DomainSheathConfig:
     exit_hist_bins: int = 64
     exit_hist_vmax: float = 0.0
     record_exit_after_step: int = 2000  # PIC_L_DD.py:497
+    # Picard iterate start + mixing — see engines.sheath.SheathConfig: the
+    # bounded sheath's plain loop takes ~13-17 iterations; Anderson(1)
+    # mixing (psum'd inner products here, fields are slab-sharded) cuts it
+    # to ~8 at the same fixed point/tolerance.
+    picard_init: str = "field"
+    picard_accel: str = "none"
 
     def __post_init__(self):
         for f in ("dt", "p2c", "kbte", "kbti", "tol", "gamma",
@@ -86,6 +92,10 @@ class DomainSheathConfig:
                 f"halo={self.halo} too large for {self.cells_per_shard}-cell "
                 "slabs (need halo + 3 <= cells_per_shard)"
             )
+        if self.picard_init not in ("field", "extrapolate"):
+            raise ValueError(f"unknown picard_init {self.picard_init!r}")
+        if self.picard_accel not in ("none", "anderson"):
+            raise ValueError(f"unknown picard_accel {self.picard_accel!r}")
 
     @property
     def cells_per_shard(self) -> int:
@@ -102,6 +112,7 @@ class DomainSheathState(struct.PyTreeNode):
     filled: jax.Array  # (S*cap,) bool slot occupancy, sharded
     e: jax.Array  # (ng,) [V/m], slab-sharded
     j: jax.Array  # (ng,) [A/m^2], slab-sharded
+    e_prev: jax.Array  # (ng,) previous-step field, slab-sharded
     rng: jax.Array  # PRNG key, replicated
     exit_hist: jax.Array  # (2, bins), replicated
     step: jax.Array  # () int32
@@ -155,6 +166,7 @@ def init_state(
         filled=jnp.asarray(filled.reshape(n)),
         e=jnp.zeros((ng,), jnp.float32),
         j=j0.astype(jnp.float32),
+        e_prev=jnp.zeros((ng,), jnp.float32),
         rng=jax.random.PRNGKey(seed),
         exit_hist=jnp.zeros((2, cfg.exit_hist_bins), jnp.float32),
         step=jnp.asarray(0, jnp.int32),
@@ -165,7 +177,8 @@ def state_spec(cfg: DomainSheathConfig):
     ax = cfg.axis_name
     return DomainSheathState(
         p=P(ax), v=P(ax), q=P(ax), m=P(ax), species=P(ax), active=P(ax),
-        filled=P(ax), e=P(ax), j=P(ax), rng=P(), exit_hist=P(), step=P(),
+        filled=P(ax), e=P(ax), j=P(ax), e_prev=P(ax), rng=P(),
+        exit_hist=P(), step=P(),
     )
 
 
@@ -276,11 +289,25 @@ def make_step(cfg: DomainSheathConfig, mesh: Mesh):
         right_wall = cells - lo  # local coordinate of the right wall
         left_wall = 0.0 - lo
 
+        from ..ops.accel import anderson_mix, mix_init
+
+        anderson = cfg.picard_accel == "anderson"
+
+        def _mix(es, eh, k, aux):
+            # fields are slab-sharded: the secant inner products psum
+            return (anderson_mix(es, eh, k, aux, psum_axis=ax)
+                    if anderson else (eh, aux))
+
+        es0 = (
+            e0 + 0.5 * (e0 - state.e_prev)
+            if cfg.picard_init == "extrapolate" else e0
+        )
+
         def cond(carry):
             return (carry[-2] > cfg.tol) & (carry[-1] < cfg.maxiter)
 
         def body(carry):
-            es, psl, _, _, act, hist, _, k = carry
+            es, psl, _, _, act, hist, aux, _, k = carry
             is_act = filled & (act == ACTIVE)
             e_ext = halo_extend(es, hw, ax, perm_r, perm_l)
             e_p = jnp.where(
@@ -330,14 +357,16 @@ def make_step(cfg: DomainSheathConfig, mesh: Mesh):
             e1 = e0 + (dt / EPSILON_0) * (j_mean - jh)
             eh = 0.5 * (e1 + e0)
             r = jnp.sqrt(lax.psum(jnp.sum((es - eh) ** 2), ax))
-            return eh, xh, (x1, u1), (e1, j1), act, hist, r, k + 1
+            es_next, aux = _mix(es, eh, k, aux)
+            return es_next, xh, (x1, u1), (e1, j1), act, hist, aux, r, k + 1
 
         hist0 = jnp.zeros_like(state.exit_hist)
         carry0 = (
-            e0, p0l, (p0l, u0), (e0, state.j), active, hist0,
+            es0, p0l, (p0l, u0), (e0, state.j), active, hist0,
+            mix_init(e0, anderson),
             jnp.asarray(jnp.inf, e0.dtype), jnp.asarray(0, jnp.int32),
         )
-        _, _, (x1, u1), (e1, j1), active, hist_d, r, k = lax.while_loop(
+        _, _, (x1, u1), (e1, j1), active, hist_d, _, r, k = lax.while_loop(
             cond, body, carry0
         )
 
@@ -396,8 +425,8 @@ def make_step(cfg: DomainSheathConfig, mesh: Mesh):
         )
         new_state = state.replace(
             p=p2, v=v2, q=q2, m=m2, species=s2, active=active2,
-            filled=filled, e=e1, j=j1, rng=key, exit_hist=exit_hist,
-            step=state.step + 1,
+            filled=filled, e=e1, j=j1, e_prev=e0, rng=key,
+            exit_hist=exit_hist, step=state.step + 1,
         )
         return new_state, metrics
 

@@ -123,6 +123,29 @@ def test_wall_charge_current_terms():
     np.testing.assert_allclose(j[0], expected, rtol=1e-5)
 
 
+def test_sheath_anderson_fewer_iters_same_sheath():
+    """Anderson(1) mixing + extrapolated init: same fixed point and
+    tolerance, meaningfully fewer Picard iterations (the plain bounded
+    loop converges slowly, ~13-17), and the same sheath potential."""
+    import dataclasses
+
+    cfg, st, te = _setup(n=8_000)
+    cfg_a = dataclasses.replace(cfg, picard_init="extrapolate",
+                                picard_accel="anderson")
+    _, m_b = run(sheath.make_step(cfg), st, 400)
+    _, m_a = run(sheath.make_step(cfg_a), st, 400)
+    it_b = np.asarray(m_b.picard_iters, np.float64).mean()
+    it_a = np.asarray(m_a.picard_iters, np.float64).mean()
+    # saving grows with problem size (12.6 -> 8.1 at n=5e4, PERF.md); at
+    # this small n the baseline already converges faster
+    assert it_a < it_b - 1.0, (it_a, it_b)
+    phi_b = np.asarray(m_b.phi, np.float64)[-100:].mean(axis=0)
+    phi_a = np.asarray(m_a.phi, np.float64)[-100:].mean(axis=0)
+    scale = np.abs(phi_b).max()
+    np.testing.assert_allclose(phi_a, phi_b, atol=0.05 * scale)
+    assert (np.asarray(m_a.n_active) == np.asarray(m_b.n_active)).mean() > 0.95
+
+
 def test_sheath_fused_backend_matches_composed():
     """The fused Pallas Picard pass (wall charge folded into the deposit) ==
     composed ops for a single step; and the physics acceptance holds on a
