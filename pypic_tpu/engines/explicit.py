@@ -38,15 +38,18 @@ class ExplicitConfig:
     dt: float
     p2c: float
     deposit_method: str = "auto"
-    # The per-step current-density diagnostic (pypic.py:716) costs a second
-    # full deposit sweep — a third of the step at 1e8 particles. Parity
-    # default on; flip off for throughput runs.
-    current_metric: bool = True
+    # 'fused' runs gather + leapfrog + periodic wrap as one Pallas sweep
+    # (ops.pallas_cic.leapfrog_gather_push_pallas — skips the gathered
+    # field's HBM round-trip); 'composed' assembles from individual ops
+    # (per-particle q/m capable); 'auto' = fused when q/m are scalars.
+    backend: str = "auto"
 
     def __post_init__(self):
         # numpy scalars are not weakly typed and would promote float32 state.
         object.__setattr__(self, "dt", float(self.dt))
         object.__setattr__(self, "p2c", float(self.p2c))
+        if self.backend not in ("auto", "fused", "composed"):
+            raise ValueError(f"unknown backend {self.backend!r}")
 
 
 class ExplicitState(struct.PyTreeNode):
@@ -100,23 +103,28 @@ def make_step(cfg: ExplicitConfig):
         phi = phi - jnp.max(phi)
         e = -grad_periodic(phi, dx)
         # Gather + leapfrog + periodic wrap (pypic.py:722-731).
-        e_p = gather(e, state.p, periodic=True)
-        p1, v1 = leapfrog_push(state.p, state.v, e_p, qm, dt, dt_dx)
-        p1 = jnp.mod(p1, ng)
+        use_fused = cfg.backend == "fused" or (
+            cfg.backend == "auto"
+            and jnp.ndim(state.q) == 0
+            and jnp.ndim(state.m) == 0
+        )
+        if use_fused:
+            from ..ops.pallas_cic import leapfrog_gather_push_pallas
 
-        if cfg.current_metric:
-            current_bias = jnp.mean(
-                deposit(
-                    state.p,
-                    jnp.broadcast_to(state.q * cfg.p2c * inv_dx, state.p.shape)
-                    * state.v,
-                    ng,
-                    periodic=True,
-                    method=cfg.deposit_method,
-                )
+            p1, v1 = leapfrog_gather_push_pallas(
+                e, state.p, state.v, qm=qm, dt=dt, dx=dx
             )
         else:
-            current_bias = jnp.asarray(0.0, e.dtype)
+            e_p = gather(e, state.p, periodic=True)
+            p1, v1 = leapfrog_push(state.p, state.v, e_p, qm, dt, dt_dx)
+            p1 = jnp.mod(p1, ng)
+
+        # Exact grid mean of the current deposit (pypic.py:716): periodic
+        # CIC tents sum to 1, so mean(deposit(p, q w v)) == sum(q w v)/ng —
+        # the second full deposit sweep this metric used to cost is waste.
+        current_bias = jnp.sum(
+            jnp.broadcast_to(state.q, state.p.shape) * state.v
+        ) * (cfg.p2c * inv_dx / ng)
         metrics = StepMetrics(
             field_energy=0.5 * EPSILON_0 * dx * jnp.sum(e * e),
             kinetic_energy=0.5 * cfg.p2c * jnp.sum(state.m * state.v * state.v),

@@ -552,6 +552,66 @@ def gather_pallas(field, p, *, periodic: bool, block: int = _DEFAULT_BLOCK):
 
 
 # ---------------------------------------------------------------------------
+# fused explicit leapfrog: gather + kick-drift-kick + periodic wrap in one
+# sweep (pypic.py:722-731 / PIC_L.py:248-259) — skips the HBM round-trip of
+# the gathered field and the second read of p.
+# ---------------------------------------------------------------------------
+
+
+def _leapfrog_kernel(
+    scal_ref, fwin_ref, p_ref, v_ref, p1_ref, v1_ref,
+    *, num_k, ng, block, stride, width,
+):
+    qm_dt_half = scal_ref[0, 0]
+    dt_dx = scal_ref[1, 0]
+    p = p_ref[0, 0, :]
+    v = v_ref[0, 0, :]
+    e_p = _gather_at(fwin_ref, p, num_k, block, stride, width)
+    vh = v + qm_dt_half * e_p
+    p1 = p + vh * dt_dx
+    p1 = p1 - jnp.floor(p1 * (1.0 / ng)) * ng
+    p1_ref[0, 0, :] = p1
+    v1_ref[0, 0, :] = vh + qm_dt_half * e_p
+
+
+def leapfrog_gather_push_pallas(
+    field, p, v, *, qm, dt: float, dx: float, block: int = _DEFAULT_BLOCK,
+):
+    """Fused periodic CIC gather + leapfrog push + wrap: (p1, v1)."""
+    ng = field.shape[0]
+    stride, width = _choose_window(ng)
+    num_k = _num_windows(ng, stride)
+    fwin_t = _window_field_t(field, num_k, True, stride, width)
+    (p_b, v_b), nb = _pad_blocks([p, v], block)
+    scal = jnp.stack([
+        0.5 * qm * dt, jnp.full_like(qm * dt, dt / dx),
+        jnp.zeros_like(qm * dt), jnp.zeros_like(qm * dt),
+    ]).reshape(4, 1).astype(p.dtype)
+    kern = functools.partial(
+        _leapfrog_kernel, num_k=num_k, ng=ng, block=block,
+        stride=stride, width=width,
+    )
+    p1, v1 = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            _SMEM_SPEC,
+            _acc_spec(num_k, width),
+            _particle_spec(block),
+            _particle_spec(block),
+        ],
+        out_specs=(_particle_spec(block), _particle_spec(block)),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, 1, block), p.dtype),
+            jax.ShapeDtypeStruct((nb, 1, block), v.dtype),
+        ),
+        interpret=_interpret(),
+    )(scal, fwin_t, p_b, v_b)
+    n = p.shape[0]
+    return p1.reshape(-1)[:n], v1.reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------------------
 # fused implicit Picard iteration (periodic, single species)
 # ---------------------------------------------------------------------------
 

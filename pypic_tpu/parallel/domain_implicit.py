@@ -215,8 +215,16 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
         d = lax.axis_index(ax)
         lo = d.astype(state.p.dtype) * c
         alive = state.alive
-        p0l = jnp.where(alive, state.p - lo, 0.0)
-        v0 = jnp.where(alive, state.v, 0.0)
+        # Dead slots are inert without masking copies: their deposit weight
+        # w is zero, kernel gathers clamp to the halo range, and every
+        # downstream consumer (migration routing, metrics, clamp counters)
+        # masks by `alive` — so p/v carry stale-but-finite values in dead
+        # slots instead of paying 4 full-array where-passes per step
+        # (measured ~2% at 1e8 on v5e — XLA fused most of the wheres away,
+        # but the simpler dataflow also keeps new consumers honest about
+        # masking at the use site).
+        p0l = state.p - lo
+        v0 = state.v
         e0 = state.e  # (c,) own slab under shard_map
         qm = state.q / state.m
         w = jnp.where(alive, state.q * (cfg.p2c / dx), 0.0)
@@ -364,9 +372,9 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
             ax,
         )
 
-        # Wrap to global coordinates and multi-hop migrate to owner slabs.
-        p1 = jnp.where(alive, jnp.mod(p1l + lo, ng), 0.0)
-        v1 = jnp.where(alive, v1, 0.0)
+        # Wrap to global coordinates and multi-hop migrate to owner slabs
+        # (dead slots wrap too — finite garbage, masked by `alive` inside).
+        p1 = jnp.mod(p1l + lo, ng)
         (p2, v2), alive1, n_migrated, n_dropped = migrate(
             [p1, v1], alive, d,
             ng=ng, cells_per_shard=c, num_shards=d_tot,

@@ -252,6 +252,39 @@ def test_finalize_modes_agree_and_nodep_is_bit_exact():
     np.testing.assert_allclose(cb_nd, cb_d, rtol=1e-3)
 
 
+def test_explicit_fused_matches_composed():
+    """The fused Pallas leapfrog sweep (gather + kick-drift-kick + wrap in
+    one kernel) reproduces the composed op pipeline; the closed-form
+    current_bias equals the mean of an explicit current deposit (periodic
+    CIC tents sum to 1)."""
+    from pypic_tpu.ops import deposit
+
+    grid, x, v, params = _two_stream_setup(n=20_000)
+    dt = 0.1 / params.wp
+    outs = {}
+    for backend in ("composed", "fused"):
+        cfg = explicit.ExplicitConfig(grid, dt, params.p2c, backend=backend)
+        st = explicit.init_state(x, v, -E_CHARGE, M_ELECTRON, grid)
+        outs[backend] = run(explicit.make_step(cfg), st, 50)
+    sc, sf = outs["composed"][0], outs["fused"][0]
+    np.testing.assert_allclose(np.asarray(sf.p), np.asarray(sc.p),
+                               rtol=0, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(sf.v), np.asarray(sc.v),
+                               rtol=1e-4, atol=1e-4 * np.abs(v).max())
+    ee_c = np.asarray(outs["composed"][1].field_energy, np.float64)
+    ee_f = np.asarray(outs["fused"][1].field_energy, np.float64)
+    np.testing.assert_allclose(ee_f, ee_c, rtol=1e-3)
+    # current_bias closed form vs an actual deposit's grid mean
+    st = outs["fused"][0]
+    w = float(-E_CHARGE * params.p2c / grid.dx)
+    j = deposit(st.p, w * st.v, grid.ng, periodic=True)
+    cfg = explicit.ExplicitConfig(grid, dt, params.p2c)
+    _, m = run(explicit.make_step(cfg), st, 1)
+    np.testing.assert_allclose(float(m.current_bias[0]),
+                               float(np.asarray(j, np.float64).mean()),
+                               rtol=1e-3)
+
+
 def test_picard_quadratic_init_and_anderson_same_fixed_point():
     """'extrapolate2' and Anderson(1) mixing reach the same fixed point at
     tight tolerance with no more iterations than the linear-extrapolated
