@@ -11,8 +11,9 @@ particle arrays themselves (4-16 bytes/particle/pass).
 Formulation: CIC weights are the tent function max(0, 1 - |p - g|) evaluated
 over a narrow node window; windows start every ``stride`` nodes and the tent
 spans ``width >= stride + 2`` rows so a particle's two nodes never leave its
-window (``_choose_window`` minimizes tent rows + selector columns per grid
-size — e.g. ng=200 -> stride 16 / width 24 / 13 windows). Layout is **transposed** — window columns live on
+window (``_choose_window`` minimizes a measured-cost mix of tent rows and
+selector columns per grid size — e.g. ng=200 -> stride 6 / width 8 / 34
+windows). Layout is **transposed** — window columns live on
 sublanes and particles on lanes — so every elementwise op keeps the particle
 arrays in their natural lanes-major layout and Mosaic inserts no
 lane<->sublane relayouts (the row-major formulation measured ~1.9 ns/particle
@@ -59,19 +60,24 @@ def _choose_window(ng: int):
     """Pick (stride, width): windows start every ``stride`` nodes and the
     tent spans ``width`` sublane rows (width >= stride + 2 so a particle's
     two nodes never leave its window; width a multiple of 8 for tiling).
+    For a given width the largest legal stride (width - 2) always wins —
+    it minimizes the window count K = ceil(ng/stride).
 
-    VPU cost per particle scales with width (tent rows) + K (selector
-    columns, K = number of windows); minimizing width + ceil(ng/stride)
-    beats the naive (127, 128) choice ~4x at the reference grid sizes
-    (e.g. ng=200 -> stride 16: 24 + 13 = 37 vs 128 + 2 = 130 lane-ops).
+    Cost model calibrated on v5e at 1e8 particles/ng=200
+    (scratch/bench_window_stride.py): per-pass time fits
+    ~0.37 ms/tent-row + ~0.13 ms/selector-column on top of a ~6.8 ms
+    fixed HBM-stream floor, so minimize 3*width + K. The tent rows cost
+    ~3x the selector columns because the tent build is a ~4-op elementwise
+    chain per row while the selector is a 2-op compare-cast; measured
+    ng=200 -> stride 6 / width 8 / K=34 at 14.1 ms/pass vs 16.5 for the
+    old width+K model's stride 16 / width 24 (and 130+ for the naive
+    (127, 128) single window).
     """
     best = None
-    for stride in (8, 16, 24, 32, 48, 64, 96, 120):
-        width = ((stride + 2 + 7) // 8) * 8  # smallest mult-of-8 >= stride+2
-        if width > LANE:
-            continue
+    for width in (8, 16, 24, 32, 48, 64, 96, 128):
+        stride = width - 2
         num_k = (ng - 1) // stride + 1
-        cost = width + num_k
+        cost = 3 * width + num_k
         if best is None or cost < best[2]:
             best = (stride, width, cost)
     return best[0], best[1]

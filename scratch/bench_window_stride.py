@@ -25,7 +25,7 @@ field = jax.random.normal(ks[2], (NG,), jnp.float32)
 
 orig = pc._choose_window
 
-for stride, width in ((8, 16), (16, 24), (24, 32), (32, 40)):
+for stride, width in ((4, 8), (6, 8), (8, 16), (14, 16)):
     pc._choose_window = lambda ng, s=stride, w=width: (s, w)
 
     @jax.jit

@@ -77,6 +77,32 @@ def test_fused_picard_matches_composed():
     )
 
 
+@pytest.mark.parametrize("ng", [64, 200, 129])
+def test_leapfrog_gather_push_matches_composed(ng):
+    """Fused gather + leapfrog + wrap kernel vs the op-by-op composition,
+    non-block-multiple n."""
+    from pypic_tpu.ops.pallas_cic import leapfrog_gather_push_pallas
+
+    rng = np.random.default_rng(11)
+    n = 4099
+    qm, dt, dx = -1.7e11, 1e-7, 0.05
+    p = jnp.asarray(rng.uniform(0, ng, n), jnp.float32)
+    v = jnp.asarray(rng.normal(size=n) * 1e5, jnp.float32)
+    e = jnp.asarray(rng.normal(size=ng) * 1e3, jnp.float32)
+
+    ep = gather(e, p, periodic=True, method="take")
+    vh = v + 0.5 * qm * dt * ep
+    p1r = jnp.mod(p + vh * (dt / dx), ng)
+    v1r = vh + 0.5 * qm * dt * ep
+
+    p1, v1 = leapfrog_gather_push_pallas(e, p, v, qm=jnp.float32(qm),
+                                         dt=dt, dx=dx)
+    assert p1.shape == (n,) and v1.shape == (n,)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p1r), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v1r),
+                               atol=1e-4 * float(jnp.abs(v1r).max()))
+
+
 def test_deposit_pallas_padding_mask():
     """Padding particles (n not a multiple of the block) contribute nothing."""
     p = jnp.asarray([5.5], jnp.float32)
