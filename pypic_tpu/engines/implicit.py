@@ -228,9 +228,11 @@ def make_step(cfg: ImplicitConfig):
         no extra sweep.
         """
         from ..ops.pallas_cic import (
+            block_particles,
             picard_iteration_pallas,
             picard_finalize_nodep_pallas,
             picard_finalize_pallas,
+            unblock_particles,
         )
 
         p0, v0, e0 = state.p, state.v, state.e
@@ -239,14 +241,21 @@ def make_step(cfg: ImplicitConfig):
         w_s = state.q * (cfg.p2c * inv_dx)
         emit_v = cfg.finalize == "iterate"
 
+        # Block the particle arrays ONCE per step: the while_loop then
+        # carries the Picard position iterate in the kernels' blocked
+        # layout, so no pad-concat/slice-back copies happen per pass
+        # (~4 ms/pass at a misaligned 1e8 on v5e).
+        n = p0.shape[0]
+        (p0_b, v0_b), _ = block_particles([p0, v0])
+
         def cond(c):
             return (c["r"] > cfg.tol) & (c["k"] < cfg.maxiter)
 
         def body(c):
             es = c["es"]
             outs = picard_iteration_pallas(
-                _smooth(es), c["ps"], p0, v0, ng,
-                qm=qm_s, w=w_s, dt=dt, dx=dx, emit_v=emit_v,
+                _smooth(es), c["ps"], p0_b, v0_b, ng,
+                qm=qm_s, w=w_s, dt=dt, dx=dx, emit_v=emit_v, n_valid=n,
             )
             jh = _allreduce(outs[-1])
             e1 = e0 + (dt / EPSILON_0) * (jnp.mean(jh) - _smooth(jh))
@@ -263,7 +272,7 @@ def make_step(cfg: ImplicitConfig):
 
         keep_jh = cfg.finalize in ("iterate", "converged")
         c0 = {
-            "es": _es0(state), "ps": p0, "e1": e0,
+            "es": _es0(state), "ps": p0_b, "e1": e0,
             "r": jnp.asarray(jnp.inf, e0.dtype),
             "k": jnp.asarray(0, jnp.int32),
             "aux": _mix_init(e0),
@@ -271,12 +280,14 @@ def make_step(cfg: ImplicitConfig):
         if keep_jh:
             c0["jh"] = state.j
         if emit_v:
-            c0["v1"] = v0
+            c0["v1"] = v0_b
         c = lax.while_loop(cond, body, c0)
         e1, r, k = c["e1"], c["r"], c["k"]
 
         if emit_v:
-            v1 = c["v1"]
+            # Pad lanes of the blocked iterate hold garbage — slice before
+            # any reduction.
+            v1 = unblock_particles(c["v1"], n)
             # p1 of the same iterate: qm dt^2/2 e_p == dt/dx * (v1 - v0)/2,
             # so p1 = p0 + dt/dx (v0 + v1)/2 (pypic.py:264, re-associated).
             p1 = p0 + (0.5 * dt_dx) * (v0 + v1)
@@ -286,17 +297,21 @@ def make_step(cfg: ImplicitConfig):
             # tent weights sum to 1, so mean(deposit(p1, w v1)) == w sum(v1)/ng.
             current_bias = (w_s / ng) * _allreduce(jnp.sum(v1))
         elif cfg.finalize == "converged":
-            p1, v1 = picard_finalize_nodep_pallas(
-                _smooth(c["es"]), c["ps"], p0, v0, ng,
-                qm=qm_s, dt=dt, dx=dx,
+            p1_b, v1_b = picard_finalize_nodep_pallas(
+                _smooth(c["es"]), c["ps"], p0_b, v0_b, ng,
+                qm=qm_s, dt=dt, dx=dx, n_valid=n,
             )
+            p1 = unblock_particles(p1_b, n)
+            v1 = unblock_particles(v1_b, n)
             j1 = c["jh"]
             current_bias = (w_s / ng) * _allreduce(jnp.sum(v1))
         else:  # 'converged-deposit'
-            p1, v1, j1 = picard_finalize_pallas(
-                _smooth(c["es"]), c["ps"], p0, v0, ng,
-                qm=qm_s, w=w_s, dt=dt, dx=dx,
+            p1_b, v1_b, j1 = picard_finalize_pallas(
+                _smooth(c["es"]), c["ps"], p0_b, v0_b, ng,
+                qm=qm_s, w=w_s, dt=dt, dx=dx, n_valid=n,
             )
+            p1 = unblock_particles(p1_b, n)
+            v1 = unblock_particles(v1_b, n)
             j1 = _allreduce(j1)
             current_bias = jnp.mean(j1)
 

@@ -144,6 +144,35 @@ def _pad_blocks(arrs, block):
     return [a.reshape(nb, 1, block) for a in arrs], nb
 
 
+def block_particles(arrs, block: int = _DEFAULT_BLOCK):
+    """Pad + reshape (n,) particle arrays into the kernels' blocked
+    (nb, 1, block) layout. The Picard wrappers accept either layout;
+    pre-blocking loop-carried arrays once per step skips the pad-concat +
+    slice-back copies the (n,) path pays on every pass when n is not a
+    block multiple (measured ~4 ms/pass at 1e8 on v5e — 14.4 vs 10.4 ms).
+    Returns (blocked_list, nb)."""
+    return _pad_blocks(arrs, block)
+
+
+def unblock_particles(a, n: int):
+    """Inverse of block_particles for one array: (nb, 1, block) -> (n,)."""
+    return a.reshape(-1)[:n]
+
+
+def _as_blocks(arrs, block, n_valid=None):
+    """Accept (n,) or pre-blocked (nb, 1, block) particle arrays uniformly.
+    Returns (blocked_list, nb, n_valid, was_blocked); n_valid is required
+    with pre-blocked inputs (the pad tail is indistinguishable from data)."""
+    if arrs[0].ndim == 3:
+        if n_valid is None:
+            raise ValueError("n_valid is required for pre-blocked inputs")
+        return list(arrs), arrs[0].shape[0], n_valid, True
+    if n_valid is None:
+        n_valid = arrs[0].shape[0]
+    bs, nb = _pad_blocks(arrs, block)
+    return bs, nb, n_valid, False
+
+
 def _particle_spec(block):
     return pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -835,14 +864,15 @@ def _picard_final_ext_nodep_kernel(
 def picard_finalize_ext_nodep_pallas(
     field_ext, ps, p0, v0, ext_n: int,
     *, qm, dt: float, dx: float, lo: float, hi: float,
-    block: int = _DEFAULT_BLOCK,
+    block: int = _DEFAULT_BLOCK, n_valid: int | None = None,
 ):
     """Post-convergence extended-slab pass without the j1 deposit:
-    (p1_raw, v1)."""
+    (p1_raw, v1). Accepts (n,) or pre-blocked particle inputs."""
     stride, wdth = _choose_window(ext_n)
     num_k = _num_windows(ext_n, stride)
     fwin_t = _window_field_t(field_ext, num_k, False, stride, wdth)
-    (ps_b, p0_b, v0_b), nb = _pad_blocks([ps, p0, v0], block)
+    (ps_b, p0_b, v0_b), nb, n, blocked = _as_blocks([ps, p0, v0], block,
+                                                    n_valid)
     scal = _ext_scalars(qm, dt, dx, ps.dtype)
     kern = functools.partial(
         _picard_final_ext_nodep_kernel, num_k=num_k, block=block,
@@ -865,7 +895,8 @@ def picard_finalize_ext_nodep_pallas(
         ),
         interpret=_interpret(),
     )(scal, fwin_t, ps_b, p0_b, v0_b)
-    n = ps.shape[0]
+    if blocked:
+        return p1, v1
     return p1.reshape(-1)[:n], v1.reshape(-1)[:n]
 
 
@@ -880,6 +911,7 @@ def picard_iteration_ext_pallas(
     field_ext, ps, p0, v0, w, ext_n: int,
     *, qm, dt: float, dx: float, lo: float, hi: float,
     block: int = _DEFAULT_BLOCK, emit_v: bool = False,
+    n_valid: int | None = None,
 ):
     """Fused Picard inner pass on a bounded extended slab.
 
@@ -890,13 +922,17 @@ def picard_iteration_ext_pallas(
         lo/hi: position clamp for grid operations (halo excursion bound).
         emit_v: also return the iterate's full-step velocity (for the
             no-extra-sweep finalize='iterate').
+        n_valid: true particle count — required when the particle arrays
+            come pre-blocked from ``block_particles`` (blocked inputs give
+            blocked particle outputs and skip per-pass pad/slice copies).
 
     Returns (ph_raw, jh_ext), or (ph_raw, v1, jh_ext) with ``emit_v``.
     """
     stride, wdth = _choose_window(ext_n)
     num_k = _num_windows(ext_n, stride)
     fwin_t = _window_field_t(field_ext, num_k, False, stride, wdth)
-    (ps_b, p0_b, v0_b, w_b), nb = _pad_blocks([ps, p0, v0, w], block)
+    (ps_b, p0_b, v0_b, w_b), nb, n, blocked = _as_blocks(
+        [ps, p0, v0, w], block, n_valid)
     scal = _ext_scalars(qm, dt, dx, ps.dtype)
     kern = functools.partial(
         _picard_iter_ext_kernel, num_k=num_k, block=block,
@@ -921,8 +957,8 @@ def picard_iteration_ext_pallas(
         ) + (jax.ShapeDtypeStruct((wdth, num_k), jnp.float32),),
         interpret=_interpret(),
     )(scal, fwin_t, ps_b, p0_b, v0_b, w_b)
-    n = ps.shape[0]
-    parts = tuple(o.reshape(-1)[:n] for o in outs[:-1])
+    parts = tuple(outs[:-1] if blocked
+                  else (o.reshape(-1)[:n] for o in outs[:-1]))
     return parts + (
         _fold_windows(outs[-1].T.astype(ps.dtype), ext_n, False, stride),
     )
@@ -931,13 +967,15 @@ def picard_iteration_ext_pallas(
 def picard_finalize_ext_pallas(
     field_ext, ps, p0, v0, w, ext_n: int,
     *, qm, dt: float, dx: float, lo: float, hi: float,
-    block: int = _DEFAULT_BLOCK,
+    block: int = _DEFAULT_BLOCK, n_valid: int | None = None,
 ):
-    """Post-convergence pass on the extended slab: (p1_raw, v1, j1_ext)."""
+    """Post-convergence pass on the extended slab: (p1_raw, v1, j1_ext).
+    Accepts (n,) or pre-blocked particle inputs."""
     stride, wdth = _choose_window(ext_n)
     num_k = _num_windows(ext_n, stride)
     fwin_t = _window_field_t(field_ext, num_k, False, stride, wdth)
-    (ps_b, p0_b, v0_b, w_b), nb = _pad_blocks([ps, p0, v0, w], block)
+    (ps_b, p0_b, v0_b, w_b), nb, n, blocked = _as_blocks(
+        [ps, p0, v0, w], block, n_valid)
     scal = _ext_scalars(qm, dt, dx, ps.dtype)
     kern = functools.partial(
         _picard_final_ext_kernel, num_k=num_k, block=block,
@@ -966,31 +1004,34 @@ def picard_finalize_ext_pallas(
         ),
         interpret=_interpret(),
     )(scal, fwin_t, ps_b, p0_b, v0_b, w_b)
-    n = ps.shape[0]
-    return (
-        p1.reshape(-1)[:n],
-        v1.reshape(-1)[:n],
-        _fold_windows(j1.T.astype(ps.dtype), ext_n, False, stride),
-    )
+    jg = _fold_windows(j1.T.astype(ps.dtype), ext_n, False, stride)
+    if blocked:
+        return p1, v1, jg
+    return p1.reshape(-1)[:n], v1.reshape(-1)[:n], jg
 
 
 def picard_iteration_pallas(
     field_smoothed, ps, p0, v0, ng: int,
     *, qm, w, dt: float, dx: float, block: int = _DEFAULT_BLOCK,
-    emit_v: bool = False,
+    emit_v: bool = False, n_valid: int | None = None,
 ):
     """Fused Picard inner pass. Returns (ph, jh) — the new half-step
     positions (the next iteration's gather guess) and the (ng,) half-step
     current — or (ph, v1, jh) with ``emit_v`` (the iterate's full-step
-    velocity, for the no-extra-sweep finalize)."""
+    velocity, for the no-extra-sweep finalize).
+
+    Particle inputs may be (n,) or pre-blocked (nb, 1, block) from
+    ``block_particles`` (then ``n_valid`` is required); blocked inputs
+    yield blocked particle outputs with no pad/slice copies per pass."""
     stride, wdth = _choose_window(ng)
     num_k = _num_windows(ng, stride)
     fwin_t = _window_field_t(field_smoothed, num_k, True, stride, wdth)
-    (ps_b, p0_b, v0_b), nb = _pad_blocks([ps, p0, v0], block)
+    (ps_b, p0_b, v0_b), nb, n, blocked = _as_blocks([ps, p0, v0], block,
+                                                    n_valid)
     scal = _scalars(qm, dt, dx, w, ps.dtype)
     kern = functools.partial(
         _picard_iter_kernel, num_k=num_k, ng=ng, block=block,
-        n_valid=ps.shape[0], stride=stride, width=wdth, emit_v=emit_v,
+        n_valid=n, stride=stride, width=wdth, emit_v=emit_v,
     )
     n_pout = 2 if emit_v else 1
     outs = pl.pallas_call(
@@ -1010,21 +1051,24 @@ def picard_iteration_pallas(
         ) + (jax.ShapeDtypeStruct((wdth, num_k), jnp.float32),),
         interpret=_interpret(),
     )(scal, fwin_t, ps_b, p0_b, v0_b)
-    n = ps.shape[0]
-    parts = tuple(o.reshape(-1)[:n] for o in outs[:-1])
+    parts = tuple(outs[:-1] if blocked
+                  else (o.reshape(-1)[:n] for o in outs[:-1]))
     return parts + (_fold_windows(outs[-1].T.astype(ps.dtype), ng, True, stride),)
 
 
 def picard_finalize_nodep_pallas(
     field_smoothed, ps, p0, v0, ng: int,
     *, qm, dt: float, dx: float, block: int = _DEFAULT_BLOCK,
+    n_valid: int | None = None,
 ):
     """Post-convergence pass without the j1 deposit: final (p1, v1) only
-    (see _picard_final_nodep_kernel)."""
+    (see _picard_final_nodep_kernel). Accepts (n,) or pre-blocked particle
+    inputs like picard_iteration_pallas."""
     stride, wdth = _choose_window(ng)
     num_k = _num_windows(ng, stride)
     fwin_t = _window_field_t(field_smoothed, num_k, True, stride, wdth)
-    (ps_b, p0_b, v0_b), nb = _pad_blocks([ps, p0, v0], block)
+    (ps_b, p0_b, v0_b), nb, n, blocked = _as_blocks([ps, p0, v0], block,
+                                                    n_valid)
     scal = _scalars(qm, dt, dx, jnp.zeros_like(qm), ps.dtype)
     kern = functools.partial(
         _picard_final_nodep_kernel, num_k=num_k, ng=ng, block=block,
@@ -1047,23 +1091,28 @@ def picard_finalize_nodep_pallas(
         ),
         interpret=_interpret(),
     )(scal, fwin_t, ps_b, p0_b, v0_b)
-    n = ps.shape[0]
+    if blocked:
+        return p1, v1
     return p1.reshape(-1)[:n], v1.reshape(-1)[:n]
 
 
 def picard_finalize_pallas(
     field_smoothed, ps, p0, v0, ng: int,
     *, qm, w, dt: float, dx: float, block: int = _DEFAULT_BLOCK,
+    n_valid: int | None = None,
 ):
-    """Post-convergence pass: final (p1, v1) and full-step current j1."""
+    """Post-convergence pass: final (p1, v1) and full-step current j1.
+    Accepts (n,) or pre-blocked particle inputs like
+    picard_iteration_pallas."""
     stride, wdth = _choose_window(ng)
     num_k = _num_windows(ng, stride)
     fwin_t = _window_field_t(field_smoothed, num_k, True, stride, wdth)
-    (ps_b, p0_b, v0_b), nb = _pad_blocks([ps, p0, v0], block)
+    (ps_b, p0_b, v0_b), nb, n, blocked = _as_blocks([ps, p0, v0], block,
+                                                    n_valid)
     scal = _scalars(qm, dt, dx, w, ps.dtype)
     kern = functools.partial(
         _picard_final_kernel, num_k=num_k, ng=ng, block=block,
-        n_valid=ps.shape[0], stride=stride, width=wdth,
+        n_valid=n, stride=stride, width=wdth,
     )
     p1, v1, j1 = pl.pallas_call(
         kern,
@@ -1087,9 +1136,7 @@ def picard_finalize_pallas(
         ),
         interpret=_interpret(),
     )(scal, fwin_t, ps_b, p0_b, v0_b)
-    n = ps.shape[0]
-    return (
-        p1.reshape(-1)[:n],
-        v1.reshape(-1)[:n],
-        _fold_windows(j1.T.astype(ps.dtype), ng, True, stride),
-    )
+    jg = _fold_windows(j1.T.astype(ps.dtype), ng, True, stride)
+    if blocked:
+        return p1, v1, jg
+    return p1.reshape(-1)[:n], v1.reshape(-1)[:n], jg

@@ -288,11 +288,11 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
         def body_fused(carry):
             from ..ops.pallas_cic import picard_iteration_ext_pallas
 
-            es, pss = carry[0], carry[1]  # pss: shifted local iterate
+            es, pss = carry[0], carry[1]  # pss: blocked shifted iterate
             outs = picard_iteration_ext_pallas(
-                smoothed_ext(es), pss, p0s, v0, w, ext_n,
+                smoothed_ext(es), pss, p0s_b, v0_b, w_b, ext_n,
                 qm=qm, dt=dt, dx=dx, lo=clamp_lo_s, hi=clamp_hi_s,
-                emit_v=emit_v,
+                emit_v=emit_v, n_valid=n_cap,
             )
             jh = halo_fold(outs[-1], c, hw, ax, perm_r, perm_l)
             e1, eh, r = ampere(es, jh)
@@ -312,29 +312,37 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
             es0 = e0
         if use_fused:
             from ..ops.pallas_cic import (
+                block_particles,
                 picard_finalize_ext_nodep_pallas,
                 picard_finalize_ext_pallas,
+                unblock_particles,
             )
 
             p0s = p0l + hw
+            # Block once per step; the Picard loop carries the position
+            # iterate in the kernels' blocked layout (no pad/slice copies
+            # per pass — see engines.implicit.step_fused).
+            n_cap = p0s.shape[0]
+            (p0s_b, v0_b, w_b), _ = block_particles([p0s, v0, w])
             if emit_v:
                 carry0 = (
-                    es0, p0s, v0, e0, state.j,
+                    es0, p0s_b, v0_b, e0, state.j,
                     jnp.asarray(jnp.inf, e0.dtype), jnp.asarray(0, jnp.int32),
                 )
-                es, pss, v1, e1, jh, r, k = lax.while_loop(
+                es, pss, v1_b, e1, jh, r, k = lax.while_loop(
                     cond, body_fused, carry0
                 )
                 # Last Picard iterate, no extra sweep (pypic.py:293-295):
                 # p1 = p0 + dt/dx (v0 + v1)/2 elementwise; state.j holds the
                 # half-step current that drove the Ampere advance; the exact
                 # mean of the skipped full-step deposit is w sum(v1)/ng.
+                v1 = unblock_particles(v1_b, n_cap)
                 p1l = p0l + (0.5 * dt_dx) * (v0 + v1)
                 j1 = jh
                 mean_j1 = lax.psum(jnp.sum(w * v1), ax) / ng
             else:
                 carry0 = (
-                    es0, p0s, e0, state.j,
+                    es0, p0s_b, e0, state.j,
                     jnp.asarray(jnp.inf, e0.dtype), jnp.asarray(0, jnp.int32),
                 )
                 es, pss, e1, jh, r, k = lax.while_loop(
@@ -343,18 +351,24 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
                 # finalize from the converged field (engines.implicit fused
                 # semantics): one extra sweep yields (p1, v1)
                 if cfg.finalize == "converged":
-                    p1s, v1 = picard_finalize_ext_nodep_pallas(
-                        smoothed_ext(es), pss, p0s, v0, ext_n,
+                    p1s_b, v1_b = picard_finalize_ext_nodep_pallas(
+                        smoothed_ext(es), pss, p0s_b, v0_b, ext_n,
                         qm=qm, dt=dt, dx=dx, lo=clamp_lo_s, hi=clamp_hi_s,
+                        n_valid=n_cap,
                     )
                     j1 = jh
-                    mean_j1 = lax.psum(jnp.sum(w * v1), ax) / ng
                 else:  # 'converged-deposit'
-                    p1s, v1, j1_ext = picard_finalize_ext_pallas(
-                        smoothed_ext(es), pss, p0s, v0, w, ext_n,
+                    p1s_b, v1_b, j1_ext = picard_finalize_ext_pallas(
+                        smoothed_ext(es), pss, p0s_b, v0_b, w_b, ext_n,
                         qm=qm, dt=dt, dx=dx, lo=clamp_lo_s, hi=clamp_hi_s,
+                        n_valid=n_cap,
                     )
                     j1 = halo_fold(j1_ext, c, hw, ax, perm_r, perm_l)
+                p1s = unblock_particles(p1s_b, n_cap)
+                v1 = unblock_particles(v1_b, n_cap)
+                if cfg.finalize == "converged":
+                    mean_j1 = lax.psum(jnp.sum(w * v1), ax) / ng
+                else:
                     mean_j1 = lax.psum(jnp.sum(j1), ax) / ng
                 p1l = p1s - hw
         else:

@@ -103,6 +103,48 @@ def test_leapfrog_gather_push_matches_composed(ng):
                                atol=1e-4 * float(jnp.abs(v1r).max()))
 
 
+def test_blocked_inputs_match_flat():
+    """Pre-blocked (nb, 1, block) particle inputs (block_particles) produce
+    bit-identical results to the flat (n,) path, including deposit masking
+    of the pad tail (n not a block multiple)."""
+    from pypic_tpu.ops.pallas_cic import (
+        block_particles,
+        picard_finalize_nodep_pallas,
+        unblock_particles,
+    )
+
+    rng = np.random.default_rng(13)
+    ng, n = 200, 4097
+    qm, w, dt, dx = -1.7e11, -3.2e-9, 1e-7, 0.05
+    p0 = jnp.asarray(rng.uniform(0, ng, n), jnp.float32)
+    v0 = jnp.asarray(rng.normal(size=n) * 1e5, jnp.float32)
+    ps = jnp.asarray(rng.uniform(0, ng, n), jnp.float32)
+    e = jnp.asarray(rng.normal(size=ng) * 1e3, jnp.float32)
+
+    ph_f, jh_f = picard_iteration_pallas(e, ps, p0, v0, ng, qm=qm, w=w,
+                                         dt=dt, dx=dx)
+    (ps_b, p0_b, v0_b), _ = block_particles([ps, p0, v0])
+    ph_b, jh_b = picard_iteration_pallas(e, ps_b, p0_b, v0_b, ng, qm=qm,
+                                         w=w, dt=dt, dx=dx, n_valid=n)
+    np.testing.assert_array_equal(np.asarray(unblock_particles(ph_b, n)),
+                                  np.asarray(ph_f))
+    np.testing.assert_array_equal(np.asarray(jh_b), np.asarray(jh_f))
+
+    p1_f, v1_f = picard_finalize_nodep_pallas(e, ps, p0, v0, ng, qm=qm,
+                                              dt=dt, dx=dx)
+    p1_b, v1_b = picard_finalize_nodep_pallas(e, ps_b, p0_b, v0_b, ng,
+                                              qm=qm, dt=dt, dx=dx, n_valid=n)
+    np.testing.assert_array_equal(np.asarray(unblock_particles(p1_b, n)),
+                                  np.asarray(p1_f))
+    np.testing.assert_array_equal(np.asarray(unblock_particles(v1_b, n)),
+                                  np.asarray(v1_f))
+
+    # missing n_valid with blocked inputs is an error, not silence
+    with pytest.raises(ValueError):
+        picard_iteration_pallas(e, ps_b, p0_b, v0_b, ng, qm=qm, w=w,
+                                dt=dt, dx=dx)
+
+
 def test_deposit_pallas_padding_mask():
     """Padding particles (n not a multiple of the block) contribute nothing."""
     p = jnp.asarray([5.5], jnp.float32)
