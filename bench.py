@@ -109,7 +109,11 @@ def bench_headline(args):
     from pypic_tpu.runner import run
 
     on_tpu = jax.default_backend() == "tpu"
-    n = args.particles or (100_000_000 if on_tpu else 200_000)
+    # 6104 * 16384 = 100,007,936: the smallest particle-block multiple
+    # >= 1e8. Aligned n makes the engine's once-per-step block/unblock a
+    # free reshape instead of a pad-concat + slice copy (~7 ms/step; the
+    # in-loop passes are copy-free at any n via the blocked carries).
+    n = args.particles or (6104 * 16384 if on_tpu else 200_000)
     grid, x, v, cfg = _landau_problem(n, args.tol, maxiter=args.maxiter)
     state = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
     step = implicit.make_step(cfg)

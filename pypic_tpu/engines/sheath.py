@@ -230,9 +230,13 @@ def make_step(cfg: SheathConfig):
         if cfg.backend not in ("auto", "fused", "composed"):
             raise ValueError(f"unknown backend {cfg.backend!r}")
 
-        def _hist_update(hist, act_prev, act_new):
+        def _hist_update(hist, act_prev, act_new, u0_loc=None, spec_loc=None):
             """Exit-velocity histograms from the status transition (the
             fused kernel returns act; the binning stays outside).
+
+            The fused path passes PADDED flat views (free reshapes of the
+            blocked arrays): pad rows carry act == 0 (never ACTIVE) so they
+            record nothing.
 
             Edge: a particle crossing BOTH walls within one Picard iteration
             (possible only for a re-injected particle drawn exactly at a
@@ -241,9 +245,11 @@ def make_step(cfg: SheathConfig):
             LOST_LEFT — a measure-zero diagnostic difference."""
             if cfg.exit_hist_vmax <= 0.0:
                 return hist
+            u0_loc = u0 if u0_loc is None else u0_loc
+            spec_loc = species if spec_loc is None else spec_loc
             right = (act_prev == ACTIVE) & (act_new == LOST_RIGHT)
             left = (act_prev == ACTIVE) & (act_new == LOST_LEFT)
-            vout = jnp.where(right, u0, jnp.where(left, -u0, 0.0))
+            vout = jnp.where(right, u0_loc, jnp.where(left, -u0_loc, 0.0))
             rec = (right | left) & (state.step >= cfg.record_exit_after_step)
             bins = cfg.exit_hist_bins
             idx = jnp.clip(
@@ -251,7 +257,7 @@ def make_step(cfg: SheathConfig):
                  * (bins / (2.0 * cfg.exit_hist_vmax))).astype(jnp.int32),
                 0, bins - 1,
             )
-            flat = jnp.clip(species - 1, 0, 1) * bins + idx
+            flat = jnp.clip(spec_loc - 1, 0, 1) * bins + idx
             upd = histogram_add(
                 flat, jnp.where(rec, 1.0, 0.0).astype(hist.dtype),
                 2 * bins, method=cfg.deposit_method,
@@ -307,42 +313,59 @@ def make_step(cfg: SheathConfig):
 
         if use_fused:
             from ..ops.pallas_cic import (
+                block_particles,
                 sheath_finalize_pallas,
                 sheath_picard_pallas,
+                unblock_particles,
             )
 
             wall_ratio = float(dx * dx / dt)
             w_arr = q * (cfg.p2c / dx)
+            # Block once per step; the loop carries (xh, act) in the
+            # kernels' layout — no pad/slice copies per Picard pass (see
+            # engines.implicit.step_fused). The histogram update runs on
+            # padded flat views (free reshapes; pad rows are never ACTIVE).
+            n = p0.shape[0]
+            act_f0 = active.astype(e0.dtype)
+            (p0_b, u0_b, qm_b, w_b, act0_b), _ = block_particles(
+                [p0, u0, qm, w_arr, act_f0])
+            (spec_b,), _ = block_particles([species])
+            u0_pad = u0_b.reshape(-1)
+            spec_pad = spec_b.reshape(-1)
 
             def body_fused(carry):
                 es, ps, act_f, _, hist, aux, _, k = carry
                 xh, act1, jh = sheath_picard_pallas(
-                    es, ps, p0, u0, qm, w_arr, act_f,
-                    dt=dt, dx=dx, wall_ratio=wall_ratio,
+                    es, ps, p0_b, u0_b, qm_b, w_b, act_f,
+                    dt=dt, dx=dx, wall_ratio=wall_ratio, n_valid=n,
                 )
                 jh = jh.at[0].add(jh[1]).at[-1].add(jh[-2])
-                hist = _hist_update(hist, act_f, act1)
+                hist = _hist_update(hist, act_f.reshape(-1),
+                                    act1.reshape(-1), u0_pad, spec_pad)
                 e1 = e0 + (dt / EPSILON_0) * (jnp.mean(jh) - jh)
                 eh = 0.5 * (e1 + e0)
                 r = jnp.linalg.norm(es - eh)
                 es_next, aux = _mix(es, eh, k, aux)
                 return es_next, xh, act1, e1, hist, aux, r, k + 1
 
-            act_f0 = active.astype(e0.dtype)
             fcarry0 = (
-                es0, p0, act_f0, e0, state.exit_hist, mix_init(e0, anderson),
+                es0, p0_b, act0_b, e0, state.exit_hist,
+                mix_init(e0, anderson),
                 jnp.asarray(jnp.inf, e0.dtype), jnp.asarray(0, jnp.int32),
             )
             es, ps, act_f, e1, exit_hist, _, r, k = lax.while_loop(
                 cond, body_fused, fcarry0
             )
-            x1, u1, act1, j1 = sheath_finalize_pallas(
-                es, ps, p0, u0, qm, w_arr, act_f,
-                dt=dt, dx=dx, wall_ratio=wall_ratio,
+            x1_b, u1_b, act1_b, j1 = sheath_finalize_pallas(
+                es, ps, p0_b, u0_b, qm_b, w_b, act_f,
+                dt=dt, dx=dx, wall_ratio=wall_ratio, n_valid=n,
             )
             j1 = j1.at[0].add(j1[1]).at[-1].add(j1[-2])
-            exit_hist = _hist_update(exit_hist, act_f, act1)
-            active = act1.astype(jnp.int32)
+            exit_hist = _hist_update(exit_hist, act_f.reshape(-1),
+                                     act1_b.reshape(-1), u0_pad, spec_pad)
+            x1 = unblock_particles(x1_b, n)
+            u1 = unblock_particles(u1_b, n)
+            active = unblock_particles(act1_b, n).astype(jnp.int32)
         else:
             carry0 = (
                 es0, p0, (p0, u0), (e0, state.j), active, state.exit_hist,

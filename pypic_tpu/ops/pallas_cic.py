@@ -466,14 +466,14 @@ def _sheath_final_kernel(
 
 
 def _sheath_call(kernel, n_out_particles, es, ps, p0, u0, qm, w, act,
-                 *, dt, dx, wall_ratio, block):
+                 *, dt, dx, wall_ratio, block, n_valid=None):
     ng = es.shape[0]
     cells = float(ng - 1)
     stride, width = _choose_window(ng)
     num_k = _num_windows(ng, stride)
     fwin_t = _window_field_t(es, num_k, False, stride, width)
-    (ps_b, p0_b, u0_b, qm_b, w_b, act_b), nb = _pad_blocks(
-        [ps, p0, u0, qm, w, act], block
+    (ps_b, p0_b, u0_b, qm_b, w_b, act_b), nb, n, blocked = _as_blocks(
+        [ps, p0, u0, qm, w, act], block, n_valid
     )
     scal = jnp.stack([
         jnp.asarray(dt, ps.dtype), jnp.asarray(dt / dx, ps.dtype),
@@ -496,14 +496,16 @@ def _sheath_call(kernel, n_out_particles, es, ps, p0, u0, qm, w, act,
         ) + (jax.ShapeDtypeStruct((width, num_k), jnp.float32),),
         interpret=_interpret(),
     )(scal, fwin_t, ps_b, p0_b, u0_b, qm_b, w_b, act_b)
-    n = ps.shape[0]
-    parts = [o.reshape(-1)[:n] for o in outs[:-1]]
+    parts = list(outs[:-1]) if blocked else [
+        o.reshape(-1)[:n] for o in outs[:-1]
+    ]
     grid_acc = _fold_windows(outs[-1].T.astype(ps.dtype), ng, False, stride)
     return parts, grid_acc
 
 
 def sheath_picard_pallas(es, ps, p0, u0, qm, w, act, *, dt: float, dx: float,
-                         wall_ratio: float, block: int = _DEFAULT_BLOCK):
+                         wall_ratio: float, block: int = _DEFAULT_BLOCK,
+                         n_valid: int | None = None):
     """Fused sheath Picard inner pass (one particle sweep).
 
     Args:
@@ -514,24 +516,29 @@ def sheath_picard_pallas(es, ps, p0, u0, qm, w, act, *, dt: float, dx: float,
             species ride as arrays).
         act: (n,) float status: 1 active, 0 lost-right, -1 lost-left.
         wall_ratio: dx^2/dt — (wall charge dx q p2c/dt) / (w = q p2c/dx).
+        n_valid: true count, required with pre-blocked inputs (pads are
+            deposit-inert regardless via w == 0, see block_particles).
 
+    Particle inputs may be (n,) or pre-blocked (nb, 1, block).
     Returns (xh, act1, jh) — jh includes the wall surface-charge terms but
     NOT the edge fold (j[0]+=j[1]...), which the caller applies.
     """
     (xh, act1), jh = _sheath_call(
         _sheath_iter_kernel, 2, es, ps, p0, u0, qm, w, act,
-        dt=dt, dx=dx, wall_ratio=wall_ratio, block=block,
+        dt=dt, dx=dx, wall_ratio=wall_ratio, block=block, n_valid=n_valid,
     )
     return xh, act1, jh
 
 
 def sheath_finalize_pallas(es, ps, p0, u0, qm, w, act, *, dt: float,
                            dx: float, wall_ratio: float,
-                           block: int = _DEFAULT_BLOCK):
-    """Post-convergence sheath pass: (x1, u1, act1, j1)."""
+                           block: int = _DEFAULT_BLOCK,
+                           n_valid: int | None = None):
+    """Post-convergence sheath pass: (x1, u1, act1, j1). Accepts (n,) or
+    pre-blocked particle inputs like sheath_picard_pallas."""
     (x1, u1, act1), j1 = _sheath_call(
         _sheath_final_kernel, 3, es, ps, p0, u0, qm, w, act,
-        dt=dt, dx=dx, wall_ratio=wall_ratio, block=block,
+        dt=dt, dx=dx, wall_ratio=wall_ratio, block=block, n_valid=n_valid,
     )
     return x1, u1, act1, j1
 

@@ -17,7 +17,7 @@ spec = importlib.util.spec_from_file_location("benchmod", "/root/repo/bench.py")
 benchmod = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(benchmod)
 
-N, STEPS = 100_000_000, 10
+N, STEPS = 6104 * 16384, 10  # smallest block multiple >= 1e8 (free reshapes)
 grid, x, v, _ = benchmod._landau_problem(N, 1e-9)
 cfg = explicit.ExplicitConfig(grid, 1e-5, grid.length * 1e5 / N)
 st = explicit.ExplicitState(p=x / np.float32(grid.dx), v=v,
