@@ -821,9 +821,42 @@ def _picard_iter_ext_kernel(
                   num_k, block, stride, width)
 
 
+def _finalize_epilogue(p1, v1, w, st_ref, p1_ref, scal_ref, i,
+                       *, lo, hi, ng):
+    """Shared wrap + statistics epilogue of the ext finalize kernels.
+
+    Emits the GLOBAL wrapped position (scal slot 3 carries lo - hw, the
+    per-shard shift) and accumulates three step statistics into a tiny
+    (8, 128) accumulator — row 0 lanes [0..2] = (sum w*v1,
+    sum_{alive} v1^2, halo-clamp count) — so the engine's epilogue needs
+    no separate full-array reduction passes (~5 ms/step at 1e8 on v5e)."""
+    lo_shift = scal_ref[3, 0]
+
+    @pl.when(i == 0)
+    def _():
+        st_ref[:] = jnp.zeros_like(st_ref)
+
+    alive = w != 0.0
+    # explicit casts: weak float literals promote to f64 under x64 (tests)
+    s_wv = jnp.sum(w * v1).astype(st_ref.dtype)
+    s_vv = jnp.sum(jnp.where(alive, v1 * v1, 0.0)).astype(st_ref.dtype)
+    s_cl = jnp.sum(
+        (alive & ((p1 < lo) | (p1 > hi))).astype(st_ref.dtype))
+    pg = p1 + lo_shift
+    pg = pg - jnp.floor(pg * (1.0 / ng)) * ng
+    p1_ref[0, 0, :] = pg
+    rr = lax.broadcasted_iota(jnp.int32, (8, LANE), 0)
+    cc = lax.broadcasted_iota(jnp.int32, (8, LANE), 1)
+    z = jnp.zeros((8, LANE), st_ref.dtype)
+    contrib = jnp.where((rr == 0) & (cc == 0), s_wv, z)
+    contrib = contrib + jnp.where((rr == 0) & (cc == 1), s_vv, z)
+    contrib = contrib + jnp.where((rr == 0) & (cc == 2), s_cl, z)
+    st_ref[:] += contrib
+
+
 def _picard_final_ext_kernel(
     scal_ref, fwin_ref, ps_ref, p0_ref, v0_ref, w_ref, p1_ref, v1_ref, j1_ref,
-    *, num_k, block, stride, width, lo, hi,
+    *rest, num_k, block, stride, width, lo, hi, ng,
 ):
     i = pl.program_id(0)
 
@@ -843,18 +876,23 @@ def _picard_final_ext_kernel(
     e_p = _gather_at(fwin_ref, ps, num_k, block, stride, width)
     p1 = p0 + dt_dx * v0 + qm_dt2_half * e_p
     v1 = v0 + qm_dt * e_p
-    p1_ref[0, 0, :] = p1  # raw (caller wraps to global + migrates)
     v1_ref[0, 0, :] = v1
     _deposit_into(j1_ref, jnp.clip(p1, lo, hi), w * v1,
                   num_k, block, stride, width)
+    if rest:  # stats mode: wrap to global + accumulate step statistics
+        _finalize_epilogue(p1, v1, w, rest[0], p1_ref, scal_ref, i,
+                           lo=lo, hi=hi, ng=ng)
+    else:
+        p1_ref[0, 0, :] = p1  # raw (caller wraps to global + migrates)
 
 
 def _picard_final_ext_nodep_kernel(
-    scal_ref, fwin_ref, ps_ref, p0_ref, v0_ref, p1_ref, v1_ref,
-    *, num_k, block, stride, width, lo, hi,
+    scal_ref, fwin_ref, ps_ref, p0_ref, v0_ref, *rest,
+    num_k, block, stride, width, lo, hi, ng,
 ):
     """Extended-slab finalize without the j1 deposit (see
     _picard_final_nodep_kernel — same rationale, domain form)."""
+    i = pl.program_id(0)
     qm_dt = scal_ref[0, 0]
     qm_dt2_half = scal_ref[1, 0]
     dt_dx = scal_ref[2, 0]
@@ -864,53 +902,75 @@ def _picard_final_ext_nodep_kernel(
     v0 = v0_ref[0, 0, :]
 
     e_p = _gather_at(fwin_ref, ps, num_k, block, stride, width)
-    p1_ref[0, 0, :] = p0 + dt_dx * v0 + qm_dt2_half * e_p  # raw: caller wraps
-    v1_ref[0, 0, :] = v0 + qm_dt * e_p
+    p1 = p0 + dt_dx * v0 + qm_dt2_half * e_p
+    v1 = v0 + qm_dt * e_p
+    if len(rest) == 4:  # stats mode: (w_ref, p1_ref, v1_ref, st_ref)
+        w_ref, p1_ref, v1_ref, st_ref = rest
+        v1_ref[0, 0, :] = v1
+        _finalize_epilogue(p1, v1, w_ref[0, 0, :], st_ref, p1_ref,
+                           scal_ref, i, lo=lo, hi=hi, ng=ng)
+    else:
+        p1_ref, v1_ref = rest
+        p1_ref[0, 0, :] = p1  # raw: caller wraps
+        v1_ref[0, 0, :] = v1
 
 
 def picard_finalize_ext_nodep_pallas(
     field_ext, ps, p0, v0, ext_n: int,
     *, qm, dt: float, dx: float, lo: float, hi: float,
     block: int = _DEFAULT_BLOCK, n_valid: int | None = None,
+    w=None, lo_shift=None, ng: int = 0,
 ):
     """Post-convergence extended-slab pass without the j1 deposit:
-    (p1_raw, v1). Accepts (n,) or pre-blocked particle inputs."""
+    (p1_raw, v1). Accepts (n,) or pre-blocked particle inputs.
+
+    With ``w``/``lo_shift``/``ng`` given (stats mode), the kernel also
+    wraps positions to GLOBAL grid coordinates in-kernel and returns
+    (p1_global, v1, stats) where stats is an (8, 128) accumulator with
+    row 0 lanes [0..2] = (sum w*v1, sum_alive v1^2, halo-clamp count) —
+    saving the engine's separate wrap + reduction passes."""
+    stats = lo_shift is not None
     stride, wdth = _choose_window(ext_n)
     num_k = _num_windows(ext_n, stride)
     fwin_t = _window_field_t(field_ext, num_k, False, stride, wdth)
-    (ps_b, p0_b, v0_b), nb, n, blocked = _as_blocks([ps, p0, v0], block,
-                                                    n_valid)
-    scal = _ext_scalars(qm, dt, dx, ps.dtype)
+    arrs = [ps, p0, v0] + ([w] if stats else [])
+    blocks, nb, n, blocked = _as_blocks(arrs, block, n_valid)
+    scal = _ext_scalars(qm, dt, dx, ps.dtype, lo_shift)
     kern = functools.partial(
         _picard_final_ext_nodep_kernel, num_k=num_k, block=block,
-        stride=stride, width=wdth, lo=lo, hi=hi,
+        stride=stride, width=wdth, lo=lo, hi=hi, ng=ng,
     )
-    p1, v1 = pl.pallas_call(
+    outs = pl.pallas_call(
         kern,
         grid=(nb,),
-        in_specs=[
-            _SMEM_SPEC,
-            _acc_spec(num_k, wdth),
-            _particle_spec(block),
-            _particle_spec(block),
-            _particle_spec(block),
-        ],
-        out_specs=(_particle_spec(block), _particle_spec(block)),
+        in_specs=[_SMEM_SPEC, _acc_spec(num_k, wdth)]
+        + [_particle_spec(block)] * len(blocks),
+        out_specs=(_particle_spec(block), _particle_spec(block))
+        + ((pl.BlockSpec((8, LANE), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),) if stats else ()),
         out_shape=(
             jax.ShapeDtypeStruct((nb, 1, block), ps.dtype),
             jax.ShapeDtypeStruct((nb, 1, block), v0.dtype),
-        ),
+        ) + ((jax.ShapeDtypeStruct((8, LANE), jnp.float32),)
+             if stats else ()),
         interpret=_interpret(),
-    )(scal, fwin_t, ps_b, p0_b, v0_b)
-    if blocked:
-        return p1, v1
-    return p1.reshape(-1)[:n], v1.reshape(-1)[:n]
+    )(scal, fwin_t, *blocks)
+    p1, v1 = outs[0], outs[1]
+    if not blocked:
+        p1, v1 = p1.reshape(-1)[:n], v1.reshape(-1)[:n]
+    if stats:
+        return p1, v1, outs[2]
+    return p1, v1
 
 
-def _ext_scalars(qm, dt, dx, dtype):
+def _ext_scalars(qm, dt, dx, dtype, lo_shift=None):
+    """SMEM scalar vector; slot 3 carries the per-shard global shift
+    (lo - hw) in stats mode, zero otherwise."""
+    s3 = jnp.zeros_like(qm * dt) if lo_shift is None else (
+        jnp.asarray(lo_shift) + jnp.zeros_like(qm * dt))
     return jnp.stack(
         [qm * dt, 0.5 * qm * dt * (dt / dx),
-         jnp.full_like(qm * dt, dt / dx), jnp.zeros_like(qm * dt)]
+         jnp.full_like(qm * dt, dt / dx), s3]
     ).reshape(4, 1).astype(dtype)
 
 
@@ -975,20 +1035,24 @@ def picard_finalize_ext_pallas(
     field_ext, ps, p0, v0, w, ext_n: int,
     *, qm, dt: float, dx: float, lo: float, hi: float,
     block: int = _DEFAULT_BLOCK, n_valid: int | None = None,
+    lo_shift=None, ng: int = 0,
 ):
     """Post-convergence pass on the extended slab: (p1_raw, v1, j1_ext).
-    Accepts (n,) or pre-blocked particle inputs."""
+    Accepts (n,) or pre-blocked particle inputs. With ``lo_shift``/``ng``
+    (stats mode) positions come back GLOBAL-wrapped and a stats
+    accumulator is appended — see picard_finalize_ext_nodep_pallas."""
+    stats = lo_shift is not None
     stride, wdth = _choose_window(ext_n)
     num_k = _num_windows(ext_n, stride)
     fwin_t = _window_field_t(field_ext, num_k, False, stride, wdth)
     (ps_b, p0_b, v0_b, w_b), nb, n, blocked = _as_blocks(
         [ps, p0, v0, w], block, n_valid)
-    scal = _ext_scalars(qm, dt, dx, ps.dtype)
+    scal = _ext_scalars(qm, dt, dx, ps.dtype, lo_shift)
     kern = functools.partial(
         _picard_final_ext_kernel, num_k=num_k, block=block,
-        stride=stride, width=wdth, lo=lo, hi=hi,
+        stride=stride, width=wdth, lo=lo, hi=hi, ng=ng,
     )
-    p1, v1, j1 = pl.pallas_call(
+    outs = pl.pallas_call(
         kern,
         grid=(nb,),
         in_specs=[
@@ -1003,18 +1067,23 @@ def picard_finalize_ext_pallas(
             _particle_spec(block),
             _particle_spec(block),
             _acc_spec(num_k, wdth),
-        ),
+        ) + ((pl.BlockSpec((8, LANE), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM),) if stats else ()),
         out_shape=(
             jax.ShapeDtypeStruct((nb, 1, block), ps.dtype),
             jax.ShapeDtypeStruct((nb, 1, block), v0.dtype),
             jax.ShapeDtypeStruct((wdth, num_k), jnp.float32),
-        ),
+        ) + ((jax.ShapeDtypeStruct((8, LANE), jnp.float32),)
+             if stats else ()),
         interpret=_interpret(),
     )(scal, fwin_t, ps_b, p0_b, v0_b, w_b)
+    p1, v1, j1 = outs[0], outs[1], outs[2]
     jg = _fold_windows(j1.T.astype(ps.dtype), ext_n, False, stride)
-    if blocked:
-        return p1, v1, jg
-    return p1.reshape(-1)[:n], v1.reshape(-1)[:n], jg
+    if not blocked:
+        p1, v1 = p1.reshape(-1)[:n], v1.reshape(-1)[:n]
+    if stats:
+        return p1, v1, jg, outs[3]
+    return p1, v1, jg
 
 
 def picard_iteration_pallas(

@@ -349,28 +349,31 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
                     cond, body_fused, carry0
                 )
                 # finalize from the converged field (engines.implicit fused
-                # semantics): one extra sweep yields (p1, v1)
+                # semantics): one extra sweep yields (p1, v1). Stats mode:
+                # the kernel wraps positions to GLOBAL coordinates and
+                # accumulates (sum w*v1, sum_alive v1^2, halo-clamp count)
+                # in-sweep, so no separate wrap/reduction passes below.
+                lo_shift = lo - hw
                 if cfg.finalize == "converged":
-                    p1s_b, v1_b = picard_finalize_ext_nodep_pallas(
+                    p1_b, v1_b, st = picard_finalize_ext_nodep_pallas(
                         smoothed_ext(es), pss, p0s_b, v0_b, ext_n,
                         qm=qm, dt=dt, dx=dx, lo=clamp_lo_s, hi=clamp_hi_s,
-                        n_valid=n_cap,
+                        n_valid=n_cap, w=w_b, lo_shift=lo_shift, ng=ng,
                     )
                     j1 = jh
+                    mean_j1 = lax.psum(st[0, 0], ax) / ng
                 else:  # 'converged-deposit'
-                    p1s_b, v1_b, j1_ext = picard_finalize_ext_pallas(
+                    p1_b, v1_b, j1_ext, st = picard_finalize_ext_pallas(
                         smoothed_ext(es), pss, p0s_b, v0_b, w_b, ext_n,
                         qm=qm, dt=dt, dx=dx, lo=clamp_lo_s, hi=clamp_hi_s,
-                        n_valid=n_cap,
+                        n_valid=n_cap, lo_shift=lo_shift, ng=ng,
                     )
                     j1 = halo_fold(j1_ext, c, hw, ax, perm_r, perm_l)
-                p1s = unblock_particles(p1s_b, n_cap)
-                v1 = unblock_particles(v1_b, n_cap)
-                if cfg.finalize == "converged":
-                    mean_j1 = lax.psum(jnp.sum(w * v1), ax) / ng
-                else:
                     mean_j1 = lax.psum(jnp.sum(j1), ax) / ng
-                p1l = p1s - hw
+                p1 = unblock_particles(p1_b, n_cap)  # global, wrapped
+                v1 = unblock_particles(v1_b, n_cap)
+                kin_local = st[0, 1]
+                clamp_local = st[0, 2].astype(jnp.int32)
         else:
             carry0 = (
                 es0, p0l, (p0l, v0), e0, state.j,
@@ -381,14 +384,20 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
             )
             mean_j1 = lax.psum(jnp.sum(j1), ax) / ng
 
-        n_halo_clamped = lax.psum(
-            jnp.sum((alive & ((p1l < -h) | (p1l > c + h))).astype(jnp.int32)),
-            ax,
-        )
-
-        # Wrap to global coordinates and multi-hop migrate to owner slabs
-        # (dead slots wrap too — finite garbage, masked by `alive` inside).
-        p1 = jnp.mod(p1l + lo, ng)
+        if use_fused and not emit_v:
+            n_halo_clamped = lax.psum(clamp_local, ax)
+            kin_sum = lax.psum(kin_local, ax)
+        else:
+            n_halo_clamped = lax.psum(
+                jnp.sum(
+                    (alive & ((p1l < -h) | (p1l > c + h))).astype(jnp.int32)
+                ),
+                ax,
+            )
+            kin_sum = lax.psum(jnp.sum(jnp.where(alive, v1 * v1, 0.0)), ax)
+            # Wrap to global coordinates (dead slots wrap too — finite
+            # garbage, masked by `alive` inside migration).
+            p1 = jnp.mod(p1l + lo, ng)
         (p2, v2), alive1, n_migrated, n_dropped = migrate(
             [p1, v1], alive, d,
             ng=ng, cells_per_shard=c, num_shards=d_tot,
@@ -397,11 +406,7 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
 
         metrics = StepMetrics(
             field_energy=0.5 * EPSILON_0 * dx * lax.psum(jnp.sum(e1 * e1), ax),
-            kinetic_energy=lax.psum(
-                0.5 * cfg.p2c * state.m
-                * jnp.sum(jnp.where(alive, v1 * v1, 0.0)),
-                ax,
-            ),
+            kinetic_energy=0.5 * cfg.p2c * state.m * kin_sum,
             current_bias=mean_j1,
             picard_iters=k,
             picard_residual=r,
