@@ -194,6 +194,39 @@ def test_domain_implicit_matches_single_device(problem):
     )
 
 
+def test_domain_implicit_halo_clamp_counter(problem):
+    """The in-kernel finalize statistics actually count halo excursions:
+    with an undersized halo and fast particles the fused path reports a
+    nonzero n_halo_clamped matching the composed backend's count on the
+    same trajectories-within-tolerance run, and reports zero again once
+    the halo covers the excursions."""
+    from pypic_tpu.parallel import domain_implicit as di
+
+    grid, x, v, params = problem
+    mesh = make_mesh(8, axis="slabs")
+    counts = {}
+    # (backend, halo, dt_factor): large steps force multi-cell excursions
+    for backend, halo, f_dt in (("fused", 1, 0.4), ("composed", 1, 0.4),
+                                ("fused", 5, 0.1)):
+        dt = f_dt / params.wp
+        cfg = di.DomainImplicitConfig(
+            grid, dt, params.p2c, num_shards=8, tol=1e-6, maxiter=40,
+            halo=halo, migrate_cap=4096, backend=backend,
+        )
+        st = di.shard_state(
+            di.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg), mesh, cfg
+        )
+        _, m = run(di.make_step(cfg, mesh), st, 10)
+        counts[(backend, halo)] = int(np.asarray(m.n_halo_clamped).sum())
+        assert (np.asarray(m.n_alive) == 16_000).all()
+    assert counts[("fused", 1)] > 0, "undersized halo must report clamps"
+    # same workload, same undersized halo: the two backends count the same
+    # excursions up to their (tolerance-level) trajectory differences
+    f, c = counts[("fused", 1)], counts[("composed", 1)]
+    assert abs(f - c) <= 0.2 * max(f, c), (f, c)
+    assert counts[("fused", 5)] == 0, "generous halo must report none"
+
+
 def test_domain_sheath_floating_potential():
     """8-shard bounded sheath reproduces the single-device acceptance
     (tests/test_sheath.py::test_sheath_formation_wall_potential): walls
