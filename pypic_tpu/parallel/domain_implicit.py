@@ -48,8 +48,7 @@ from .domain import (
     halo_fold,
     migrate,
     ring_perms,
-    shard_state,  # noqa: F401  (re-export: states here shard the same way)
-    state_spec,
+    state_spec,  # noqa: F401  (1D helper, kept importable)
 )
 
 shard_map = jax.shard_map
@@ -86,15 +85,29 @@ class DomainImplicitConfig:
     backend: str = "auto"
     axis_name: str = "slabs"
     deposit_method: str = "auto"
+    # Data-parallel axis composed WITH the slab axis on a 2D device mesh
+    # (slabs x replicas): each slab's particles split over num_replicas
+    # devices, fields slab-sharded and replicated across replicas, slab
+    # deposits psum'd over the replica axis, migration rides the slab axis
+    # within each replica independently (no replica-axis traffic). This is
+    # how the engine scales past one device per slab — mesh via
+    # make_mesh2(num_shards, num_replicas).
+    dp_axis_name: str | None = None
+    num_replicas: int = 1
 
     def __post_init__(self):
         for f in ("dt", "p2c", "tol"):
             object.__setattr__(self, f, float(getattr(self, f)))
-        for f in ("maxiter", "halo", "migrate_cap", "num_shards"):
+        for f in ("maxiter", "halo", "migrate_cap", "num_shards",
+                  "num_replicas"):
             object.__setattr__(self, f, int(getattr(self, f)))
         if self.grid.ng % self.num_shards:
             raise ValueError(
                 f"ng={self.grid.ng} not divisible by {self.num_shards} shards"
+            )
+        if (self.num_replicas > 1) != (self.dp_axis_name is not None):
+            raise ValueError(
+                "num_replicas > 1 requires dp_axis_name (and vice versa)"
             )
         if self.halo + 3 > self.cells_per_shard:
             raise ValueError(
@@ -158,6 +171,24 @@ def init_state(
     (p_out, v_out), alive, _ = distribute_by_slab(
         [np.asarray(p_glob), np.asarray(v_glob)], x, cfg, capacity_factor
     )
+    if cfg.num_replicas > 1:
+        # Split each slab's population round-robin over the replica axis:
+        # layout (S, R, cap_r) so sharding P((slabs, dp)) puts replica r of
+        # slab s on device (s, r). Lane-align the per-replica capacity.
+        r_tot = cfg.num_replicas
+        cap_r = -(-p_out.shape[1] // r_tot)
+        cap_r = -(-cap_r // 128) * 128
+
+        def split(a, fill):
+            out = np.full((a.shape[0], r_tot, cap_r), fill, a.dtype)
+            for r in range(r_tot):
+                cols = a[:, r::r_tot]
+                out[:, r, : cols.shape[1]] = cols
+            return out
+
+        p_out = split(p_out, 0.0)
+        v_out = split(v_out, 0.0)
+        alive = split(alive, False)
     return DomainImplicitState(
         p=jnp.asarray(p_out.reshape(-1)),
         v=jnp.asarray(v_out.reshape(-1)),
@@ -172,6 +203,26 @@ def init_state(
     )
 
 
+def _state_specs(cfg) -> DomainImplicitState:
+    """PartitionSpecs: particles over (slabs[, dp]), fields over slabs
+    (replicated across dp), scalars replicated."""
+    ax = cfg.axis_name
+    pp = P((ax, cfg.dp_axis_name)) if cfg.dp_axis_name else P(ax)
+    return DomainImplicitState(
+        p=pp, v=pp, alive=pp, q=P(), m=P(), e=P(ax), j=P(ax),
+        e_prev=P(ax), e_prev2=P(ax), step=P(),
+    )
+
+
+def shard_state(state, mesh: Mesh, cfg) -> DomainImplicitState:
+    return jax.tree.map(
+        lambda leaf, s: jax.device_put(
+            leaf, jax.sharding.NamedSharding(mesh, s)
+        ),
+        state, _state_specs(cfg),
+    )
+
+
 def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
     grid = cfg.grid
     ng = grid.ng
@@ -181,6 +232,13 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
     c = cfg.cells_per_shard
     d_tot = cfg.num_shards
     ax = cfg.axis_name
+    dp = cfg.dp_axis_name
+    axes_all = (ax, dp) if dp else ax
+
+    def dpsum(x):
+        """Merge per-replica partial slab deposits / counts (no-op 1D)."""
+        return lax.psum(x, dp) if dp else x
+
     h = cfg.halo
     hw = h + 2  # +1 smoothing stencil, +1 CIC right node
     ext_n = c + 2 * hw + 1
@@ -234,7 +292,7 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
                 clamp_loc(pl) + hw, val, ext_n,
                 periodic=False, method=cfg.deposit_method,
             )
-            return halo_fold(ext, c, hw, ax, perm_r, perm_l)
+            return dpsum(halo_fold(ext, c, hw, ax, perm_r, perm_l))
 
         def smoothed_ext(es):
             """Halo-extend (+ smooth) the field guess in the shifted deposit
@@ -294,7 +352,7 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
                 qm=qm, dt=dt, dx=dx, lo=clamp_lo_s, hi=clamp_hi_s,
                 emit_v=emit_v, n_valid=n_cap,
             )
-            jh = halo_fold(outs[-1], c, hw, ax, perm_r, perm_l)
+            jh = dpsum(halo_fold(outs[-1], c, hw, ax, perm_r, perm_l))
             e1, eh, r = ampere(es, jh)
             if emit_v:
                 return eh, outs[0], outs[1], e1, jh, r, k_next(carry)
@@ -339,7 +397,7 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
                 v1 = unblock_particles(v1_b, n_cap)
                 p1l = p0l + (0.5 * dt_dx) * (v0 + v1)
                 j1 = jh
-                mean_j1 = lax.psum(jnp.sum(w * v1), ax) / ng
+                mean_j1 = lax.psum(jnp.sum(w * v1), axes_all) / ng
             else:
                 carry0 = (
                     es0, p0s_b, e0, state.j,
@@ -361,14 +419,14 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
                         n_valid=n_cap, w=w_b, lo_shift=lo_shift, ng=ng,
                     )
                     j1 = jh
-                    mean_j1 = lax.psum(st[0, 0], ax) / ng
+                    mean_j1 = lax.psum(st[0, 0], axes_all) / ng
                 else:  # 'converged-deposit'
                     p1_b, v1_b, j1_ext, st = picard_finalize_ext_pallas(
                         smoothed_ext(es), pss, p0s_b, v0_b, w_b, ext_n,
                         qm=qm, dt=dt, dx=dx, lo=clamp_lo_s, hi=clamp_hi_s,
                         n_valid=n_cap, lo_shift=lo_shift, ng=ng,
                     )
-                    j1 = halo_fold(j1_ext, c, hw, ax, perm_r, perm_l)
+                    j1 = dpsum(halo_fold(j1_ext, c, hw, ax, perm_r, perm_l))
                     mean_j1 = lax.psum(jnp.sum(j1), ax) / ng
                 p1 = unblock_particles(p1_b, n_cap)  # global, wrapped
                 v1 = unblock_particles(v1_b, n_cap)
@@ -385,16 +443,17 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
             mean_j1 = lax.psum(jnp.sum(j1), ax) / ng
 
         if use_fused and not emit_v:
-            n_halo_clamped = lax.psum(clamp_local, ax)
-            kin_sum = lax.psum(kin_local, ax)
+            n_halo_clamped = lax.psum(clamp_local, axes_all)
+            kin_sum = lax.psum(kin_local, axes_all)
         else:
             n_halo_clamped = lax.psum(
                 jnp.sum(
                     (alive & ((p1l < -h) | (p1l > c + h))).astype(jnp.int32)
                 ),
-                ax,
+                axes_all,
             )
-            kin_sum = lax.psum(jnp.sum(jnp.where(alive, v1 * v1, 0.0)), ax)
+            kin_sum = lax.psum(jnp.sum(jnp.where(alive, v1 * v1, 0.0)),
+                               axes_all)
             # Wrap to global coordinates (dead slots wrap too — finite
             # garbage, masked by `alive` inside migration).
             p1 = jnp.mod(p1l + lo, ng)
@@ -410,9 +469,9 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
             current_bias=mean_j1,
             picard_iters=k,
             picard_residual=r,
-            n_alive=lax.psum(jnp.sum(alive1.astype(jnp.int32)), ax),
-            n_migrated=n_migrated,
-            n_dropped=n_dropped,
+            n_alive=lax.psum(jnp.sum(alive1.astype(jnp.int32)), axes_all),
+            n_migrated=dpsum(n_migrated),
+            n_dropped=dpsum(n_dropped),
             n_halo_clamped=n_halo_clamped,
         )
         new_state = state.replace(
@@ -421,10 +480,7 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
         )
         return new_state, metrics
 
-    spec = DomainImplicitState(
-        p=P(ax), v=P(ax), alive=P(ax), q=P(), m=P(), e=P(ax), j=P(ax),
-        e_prev=P(ax), e_prev2=P(ax), step=P(),
-    )
+    spec = _state_specs(cfg)
     return shard_map(
         local_step,
         mesh=mesh,

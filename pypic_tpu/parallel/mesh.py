@@ -60,3 +60,20 @@ def make_mesh(n_devices: int | None = None, axis: str = "particles") -> Mesh:
             )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
+
+
+def make_mesh2(
+    n_first: int, n_second: int, axes: tuple[str, str] = ("slabs", "dp")
+) -> Mesh:
+    """2D mesh (n_first x n_second) over the first n_first*n_second devices
+    — e.g. spatial slabs x data-parallel particle replicas for the
+    domain-decomposed engines (DomainImplicitConfig.dp_axis_name). The
+    second axis varies fastest, so replicas of a slab sit on adjacent
+    devices (ICI-near on a physical torus slice)."""
+    devices = jax.devices()
+    need = n_first * n_second
+    if need > len(devices):
+        raise ValueError(
+            f"requested {need} devices, only {len(devices)} available"
+        )
+    return Mesh(np.asarray(devices[:need]).reshape(n_first, n_second), axes)

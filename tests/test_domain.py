@@ -227,6 +227,50 @@ def test_domain_implicit_halo_clamp_counter(problem):
     assert counts[("fused", 5)] == 0, "generous halo must report none"
 
 
+def test_domain_implicit_2d_mesh_slabs_x_dp(problem):
+    """Composed parallelism on a 2D mesh — 4 spatial slabs x 2
+    data-parallel replicas (8 devices): fields slab-sharded and replicated
+    across replicas, slab deposits psum'd over the replica axis, migration
+    riding the slab axis within each replica. Matches the single-device
+    composed engine to f32 reduction-order tolerance and conserves the
+    population."""
+    from pypic_tpu.engines import implicit
+    from pypic_tpu.parallel import domain_implicit as di
+    from pypic_tpu.parallel import make_mesh2
+
+    grid, x, v, params = problem
+    dt = 0.1 / params.wp
+
+    cfg1 = implicit.ImplicitConfig(
+        grid, dt, params.p2c, tol=1e-6, maxiter=40, backend="composed"
+    )
+    st1 = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg1)
+    _, m1 = run(implicit.make_step(cfg1), st1, 50)
+
+    mesh = make_mesh2(4, 2, axes=("slabs", "dp"))
+    cfg = di.DomainImplicitConfig(
+        grid, dt, params.p2c, num_shards=4, tol=1e-6, maxiter=40,
+        halo=4, migrate_cap=2048, dp_axis_name="dp", num_replicas=2,
+    )
+    st = di.shard_state(
+        di.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg), mesh, cfg
+    )
+    _, m = run(di.make_step(cfg, mesh), st, 50)
+
+    ee1 = np.asarray(m1.field_energy, np.float64)
+    ee = np.asarray(m.field_energy, np.float64)
+    np.testing.assert_allclose(ee, ee1, rtol=1e-4)
+    ke1 = np.asarray(m1.kinetic_energy, np.float64)
+    ke = np.asarray(m.kinetic_energy, np.float64)
+    np.testing.assert_allclose(ke, ke1, rtol=1e-5)
+    assert (np.asarray(m.n_alive) == 16_000).all()
+    assert np.asarray(m.n_dropped).sum() == 0
+    assert np.asarray(m.n_migrated).sum() > 0
+    np.testing.assert_array_equal(
+        np.asarray(m.picard_iters), np.asarray(m1.picard_iters)
+    )
+
+
 def test_domain_sheath_floating_potential():
     """8-shard bounded sheath reproduces the single-device acceptance
     (tests/test_sheath.py::test_sheath_formation_wall_potential): walls
