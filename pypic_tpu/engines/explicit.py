@@ -103,10 +103,14 @@ def make_step(cfg: ExplicitConfig):
         phi = phi - jnp.max(phi)
         e = -grad_periodic(phi, dx)
         # Gather + leapfrog + periodic wrap (pypic.py:722-731).
+        scalar_qm = jnp.ndim(state.q) == 0 and jnp.ndim(state.m) == 0
+        if cfg.backend == "fused" and not scalar_qm:
+            raise ValueError(
+                "backend='fused' requires scalar q/m (per-particle charge/"
+                "mass arrays need backend='composed'; 'auto' picks it)"
+            )
         use_fused = cfg.backend == "fused" or (
-            cfg.backend == "auto"
-            and jnp.ndim(state.q) == 0
-            and jnp.ndim(state.m) == 0
+            cfg.backend == "auto" and scalar_qm
         )
         if use_fused:
             from ..ops.pallas_cic import leapfrog_gather_push_pallas

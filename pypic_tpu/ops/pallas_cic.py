@@ -166,6 +166,12 @@ def _as_blocks(arrs, block, n_valid=None):
     if arrs[0].ndim == 3:
         if n_valid is None:
             raise ValueError("n_valid is required for pre-blocked inputs")
+        if arrs[0].shape[1:] != (1, block):
+            raise ValueError(
+                f"pre-blocked inputs have layout {arrs[0].shape} but this "
+                f"call uses block={block}; pass the same block to "
+                "block_particles and the kernel wrapper"
+            )
         return list(arrs), arrs[0].shape[0], n_valid, True
     if n_valid is None:
         n_valid = arrs[0].shape[0]
@@ -827,9 +833,13 @@ def _finalize_epilogue(p1, v1, w, st_ref, p1_ref, scal_ref, i,
 
     Emits the GLOBAL wrapped position (scal slot 3 carries lo - hw, the
     per-shard shift) and accumulates three step statistics into a tiny
-    (8, 128) accumulator — row 0 lanes [0..2] = (sum w*v1,
-    sum_{alive} v1^2, halo-clamp count) — so the engine's epilogue needs
-    no separate full-array reduction passes (~5 ms/step at 1e8 on v5e)."""
+    (8, 128) accumulator — row 0 lanes [0..1] = (sum w*v1,
+    sum_{alive} v1^2); the halo-clamp count goes to row 2, lane
+    (program_id mod 128), so each lane accumulates at most
+    ceil(nb/128) block counts of <= block each and stays integer-exact
+    in f32 (a single running f32 total would round above 2^24 — the
+    engine sums row 2 in int32). Saves the engine's separate full-array
+    reduction passes (~5 ms/step at 1e8 on v5e)."""
     lo_shift = scal_ref[3, 0]
 
     @pl.when(i == 0)
@@ -850,7 +860,7 @@ def _finalize_epilogue(p1, v1, w, st_ref, p1_ref, scal_ref, i,
     z = jnp.zeros((8, LANE), st_ref.dtype)
     contrib = jnp.where((rr == 0) & (cc == 0), s_wv, z)
     contrib = contrib + jnp.where((rr == 0) & (cc == 1), s_vv, z)
-    contrib = contrib + jnp.where((rr == 0) & (cc == 2), s_cl, z)
+    contrib = contrib + jnp.where((rr == 2) & (cc == i % LANE), s_cl, z)
     st_ref[:] += contrib
 
 
@@ -926,10 +936,16 @@ def picard_finalize_ext_nodep_pallas(
 
     With ``w``/``lo_shift``/``ng`` given (stats mode), the kernel also
     wraps positions to GLOBAL grid coordinates in-kernel and returns
-    (p1_global, v1, stats) where stats is an (8, 128) accumulator with
-    row 0 lanes [0..2] = (sum w*v1, sum_alive v1^2, halo-clamp count) —
-    saving the engine's separate wrap + reduction passes."""
+    (p1_global, v1, stats) where stats is an (8, 128) accumulator —
+    row 0 lanes [0..1] = (sum w*v1, sum_alive v1^2), row 2 = per-lane
+    halo-clamp partial counts — saving the engine's separate wrap +
+    reduction passes."""
     stats = lo_shift is not None
+    if stats and (w is None or ng <= 0):
+        raise ValueError("stats mode requires w, lo_shift AND ng together")
+    if w is not None and not stats:
+        raise ValueError("w given without lo_shift/ng — stats mode needs "
+                         "all three (w alone would be silently ignored)")
     stride, wdth = _choose_window(ext_n)
     num_k = _num_windows(ext_n, stride)
     fwin_t = _window_field_t(field_ext, num_k, False, stride, wdth)
@@ -1042,6 +1058,8 @@ def picard_finalize_ext_pallas(
     (stats mode) positions come back GLOBAL-wrapped and a stats
     accumulator is appended — see picard_finalize_ext_nodep_pallas."""
     stats = lo_shift is not None
+    if stats and ng <= 0:
+        raise ValueError("stats mode requires ng > 0 with lo_shift")
     stride, wdth = _choose_window(ext_n)
     num_k = _num_windows(ext_n, stride)
     fwin_t = _window_field_t(field_ext, num_k, False, stride, wdth)

@@ -431,7 +431,9 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
                 p1 = unblock_particles(p1_b, n_cap)  # global, wrapped
                 v1 = unblock_particles(v1_b, n_cap)
                 kin_local = st[0, 1]
-                clamp_local = st[0, 2].astype(jnp.int32)
+                # row 2 holds per-lane partial counts (each integer-exact
+                # in f32); sum in int32 so the total stays exact past 2^24
+                clamp_local = jnp.sum(st[2, :].astype(jnp.int32))
         else:
             carry0 = (
                 es0, p0l, (p0l, v0), e0, state.j,

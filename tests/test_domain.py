@@ -227,13 +227,15 @@ def test_domain_implicit_halo_clamp_counter(problem):
     assert counts[("fused", 5)] == 0, "generous halo must report none"
 
 
-def test_domain_implicit_2d_mesh_slabs_x_dp(problem):
+@pytest.mark.parametrize("backend", ["composed", "fused"])
+def test_domain_implicit_2d_mesh_slabs_x_dp(problem, backend):
     """Composed parallelism on a 2D mesh — 4 spatial slabs x 2
     data-parallel replicas (8 devices): fields slab-sharded and replicated
     across replicas, slab deposits psum'd over the replica axis, migration
     riding the slab axis within each replica. Matches the single-device
     composed engine to f32 reduction-order tolerance and conserves the
-    population."""
+    population. Both backends run (fused in interpret mode on CPU — the
+    dpsum placement inside the fused Picard/finalize path must hold too)."""
     from pypic_tpu.engines import implicit
     from pypic_tpu.parallel import domain_implicit as di
     from pypic_tpu.parallel import make_mesh2
@@ -251,18 +253,23 @@ def test_domain_implicit_2d_mesh_slabs_x_dp(problem):
     cfg = di.DomainImplicitConfig(
         grid, dt, params.p2c, num_shards=4, tol=1e-6, maxiter=40,
         halo=4, migrate_cap=2048, dp_axis_name="dp", num_replicas=2,
+        backend=backend,
     )
     st = di.shard_state(
         di.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg), mesh, cfg
     )
     _, m = run(di.make_step(cfg, mesh), st, 50)
 
+    # the fused path finalizes from the converged field while the composed
+    # baseline returns the last iterate — equal within the Picard
+    # tolerance (see test_domain_implicit_fused_matches_composed)
+    rt_ee, rt_ke = (1e-4, 1e-5) if backend == "composed" else (3e-3, 1e-4)
     ee1 = np.asarray(m1.field_energy, np.float64)
     ee = np.asarray(m.field_energy, np.float64)
-    np.testing.assert_allclose(ee, ee1, rtol=1e-4)
+    np.testing.assert_allclose(ee, ee1, rtol=rt_ee)
     ke1 = np.asarray(m1.kinetic_energy, np.float64)
     ke = np.asarray(m.kinetic_energy, np.float64)
-    np.testing.assert_allclose(ke, ke1, rtol=1e-5)
+    np.testing.assert_allclose(ke, ke1, rtol=rt_ke)
     assert (np.asarray(m.n_alive) == 16_000).all()
     assert np.asarray(m.n_dropped).sum() == 0
     assert np.asarray(m.n_migrated).sum() > 0
