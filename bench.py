@@ -177,7 +177,7 @@ def bench_two_stream(args):
         "two-stream", n, density, 1, 0.05, grid, te, te, seed=2
     )
     cfg = explicit.ExplicitConfig(grid, 0.1 / params.wp, params.p2c)
-    st = explicit.init_state(x, v, -E_CHARGE, M_ELECTRON, grid)
+    st = explicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
     step = explicit.make_step(cfg)
 
     def go():

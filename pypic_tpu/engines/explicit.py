@@ -57,6 +57,9 @@ class ExplicitState(struct.PyTreeNode):
     v: jax.Array  # (n,) velocities [m/s]
     q: jax.Array  # () or (n,) charge [C]
     m: jax.Array  # () or (n,) mass [kg]
+    rho: jax.Array  # (ng,) charge density of p — the invariant rho ==
+    # deposit(p) lets the push sweep deposit its OWN output for the next
+    # step's solve, making the step a single particle sweep
     step: jax.Array  # () int32
 
 
@@ -68,15 +71,25 @@ class StepMetrics(NamedTuple):
     e_field: jax.Array  # (ng,)
 
 
-def init_state(x, v, q, m, grid: GridSpec, dtype=jnp.float32) -> ExplicitState:
-    """Wrap SI arrays from an initializer into engine state (grid coords)."""
-    p = jnp.asarray(x, dtype) / jnp.asarray(grid.dx, dtype)
+def init_state(x, v, q, m, cfg: ExplicitConfig,
+               dtype=jnp.float32) -> ExplicitState:
+    """Wrap SI arrays from an initializer into engine state (grid coords)
+    and deposit the initial charge density (state.rho must always equal
+    the weighted deposit of state.p — the step's invariant)."""
+    if isinstance(cfg, GridSpec):
+        raise TypeError(
+            "init_state now takes the ExplicitConfig (it needs p2c for the "
+            "initial charge deposit), not a bare GridSpec"
+        )
+    grid, p2c = cfg.grid, cfg.p2c
+    p = (jnp.asarray(x, dtype) / jnp.asarray(grid.dx, dtype)).astype(dtype)
+    v = jnp.asarray(v, dtype)
+    q = jnp.asarray(q, dtype)
+    m = jnp.asarray(m, dtype)
+    w = jnp.broadcast_to(q * (p2c / grid.dx), p.shape).astype(dtype)
+    rho = deposit(p, w, grid.ng, periodic=True)
     return ExplicitState(
-        p=p.astype(dtype),
-        v=jnp.asarray(v, dtype),
-        q=jnp.asarray(q, dtype),
-        m=jnp.asarray(m, dtype),
-        step=jnp.asarray(0, jnp.int32),
+        p=p, v=v, q=q, m=m, rho=rho, step=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -91,18 +104,17 @@ def make_step(cfg: ExplicitConfig):
 
     def step(state: ExplicitState):
         qm = state.q / state.m
-        # Deposit charge density (pypic.py:715 / PIC_L.py:763).
-        w_rho = state.q * (cfg.p2c * inv_dx)
-        rho = deposit(
-            state.p, jnp.broadcast_to(w_rho, state.p.shape), ng,
-            periodic=True, method=cfg.deposit_method,
-        )
+        # Charge density of the CURRENT positions: carried in state (the
+        # previous step's push sweep deposited it — pypic.py:715 /
+        # PIC_L.py:763 as a loop-rotated invariant).
+        rho = state.rho
         # Field solve: neutralized periodic Poisson, gauge-shift, E = -dphi/dx
         # (pypic.py:717-719).
         phi = solve_periodic_neutralized(rho, dx)
         phi = phi - jnp.max(phi)
         e = -grad_periodic(phi, dx)
-        # Gather + leapfrog + periodic wrap (pypic.py:722-731).
+        # Gather + leapfrog + periodic wrap + next-step charge deposit in
+        # ONE particle sweep (pypic.py:722-731 + 715).
         scalar_qm = jnp.ndim(state.q) == 0 and jnp.ndim(state.m) == 0
         if cfg.backend == "fused" and not scalar_qm:
             raise ValueError(
@@ -113,15 +125,21 @@ def make_step(cfg: ExplicitConfig):
             cfg.backend == "auto" and scalar_qm
         )
         if use_fused:
-            from ..ops.pallas_cic import leapfrog_gather_push_pallas
+            from ..ops.pallas_cic import leapfrog_gather_push_deposit_pallas
 
-            p1, v1 = leapfrog_gather_push_pallas(
-                e, state.p, state.v, qm=qm, dt=dt, dx=dx
+            p1, v1, rho1 = leapfrog_gather_push_deposit_pallas(
+                e, state.p, state.v, qm=qm,
+                w=state.q * (cfg.p2c * inv_dx), dt=dt, dx=dx,
             )
         else:
             e_p = gather(e, state.p, periodic=True)
             p1, v1 = leapfrog_push(state.p, state.v, e_p, qm, dt, dt_dx)
             p1 = jnp.mod(p1, ng)
+            w_rho = state.q * (cfg.p2c * inv_dx)
+            rho1 = deposit(
+                p1, jnp.broadcast_to(w_rho, p1.shape), ng,
+                periodic=True, method=cfg.deposit_method,
+            )
 
         # Exact grid mean of the current deposit (pypic.py:716): periodic
         # CIC tents sum to 1, so mean(deposit(p, q w v)) == sum(q w v)/ng —
@@ -136,6 +154,7 @@ def make_step(cfg: ExplicitConfig):
             rho=rho,
             e_field=e,
         )
-        return state.replace(p=p1, v=v1, step=state.step + 1), metrics
+        return state.replace(p=p1, v=v1, rho=rho1,
+                             step=state.step + 1), metrics
 
     return step

@@ -659,6 +659,76 @@ def leapfrog_gather_push_pallas(
     return p1.reshape(-1)[:n], v1.reshape(-1)[:n]
 
 
+def _leapfrog_deposit_kernel(
+    scal_ref, fwin_ref, p_ref, v_ref, p1_ref, v1_ref, rho_ref,
+    *, num_k, ng, block, n_valid, stride, width,
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        rho_ref[:] = jnp.zeros_like(rho_ref)
+
+    qm_dt_half = scal_ref[0, 0]
+    dt_dx = scal_ref[1, 0]
+    w = scal_ref[2, 0]
+    p = p_ref[0, 0, :]
+    v = v_ref[0, 0, :]
+    e_p = _gather_at(fwin_ref, p, num_k, block, stride, width)
+    vh = v + qm_dt_half * e_p
+    p1 = p + vh * dt_dx
+    p1 = p1 - jnp.floor(p1 * (1.0 / ng)) * ng
+    p1_ref[0, 0, :] = p1
+    v1_ref[0, 0, :] = vh + qm_dt_half * e_p
+    vals = w * _lane_mask(i, block, n_valid, p1.dtype)
+    _deposit_into(rho_ref, p1, vals, num_k, block, stride, width)
+
+
+def leapfrog_gather_push_deposit_pallas(
+    field, p, v, *, qm, w, dt: float, dx: float,
+    block: int = _DEFAULT_BLOCK,
+):
+    """One-sweep explicit cycle body: gather + leapfrog + wrap + charge
+    deposit of the NEW positions — (p1, v1, rho1). The deposit that the
+    next step's Poisson solve needs rides the push sweep, so the explicit
+    engine touches each particle exactly once per step (``w`` is the
+    scalar charge-density prefactor q p2c / dx)."""
+    ng = field.shape[0]
+    stride, width = _choose_window(ng)
+    num_k = _num_windows(ng, stride)
+    fwin_t = _window_field_t(field, num_k, True, stride, width)
+    (p_b, v_b), nb = _pad_blocks([p, v], block)
+    n = p.shape[0]
+    scal = jnp.stack([
+        0.5 * qm * dt, jnp.full_like(qm * dt, dt / dx),
+        w + jnp.zeros_like(qm * dt), jnp.zeros_like(qm * dt),
+    ]).reshape(4, 1).astype(p.dtype)
+    kern = functools.partial(
+        _leapfrog_deposit_kernel, num_k=num_k, ng=ng, block=block,
+        n_valid=n, stride=stride, width=width,
+    )
+    p1, v1, acc = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            _SMEM_SPEC,
+            _acc_spec(num_k, width),
+            _particle_spec(block),
+            _particle_spec(block),
+        ],
+        out_specs=(_particle_spec(block), _particle_spec(block),
+                   _acc_spec(num_k, width)),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, 1, block), p.dtype),
+            jax.ShapeDtypeStruct((nb, 1, block), v.dtype),
+            jax.ShapeDtypeStruct((width, num_k), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(scal, fwin_t, p_b, v_b)
+    rho = _fold_windows(acc.T.astype(p.dtype), ng, True, stride)
+    return p1.reshape(-1)[:n], v1.reshape(-1)[:n], rho
+
+
 # ---------------------------------------------------------------------------
 # fused implicit Picard iteration (periodic, single species)
 # ---------------------------------------------------------------------------

@@ -123,7 +123,7 @@ def explicit_landau(n: int = 100_000, ng: int = 100, seed: int = 1) -> Preset:
         "landau-damping", n, density, 2, 0.05, grid, te, ti, seed=seed
     )
     cfg = explicit.ExplicitConfig(grid, 1e-8, params.p2c)
-    st = explicit.init_state(x, v, -E_CHARGE, M_ELECTRON, grid)
+    st = explicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
     return Preset("explicit_landau", explicit, cfg, st,
                   dict(params=params, system="landau-damping"))
 

@@ -20,10 +20,7 @@ spec.loader.exec_module(benchmod)
 N, STEPS = 6104 * 16384, 10  # smallest block multiple >= 1e8 (free reshapes)
 grid, x, v, _ = benchmod._landau_problem(N, 1e-9)
 cfg = explicit.ExplicitConfig(grid, 1e-5, grid.length * 1e5 / N)
-st = explicit.ExplicitState(p=x / np.float32(grid.dx), v=v,
-                            q=jax.numpy.float32(-E_CHARGE),
-                            m=jax.numpy.float32(M_ELECTRON),
-                            step=jax.numpy.int32(0))
+st = explicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
 step = explicit.make_step(cfg)
 
 def go():

@@ -30,7 +30,7 @@ def test_domain_matches_single_device(problem):
     dt = 0.1 / params.wp
 
     ecfg = explicit.ExplicitConfig(grid, dt, params.p2c)
-    est = explicit.init_state(x, v, -E_CHARGE, M_ELECTRON, grid)
+    est = explicit.init_state(x, v, -E_CHARGE, M_ELECTRON, ecfg)
     _, m1 = run(explicit.make_step(ecfg), est, 100)
 
     mesh = make_mesh(8, axis="slabs")

@@ -72,7 +72,7 @@ def test_two_stream_growth_explicit():
     grid, x, v, params = _two_stream_setup()
     dt = 0.1 / params.wp
     cfg = explicit.ExplicitConfig(grid, dt, params.p2c)
-    st = explicit.init_state(x, v, -E_CHARGE, M_ELECTRON, grid)
+    st = explicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
     _, m = run(explicit.make_step(cfg), st, 400)
     gamma = _growth_rate_from_energy(m.field_energy, dt)
     ratio = gamma / _two_stream_dispersion_gamma(params)
@@ -149,7 +149,7 @@ def test_explicit_vs_implicit_agree_early():
     ist = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, icfg)
     _, im = run(implicit.make_step(icfg), ist, 40)
     ecfg = explicit.ExplicitConfig(grid, dt, params.p2c)
-    est = explicit.init_state(x, v, -E_CHARGE, M_ELECTRON, grid)
+    est = explicit.init_state(x, v, -E_CHARGE, M_ELECTRON, ecfg)
     _, em = run(explicit.make_step(ecfg), est, 40)
     a = np.asarray(im.field_energy)
     b = np.asarray(em.field_energy)
@@ -162,7 +162,7 @@ def test_charge_density_neutral_mean():
     grid, x, v, params = _two_stream_setup(n=20_000)
     dt = 0.1 / params.wp
     cfg = explicit.ExplicitConfig(grid, dt, params.p2c)
-    st = explicit.init_state(x, v, -E_CHARGE, M_ELECTRON, grid)
+    st = explicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
     _, m = run(explicit.make_step(cfg), st, 1)
     rho = np.asarray(m.rho[0], np.float64)
     expected_mean = -E_CHARGE * 1e10
@@ -264,7 +264,7 @@ def test_explicit_fused_matches_composed():
     outs = {}
     for backend in ("composed", "fused"):
         cfg = explicit.ExplicitConfig(grid, dt, params.p2c, backend=backend)
-        st = explicit.init_state(x, v, -E_CHARGE, M_ELECTRON, grid)
+        st = explicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
         outs[backend] = run(explicit.make_step(cfg), st, 50)
     sc, sf = outs["composed"][0], outs["fused"][0]
     np.testing.assert_allclose(np.asarray(sf.p), np.asarray(sc.p),
