@@ -60,6 +60,9 @@ class ExplicitState(struct.PyTreeNode):
     rho: jax.Array  # (ng,) charge density of p — the invariant rho ==
     # deposit(p) lets the push sweep deposit its OWN output for the next
     # step's solve, making the step a single particle sweep
+    e: jax.Array  # (ng,) electric field of rho (same invariant: e ==
+    # solve(rho)) — carried so the one-kernel cycle can emit next step's
+    # field from its epilogue
     step: jax.Array  # () int32
 
 
@@ -88,8 +91,11 @@ def init_state(x, v, q, m, cfg: ExplicitConfig,
     m = jnp.asarray(m, dtype)
     w = jnp.broadcast_to(q * (p2c / grid.dx), p.shape).astype(dtype)
     rho = deposit(p, w, grid.ng, periodic=True)
+    phi = solve_periodic_neutralized(rho, grid.dx)
+    e = -grad_periodic(phi, grid.dx)
     return ExplicitState(
-        p=p, v=v, q=q, m=m, rho=rho, step=jnp.asarray(0, jnp.int32),
+        p=p, v=v, q=q, m=m, rho=rho, e=e.astype(dtype),
+        step=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -102,19 +108,22 @@ def make_step(cfg: ExplicitConfig):
     dt_dx = dt / dx
     inv_dx = 1.0 / dx
 
+    # One-kernel cycle: the (width*K, ng) fold and (ng, ng) rho->E solve
+    # operators ride in VMEM, so gate on grid size (ng^2 floats; 1024 ->
+    # 4 MB). Reference grids are 40-800 — always in-kernel there. Built
+    # once here (outside the traced step) as baked constants.
+    one_kernel = ng <= 1024
+    if one_kernel:
+        from ..ops.pallas_cic import explicit_cycle_matrices
+
+        _fold_mat, _me_mat = explicit_cycle_matrices(ng, dx)
+
     def step(state: ExplicitState):
         qm = state.q / state.m
-        # Charge density of the CURRENT positions: carried in state (the
-        # previous step's push sweep deposited it — pypic.py:715 /
-        # PIC_L.py:763 as a loop-rotated invariant).
-        rho = state.rho
-        # Field solve: neutralized periodic Poisson, gauge-shift, E = -dphi/dx
-        # (pypic.py:717-719).
-        phi = solve_periodic_neutralized(rho, dx)
-        phi = phi - jnp.max(phi)
-        e = -grad_periodic(phi, dx)
-        # Gather + leapfrog + periodic wrap + next-step charge deposit in
-        # ONE particle sweep (pypic.py:722-731 + 715).
+        # Field of the CURRENT positions: carried in state (the previous
+        # step's sweep deposited rho and solved for E — pypic.py:715-719
+        # as a loop-rotated invariant).
+        rho, e = state.rho, state.e
         scalar_qm = jnp.ndim(state.q) == 0 and jnp.ndim(state.m) == 0
         if cfg.backend == "fused" and not scalar_qm:
             raise ValueError(
@@ -124,13 +133,25 @@ def make_step(cfg: ExplicitConfig):
         use_fused = cfg.backend == "fused" or (
             cfg.backend == "auto" and scalar_qm
         )
-        if use_fused:
+        if use_fused and one_kernel:
+            # The ENTIRE cycle (gather + leapfrog + wrap + deposit + field
+            # solve) as one Pallas sweep (pypic.py:715-731).
+            from ..ops.pallas_cic import explicit_cycle_pallas
+
+            p1, v1, rho1, e1 = explicit_cycle_pallas(
+                e, state.p, state.v, ng, qm=qm,
+                w=state.q * (cfg.p2c * inv_dx), dt=dt, dx=dx,
+                fold_mat=_fold_mat, me_mat=_me_mat,
+            )
+        elif use_fused:
             from ..ops.pallas_cic import leapfrog_gather_push_deposit_pallas
 
             p1, v1, rho1 = leapfrog_gather_push_deposit_pallas(
                 e, state.p, state.v, qm=qm,
                 w=state.q * (cfg.p2c * inv_dx), dt=dt, dx=dx,
             )
+            phi1 = solve_periodic_neutralized(rho1, dx)
+            e1 = -grad_periodic(phi1, dx)
         else:
             e_p = gather(e, state.p, periodic=True)
             p1, v1 = leapfrog_push(state.p, state.v, e_p, qm, dt, dt_dx)
@@ -140,6 +161,8 @@ def make_step(cfg: ExplicitConfig):
                 p1, jnp.broadcast_to(w_rho, p1.shape), ng,
                 periodic=True, method=cfg.deposit_method,
             )
+            phi1 = solve_periodic_neutralized(rho1, dx)
+            e1 = -grad_periodic(phi1, dx)
 
         # Exact grid mean of the current deposit (pypic.py:716): periodic
         # CIC tents sum to 1, so mean(deposit(p, q w v)) == sum(q w v)/ng —
@@ -154,7 +177,7 @@ def make_step(cfg: ExplicitConfig):
             rho=rho,
             e_field=e,
         )
-        return state.replace(p=p1, v=v1, rho=rho1,
+        return state.replace(p=p1, v=v1, rho=rho1, e=e1.astype(p1.dtype),
                              step=state.step + 1), metrics
 
     return step

@@ -659,6 +659,144 @@ def leapfrog_gather_push_pallas(
     return p1.reshape(-1)[:n], v1.reshape(-1)[:n]
 
 
+def _explicit_cycle_kernel(
+    scal_ref, fwin_ref, fold_ref, me_ref, p_ref, v_ref,
+    p1_ref, v1_ref, rho_ref, e1_ref, acc_ref,
+    *, num_k, ng, block, n_valid, nb, stride, width,
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    qm_dt_half = scal_ref[0, 0]
+    dt_dx = scal_ref[1, 0]
+    w = scal_ref[2, 0]
+    p = p_ref[0, 0, :]
+    v = v_ref[0, 0, :]
+    e_p = _gather_at(fwin_ref, p, num_k, block, stride, width)
+    vh = v + qm_dt_half * e_p
+    p1 = p + vh * dt_dx
+    p1 = p1 - jnp.floor(p1 * (1.0 / ng)) * ng
+    p1_ref[0, 0, :] = p1
+    v1_ref[0, 0, :] = vh + qm_dt_half * e_p
+    vals = w * _lane_mask(i, block, n_valid, p1.dtype)
+    _deposit_into(acc_ref, p1, vals, num_k, block, stride, width)
+
+    # Epilogue on the last block: fold the window accumulator onto the ng
+    # nodes and run the whole periodic field solve as precomputed
+    # contractions — rho -> E is linear (neutralized circulant Poisson +
+    # centered gradient), so the next step's field leaves the kernel with
+    # the pushed particles: the full PIC cycle is ONE sweep. The fold runs
+    # as one small (1, K) @ (K, ng) matmul per tent row (a flattening
+    # reshape of the (width, K) accumulator is a sublane->lane relayout
+    # Mosaic refuses to infer).
+    @pl.when(i == nb - 1)
+    def _():
+        rho = lax.dot_general(
+            acc_ref[0:1, :], fold_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, ng)
+        for ell in range(1, width):
+            rho = rho + lax.dot_general(
+                acc_ref[ell:ell + 1, :], fold_ref[ell],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        rho_ref[:] = rho.astype(rho_ref.dtype)
+        e1_ref[:] = lax.dot_general(
+            rho, me_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(e1_ref.dtype)
+
+
+def explicit_cycle_pallas(
+    e_field, p, v, ng: int, *, qm, w, dt: float, dx: float,
+    fold_mat, me_mat, block: int = _DEFAULT_BLOCK,
+):
+    """The complete explicit PIC cycle as ONE kernel sweep: gather the
+    carried field at p, leapfrog push + periodic wrap, deposit the new
+    charge density, and solve for the next step's E in the last block's
+    epilogue via precomputed contractions (``fold_mat``: (width, K, ng)
+    per-tent-row window-fold matrices; ``me_mat``: (ng, ng) rho -> E
+    neutralized-Poisson + gradient operator — build both with
+    ``explicit_cycle_matrices``).
+
+    Returns (p1, v1, rho1, e1).
+    """
+    stride, width = _choose_window(ng)
+    num_k = _num_windows(ng, stride)
+    fwin_t = _window_field_t(e_field, num_k, True, stride, width)
+    (p_b, v_b), nb = _pad_blocks([p, v], block)
+    n = p.shape[0]
+    scal = jnp.stack([
+        0.5 * qm * dt, jnp.full_like(qm * dt, dt / dx),
+        w + jnp.zeros_like(qm * dt), jnp.zeros_like(qm * dt),
+    ]).reshape(4, 1).astype(p.dtype)
+    kern = functools.partial(
+        _explicit_cycle_kernel, num_k=num_k, ng=ng, block=block,
+        n_valid=n, nb=nb, stride=stride, width=width,
+    )
+    grid_spec = pl.BlockSpec((1, ng), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    p1, v1, rho, e1, _ = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            _SMEM_SPEC,
+            _acc_spec(num_k, width),
+            pl.BlockSpec((width, num_k, ng), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng, ng), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            _particle_spec(block),
+            _particle_spec(block),
+        ],
+        out_specs=(_particle_spec(block), _particle_spec(block),
+                   grid_spec, grid_spec, _acc_spec(num_k, width)),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, 1, block), p.dtype),
+            jax.ShapeDtypeStruct((nb, 1, block), v.dtype),
+            jax.ShapeDtypeStruct((1, ng), p.dtype),
+            jax.ShapeDtypeStruct((1, ng), p.dtype),
+            jax.ShapeDtypeStruct((width, num_k), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(scal, fwin_t, fold_mat, me_mat, p_b, v_b)
+    return (p1.reshape(-1)[:n], v1.reshape(-1)[:n],
+            rho.reshape(-1), e1.reshape(-1))
+
+
+def explicit_cycle_matrices(ng: int, dx: float):
+    """Precompute the one-kernel cycle's contraction matrices (f64 build,
+    f32 cast): fold_mat maps the flattened (width, K) window accumulator
+    onto the ng nodes (periodic overlap-add), me_mat maps rho to E through
+    the neutralized periodic Poisson solve (ops.poisson) and the centered
+    periodic gradient — both linear, so E = rho @ me_mat exactly matches
+    the composed solve up to f32 rounding."""
+    import numpy as np
+
+    stride, width = _choose_window(ng)
+    num_k = _num_windows(ng, stride)
+    fold = np.zeros((width, num_k, ng), np.float64)
+    for ell in range(width):
+        for k in range(num_k):
+            fold[ell, k, (k * stride + ell) % ng] = 1.0
+    # rho -> phi (neutralized circulant inverse) -> E (centered gradient),
+    # built by pushing unit-rho columns through the runtime ops themselves
+    # (vmap over the identity) so the operator matches the composed solve
+    from .poisson import solve_periodic_neutralized
+    from .fd import grad_periodic
+
+    phi_cols = jax.vmap(
+        lambda r: solve_periodic_neutralized(r, dx)
+    )(jnp.eye(ng, dtype=jnp.float32))
+    e_cols = jax.vmap(lambda ph: -grad_periodic(ph, dx))(phi_cols)
+    me = jnp.asarray(e_cols)  # row j = E response to unit rho at node j
+    return (jnp.asarray(fold, jnp.float32), me.astype(jnp.float32))
+
+
 def _leapfrog_deposit_kernel(
     scal_ref, fwin_ref, p_ref, v_ref, p1_ref, v1_ref, rho_ref,
     *, num_k, ng, block, n_valid, stride, width,

@@ -103,6 +103,48 @@ def test_leapfrog_gather_push_matches_composed(ng):
                                atol=1e-4 * float(jnp.abs(v1r).max()))
 
 
+@pytest.mark.parametrize("ng", [64, 200])
+def test_explicit_cycle_kernel_matches_composed(ng):
+    """The one-kernel explicit cycle (gather + leapfrog + wrap + deposit +
+    in-epilogue field solve via precomputed contractions) reproduces the
+    composed op pipeline including the solved next-step field."""
+    from pypic_tpu.ops.cic import _deposit_scatter
+    from pypic_tpu.ops.fd import grad_periodic
+    from pypic_tpu.ops.poisson import solve_periodic_neutralized
+    from pypic_tpu.ops.pallas_cic import (
+        explicit_cycle_matrices,
+        explicit_cycle_pallas,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 4099
+    qm, w, dt, dx = -1.7e11, 3.2e-9, 1e-7, 0.05
+    p = jnp.asarray(rng.uniform(0, ng, n), jnp.float32)
+    v = jnp.asarray(rng.normal(size=n) * 1e5, jnp.float32)
+    e = jnp.asarray(rng.normal(size=ng) * 1e3, jnp.float32)
+
+    ep = gather(e, p, periodic=True, method="take")
+    vh = v + 0.5 * qm * dt * ep
+    p1r = jnp.mod(p + vh * (dt / dx), ng)
+    v1r = vh + 0.5 * qm * dt * ep
+    rho_r = _deposit_scatter(p1r, jnp.full((n,), w, jnp.float32), ng, True)
+    e1_r = -grad_periodic(solve_periodic_neutralized(rho_r, dx), dx)
+
+    fold_mat, me_mat = explicit_cycle_matrices(ng, dx)
+    p1, v1, rho, e1 = explicit_cycle_pallas(
+        e, p, v, ng, qm=jnp.float32(qm), w=jnp.float32(w), dt=dt, dx=dx,
+        fold_mat=fold_mat, me_mat=me_mat,
+    )
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p1r), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v1r),
+                               atol=1e-4 * float(jnp.abs(v1r).max()))
+    np.testing.assert_allclose(np.asarray(rho), np.asarray(rho_r),
+                               rtol=2e-4, atol=2e-5 * float(rho_r.max()))
+    np.testing.assert_allclose(
+        np.asarray(e1), np.asarray(e1_r),
+        atol=5e-4 * float(jnp.abs(e1_r).max()))
+
+
 def test_blocked_inputs_match_flat():
     """Pre-blocked (nb, 1, block) particle inputs (block_particles) produce
     bit-identical results to the flat (n,) path, including deposit masking
