@@ -270,6 +270,13 @@ def make_step(cfg: ImplicitConfig):
                 nxt["v1"] = outs[1]
             return nxt
 
+        # Note: an in-epilogue Ampere advance (the explicit engine's
+        # one-kernel-cycle pattern applied to the Picard iteration) was
+        # built and measured performance-NEUTRAL here — the HIGHEST-
+        # precision (ng, ng) matmuls the tol=1e-9 residual requires cost
+        # as much as the XLA glue they replace (v5e: headline 39.5-39.7 ms
+        # either way, landau row inside its 0.13-0.16 ms noise band) —
+        # and was removed; see PERF.md negative results.
         keep_jh = cfg.finalize in ("iterate", "converged")
         c0 = {
             "es": _es0(state), "ps": p0_b, "e1": e0,

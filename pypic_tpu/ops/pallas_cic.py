@@ -694,20 +694,12 @@ def _explicit_cycle_kernel(
     # Mosaic refuses to infer).
     @pl.when(i == nb - 1)
     def _():
-        rho = lax.dot_general(
-            acc_ref[0:1, :], fold_ref[0], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (1, ng)
-        for ell in range(1, width):
-            rho = rho + lax.dot_general(
-                acc_ref[ell:ell + 1, :], fold_ref[ell],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+        rho = _fold_acc_rows(acc_ref, fold_ref, width)  # (1, ng)
         rho_ref[:] = rho.astype(rho_ref.dtype)
         e1_ref[:] = lax.dot_general(
             rho, me_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
         ).astype(e1_ref.dtype)
 
 
@@ -923,6 +915,27 @@ def _picard_iter_kernel(
 
     vals = (w * vh) * _lane_mask(i, block, n_valid, ph.dtype)
     _deposit_into(jh_ref, ph, vals, num_k, block, stride, width)
+
+
+def _fold_acc_rows(acc_ref, fold_ref, width):
+    """(width, K) VMEM accumulator -> (1, ng) node row via one small
+    (1, K) @ (K, ng) matmul per tent row (fold_ref: (width, K, ng); a
+    flattening reshape is a sublane->lane relayout Mosaic refuses).
+    HIGHEST precision: the default f32-matmul lowering loses mantissa
+    bits that a tol=1e-9 Picard residual cannot afford."""
+    out = lax.dot_general(
+        acc_ref[0:1, :], fold_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+    for ell in range(1, width):
+        out = out + lax.dot_general(
+            acc_ref[ell:ell + 1, :], fold_ref[ell],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+    return out
 
 
 def _picard_final_kernel(
