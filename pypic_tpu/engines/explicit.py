@@ -99,6 +99,21 @@ def init_state(x, v, q, m, cfg: ExplicitConfig,
     )
 
 
+def refresh_fields(state: ExplicitState, cfg: ExplicitConfig) -> ExplicitState:
+    """Recompute the carried rho/e from state.p (restores the step
+    invariant — use after loading a legacy checkpoint written before the
+    fields were carried, where name-based restore falls back to the
+    template's values for a DIFFERENT particle configuration)."""
+    grid = cfg.grid
+    w = jnp.broadcast_to(
+        state.q * (cfg.p2c / grid.dx), state.p.shape
+    ).astype(state.p.dtype)
+    rho = deposit(state.p, w, grid.ng, periodic=True)
+    phi = solve_periodic_neutralized(rho, grid.dx)
+    e = -grad_periodic(phi, grid.dx)
+    return state.replace(rho=rho, e=e.astype(state.p.dtype))
+
+
 def make_step(cfg: ExplicitConfig):
     """Build the jittable step: state -> (state, StepMetrics)."""
     grid = cfg.grid
