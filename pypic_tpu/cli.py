@@ -53,6 +53,16 @@ def _cmd_run(args):
         if args.resume:
             state, manifest = mgr.restore(state)
             print(f"resumed from step {manifest['step']}", file=sys.stderr)
+            # a checkpoint from before the explicit engine carried rho/e
+            # restores those leaves from the template (a different particle
+            # configuration) — recompute them from the restored positions
+            if (preset.engine.__name__.endswith("explicit")
+                    and "rho" not in str(manifest.get("leaf_paths", ""))):
+                from .engines import explicit as _explicit
+
+                state = _explicit.refresh_fields(state, preset.config)
+                print("refreshed carried rho/e from restored positions",
+                      file=sys.stderr)
 
     def _run_span(state, steps, thin):
         if thin:
