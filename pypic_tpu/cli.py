@@ -56,10 +56,10 @@ def _cmd_run(args):
             # a checkpoint from before the explicit engine carried rho/e
             # restores those leaves from the template (a different particle
             # configuration) — recompute them from the restored positions
-            if (preset.engine.__name__.endswith("explicit")
-                    and "rho" not in str(manifest.get("leaf_paths", ""))):
-                from .engines import explicit as _explicit
+            from .engines import explicit as _explicit
 
+            if (preset.engine is _explicit
+                    and ".rho" not in manifest.get("leaf_paths", [])):
                 state = _explicit.refresh_fields(state, preset.config)
                 print("refreshed carried rho/e from restored positions",
                       file=sys.stderr)

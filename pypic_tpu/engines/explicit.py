@@ -37,6 +37,10 @@ class ExplicitConfig:
     grid: GridSpec
     dt: float
     p2c: float
+    # Governs the op-level deposits (the composed backend's per-step rho
+    # and the initial deposit in init_state/refresh_fields). The fused
+    # backends deposit INSIDE their Pallas sweep by design — this knob
+    # does not reach them.
     deposit_method: str = "auto"
     # 'fused' runs gather + leapfrog + periodic wrap as one Pallas sweep
     # (ops.pallas_cic.leapfrog_gather_push_pallas — skips the gathered
@@ -85,12 +89,13 @@ def init_state(x, v, q, m, cfg: ExplicitConfig,
             "initial charge deposit), not a bare GridSpec"
         )
     grid, p2c = cfg.grid, cfg.p2c
+    method = getattr(cfg, "deposit_method", "auto")
     p = (jnp.asarray(x, dtype) / jnp.asarray(grid.dx, dtype)).astype(dtype)
     v = jnp.asarray(v, dtype)
     q = jnp.asarray(q, dtype)
     m = jnp.asarray(m, dtype)
     w = jnp.broadcast_to(q * (p2c / grid.dx), p.shape).astype(dtype)
-    rho = deposit(p, w, grid.ng, periodic=True)
+    rho = deposit(p, w, grid.ng, periodic=True, method=method)
     phi = solve_periodic_neutralized(rho, grid.dx)
     e = -grad_periodic(phi, grid.dx)
     return ExplicitState(
@@ -108,7 +113,8 @@ def refresh_fields(state: ExplicitState, cfg: ExplicitConfig) -> ExplicitState:
     w = jnp.broadcast_to(
         state.q * (cfg.p2c / grid.dx), state.p.shape
     ).astype(state.p.dtype)
-    rho = deposit(state.p, w, grid.ng, periodic=True)
+    rho = deposit(state.p, w, grid.ng, periodic=True,
+                  method=cfg.deposit_method)
     phi = solve_periodic_neutralized(rho, grid.dx)
     e = -grad_periodic(phi, grid.dx)
     return state.replace(rho=rho, e=e.astype(state.p.dtype))
@@ -123,15 +129,21 @@ def make_step(cfg: ExplicitConfig):
     dt_dx = dt / dx
     inv_dx = 1.0 / dx
 
-    # One-kernel cycle: the (width*K, ng) fold and (ng, ng) rho->E solve
-    # operators ride in VMEM, so gate on grid size (ng^2 floats; 1024 ->
-    # 4 MB). Reference grids are 40-800 — always in-kernel there. Built
-    # once here (outside the traced step) as baked constants.
+    # One-kernel cycle: the (width, K, ng) fold and (ng, ng) rho->E solve
+    # operators ride in VMEM — combined roughly (width/stride + 1) * ng^2
+    # floats, ~9 MB at the ng=1024 gate. Reference grids are 40-800 —
+    # always in-kernel there. Built lazily on first (traced) use so a
+    # composed-backend step never pays the ng-column solve or pins the
+    # arrays.
     one_kernel = ng <= 1024
-    if one_kernel:
-        from ..ops.pallas_cic import explicit_cycle_matrices
+    _mats: list = []
 
-        _fold_mat, _me_mat = explicit_cycle_matrices(ng, dx)
+    def _cycle_mats():
+        if not _mats:
+            from ..ops.pallas_cic import explicit_cycle_matrices
+
+            _mats.append(explicit_cycle_matrices(ng, dx))
+        return _mats[0]
 
     def step(state: ExplicitState):
         qm = state.q / state.m
@@ -153,10 +165,11 @@ def make_step(cfg: ExplicitConfig):
             # solve) as one Pallas sweep (pypic.py:715-731).
             from ..ops.pallas_cic import explicit_cycle_pallas
 
+            fold_mat, me_mat = _cycle_mats()
             p1, v1, rho1, e1 = explicit_cycle_pallas(
                 e, state.p, state.v, ng, qm=qm,
                 w=state.q * (cfg.p2c * inv_dx), dt=dt, dx=dx,
-                fold_mat=_fold_mat, me_mat=_me_mat,
+                fold_mat=fold_mat, me_mat=me_mat,
             )
         elif use_fused:
             from ..ops.pallas_cic import leapfrog_gather_push_deposit_pallas

@@ -606,10 +606,10 @@ def gather_pallas(field, p, *, periodic: bool, block: int = _DEFAULT_BLOCK):
 # ---------------------------------------------------------------------------
 
 
-def _leapfrog_kernel(
-    scal_ref, fwin_ref, p_ref, v_ref, p1_ref, v1_ref,
-    *, num_k, ng, block, stride, width,
-):
+def _leapfrog_body(scal_ref, fwin_ref, p_ref, v_ref,
+                   num_k, ng, block, stride, width):
+    """Shared gather + kick-drift-kick + periodic wrap of the explicit
+    kernels (pypic.py:722-731): scal slots [0]=qm dt/2, [1]=dt/dx."""
     qm_dt_half = scal_ref[0, 0]
     dt_dx = scal_ref[1, 0]
     p = p_ref[0, 0, :]
@@ -618,8 +618,17 @@ def _leapfrog_kernel(
     vh = v + qm_dt_half * e_p
     p1 = p + vh * dt_dx
     p1 = p1 - jnp.floor(p1 * (1.0 / ng)) * ng
+    return p1, vh + qm_dt_half * e_p
+
+
+def _leapfrog_kernel(
+    scal_ref, fwin_ref, p_ref, v_ref, p1_ref, v1_ref,
+    *, num_k, ng, block, stride, width,
+):
+    p1, v1 = _leapfrog_body(scal_ref, fwin_ref, p_ref, v_ref,
+                            num_k, ng, block, stride, width)
     p1_ref[0, 0, :] = p1
-    v1_ref[0, 0, :] = vh + qm_dt_half * e_p
+    v1_ref[0, 0, :] = v1
 
 
 def leapfrog_gather_push_pallas(
@@ -659,6 +668,30 @@ def leapfrog_gather_push_pallas(
     return p1.reshape(-1)[:n], v1.reshape(-1)[:n]
 
 
+def _fold_acc_rows(acc_ref, fold_ref, width):
+    """(width, K) VMEM accumulator -> (1, ng) node row via one small
+    (1, K) @ (K, ng) matmul per tent row (fold_ref: (width, K, ng); a
+    flattening reshape is a sublane->lane relayout Mosaic refuses).
+    HIGHEST precision: Mosaic's default f32-matmul lowering loses mantissa
+    bits — here that shows up as ~1e-3-relative noise in the solved field
+    feeding every subsequent step (and it broke a tol=1e-9 Picard residual
+    outright when this pattern was trialed on the implicit loop, see
+    PERF.md negative results)."""
+    out = lax.dot_general(
+        acc_ref[0:1, :], fold_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+    for ell in range(1, width):
+        out = out + lax.dot_general(
+            acc_ref[ell:ell + 1, :], fold_ref[ell],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+    return out
+
+
 def _explicit_cycle_kernel(
     scal_ref, fwin_ref, fold_ref, me_ref, p_ref, v_ref,
     p1_ref, v1_ref, rho_ref, e1_ref, acc_ref,
@@ -670,17 +703,11 @@ def _explicit_cycle_kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    qm_dt_half = scal_ref[0, 0]
-    dt_dx = scal_ref[1, 0]
-    w = scal_ref[2, 0]
-    p = p_ref[0, 0, :]
-    v = v_ref[0, 0, :]
-    e_p = _gather_at(fwin_ref, p, num_k, block, stride, width)
-    vh = v + qm_dt_half * e_p
-    p1 = p + vh * dt_dx
-    p1 = p1 - jnp.floor(p1 * (1.0 / ng)) * ng
+    p1, v1 = _leapfrog_body(scal_ref, fwin_ref, p_ref, v_ref,
+                            num_k, ng, block, stride, width)
     p1_ref[0, 0, :] = p1
-    v1_ref[0, 0, :] = vh + qm_dt_half * e_p
+    v1_ref[0, 0, :] = v1
+    w = scal_ref[2, 0]
     vals = w * _lane_mask(i, block, n_valid, p1.dtype)
     _deposit_into(acc_ref, p1, vals, num_k, block, stride, width)
 
@@ -777,16 +804,19 @@ def explicit_cycle_matrices(ng: int, dx: float):
             fold[ell, k, (k * stride + ell) % ng] = 1.0
     # rho -> phi (neutralized circulant inverse) -> E (centered gradient),
     # built by pushing unit-rho columns through the runtime ops themselves
-    # (vmap over the identity) so the operator matches the composed solve
+    # (vmap over the identity) so the operator matches the composed solve.
+    # ensure_compile_time_eval: callers may build lazily inside a traced
+    # step — the columns must become baked constants, not per-step ops.
     from .poisson import solve_periodic_neutralized
     from .fd import grad_periodic
 
-    phi_cols = jax.vmap(
-        lambda r: solve_periodic_neutralized(r, dx)
-    )(jnp.eye(ng, dtype=jnp.float32))
-    e_cols = jax.vmap(lambda ph: -grad_periodic(ph, dx))(phi_cols)
-    me = jnp.asarray(e_cols)  # row j = E response to unit rho at node j
-    return (jnp.asarray(fold, jnp.float32), me.astype(jnp.float32))
+    with jax.ensure_compile_time_eval():
+        phi_cols = jax.vmap(
+            lambda r: solve_periodic_neutralized(r, dx)
+        )(jnp.eye(ng, dtype=jnp.float32))
+        e_cols = jax.vmap(lambda ph: -grad_periodic(ph, dx))(phi_cols)
+        me = jnp.asarray(e_cols)  # row j = E response to unit rho at node j
+        return (jnp.asarray(fold, jnp.float32), me.astype(jnp.float32))
 
 
 def _leapfrog_deposit_kernel(
@@ -799,17 +829,11 @@ def _leapfrog_deposit_kernel(
     def _():
         rho_ref[:] = jnp.zeros_like(rho_ref)
 
-    qm_dt_half = scal_ref[0, 0]
-    dt_dx = scal_ref[1, 0]
-    w = scal_ref[2, 0]
-    p = p_ref[0, 0, :]
-    v = v_ref[0, 0, :]
-    e_p = _gather_at(fwin_ref, p, num_k, block, stride, width)
-    vh = v + qm_dt_half * e_p
-    p1 = p + vh * dt_dx
-    p1 = p1 - jnp.floor(p1 * (1.0 / ng)) * ng
+    p1, v1 = _leapfrog_body(scal_ref, fwin_ref, p_ref, v_ref,
+                            num_k, ng, block, stride, width)
     p1_ref[0, 0, :] = p1
-    v1_ref[0, 0, :] = vh + qm_dt_half * e_p
+    v1_ref[0, 0, :] = v1
+    w = scal_ref[2, 0]
     vals = w * _lane_mask(i, block, n_valid, p1.dtype)
     _deposit_into(rho_ref, p1, vals, num_k, block, stride, width)
 
@@ -915,27 +939,6 @@ def _picard_iter_kernel(
 
     vals = (w * vh) * _lane_mask(i, block, n_valid, ph.dtype)
     _deposit_into(jh_ref, ph, vals, num_k, block, stride, width)
-
-
-def _fold_acc_rows(acc_ref, fold_ref, width):
-    """(width, K) VMEM accumulator -> (1, ng) node row via one small
-    (1, K) @ (K, ng) matmul per tent row (fold_ref: (width, K, ng); a
-    flattening reshape is a sublane->lane relayout Mosaic refuses).
-    HIGHEST precision: the default f32-matmul lowering loses mantissa
-    bits that a tol=1e-9 Picard residual cannot afford."""
-    out = lax.dot_general(
-        acc_ref[0:1, :], fold_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
-    )
-    for ell in range(1, width):
-        out = out + lax.dot_general(
-            acc_ref[ell:ell + 1, :], fold_ref[ell],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST,
-        )
-    return out
 
 
 def _picard_final_kernel(

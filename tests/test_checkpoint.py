@@ -45,8 +45,6 @@ def test_explicit_state_checkpoint_with_field_invariants(tmp_path):
     round-trip and an old checkpoint written WITHOUT them restores from
     the template (name-based layout), preserving the step invariant
     rho == deposit(p), e == solve(rho) for the resumed run."""
-    import dataclasses
-
     from pypic_tpu.engines import explicit
 
     density = 1e10

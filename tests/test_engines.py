@@ -252,14 +252,17 @@ def test_finalize_modes_agree_and_nodep_is_bit_exact():
     np.testing.assert_allclose(cb_nd, cb_d, rtol=1e-3)
 
 
-def test_explicit_fused_matches_composed():
+@pytest.mark.parametrize("ng", [64, 1536])
+def test_explicit_fused_matches_composed(ng):
     """The fused Pallas leapfrog sweep (gather + kick-drift-kick + wrap in
     one kernel) reproduces the composed op pipeline; the closed-form
     current_bias equals the mean of an explicit current deposit (periodic
-    CIC tents sum to 1)."""
+    CIC tents sum to 1). ng=1536 exercises the large-grid fused branch
+    (separate deposit sweep + XLA solve — the one-kernel cycle is gated
+    at ng <= 1024)."""
     from pypic_tpu.ops import deposit
 
-    grid, x, v, params = _two_stream_setup(n=20_000)
+    grid, x, v, params = _two_stream_setup(n=20_000, ng=ng)
     dt = 0.1 / params.wp
     outs = {}
     for backend in ("composed", "fused"):
