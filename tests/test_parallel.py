@@ -62,6 +62,43 @@ def test_data_parallel_matches_single_device(problem):
     )
 
 
+def test_data_parallel_fused_backend(problem):
+    """The fused Pallas backend under data-parallel sharding: each shard's
+    kernel deposit is psum-reduced before the Ampere advance
+    (engines.implicit step_fused _allreduce). Matches the single-device
+    fused run to f32 reduction-order tolerance with the same Picard
+    envelope — previously only the composed backend was exercised."""
+    grid, x, v, params = problem
+    dt = 0.1 / params.wp
+
+    cfg1 = implicit.ImplicitConfig(
+        grid, dt, params.p2c, tol=1e-6, maxiter=40, backend="fused"
+    )
+    st = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg1)
+    _, m1 = run(implicit.make_step(cfg1), st, 50)
+
+    mesh = make_mesh(8)
+    cfg8 = implicit.ImplicitConfig(
+        grid, dt, params.p2c, tol=1e-6, maxiter=40,
+        backend="fused", axis_name="particles",
+    )
+    st8 = shard_state(st, mesh)
+    step8 = make_data_parallel_step(
+        implicit.make_step, cfg8, mesh, example_state=st
+    )
+    _, m8 = run(step8, st8, 50)
+
+    ee1 = np.asarray(m1.field_energy, np.float64)
+    ee8 = np.asarray(m8.field_energy, np.float64)
+    np.testing.assert_allclose(ee8, ee1, rtol=1e-4)
+    ke1 = np.asarray(m1.kinetic_energy, np.float64)
+    ke8 = np.asarray(m8.kinetic_energy, np.float64)
+    np.testing.assert_allclose(ke8, ke1, rtol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(m8.picard_iters), np.asarray(m1.picard_iters)
+    )
+
+
 def test_graft_entry_contract():
     import __graft_entry__ as ge
 
