@@ -124,6 +124,18 @@ class MagnetizedConfig:
     # for these configs). Default reproduces the reference's literal formula;
     # set True for the physically-intended volts normalization.
     eta_in_volts: bool = False
+    # Data-parallel particle sharding over a 1D mesh axis (shard_map via
+    # parallel.dataparallel-style wrapping done by the caller, or the
+    # magnetized_data_parallel helper below): deposits / histograms /
+    # particle ledgers are psum-reduced, the Newton solve runs replicated
+    # on the globally-summed densities, and re-activation draws are
+    # shard-count-INVARIANT — the counter-based source sampler offsets its
+    # slot ids by the shard's global position, so an 8-way sharded run
+    # reproduces the single-device batch bit-for-bit. Restrictions (clear
+    # errors, not silent): reactivate in ('none', 'source'),
+    # source_sampler='hash', impact_buffer_size=0 (the BCA impact buffer
+    # is a host-hybrid seam; shard-local buffers would need gathering).
+    axis_name: Optional[str] = None
 
     def __post_init__(self):
         for f in ("dt", "te", "newton_tol", "flux_gamma", "flux_vx_pert",
@@ -133,6 +145,25 @@ class MagnetizedConfig:
         object.__setattr__(self, "species_z", tuple(int(z) for z in self.species_z))
         if self.source_sampler not in ("hash", "threefry"):
             raise ValueError(f"unknown source_sampler {self.source_sampler!r}")
+        if self.axis_name is not None:
+            if self.reactivate not in ("none", "source"):
+                raise ValueError(
+                    "data-parallel magnetized supports reactivate in "
+                    "('none', 'source') — 'capped-source'/'flux' caps are "
+                    "global counts needing cross-shard allocation"
+                )
+            if self.reactivate == "source" and self.source_sampler != "hash":
+                raise ValueError(
+                    "data-parallel re-activation needs source_sampler="
+                    "'hash' (slot-offset counters give shard-invariant "
+                    "draws; a replicated threefry key would draw the SAME "
+                    "batch on every shard)"
+                )
+            if self.impact_buffer_size > 0:
+                raise ValueError(
+                    "impact_buffer_size > 0 is not supported under "
+                    "data-parallel sharding (host-hybrid BCA seam)"
+                )
 
 
 class MagnetizedState(struct.PyTreeNode):
@@ -350,7 +381,8 @@ def make_step(cfg: MagnetizedConfig):
             iead.size,
             method=cfg.deposit_method,
         )
-        return iead + upd.reshape(iead.shape)
+        # replicated histogram state += psum'd per-shard impacts under dp
+        return iead + _allreduce(upd.reshape(iead.shape))
 
     def _use_fused(n):
         if cfg.backend == "fused":
@@ -361,8 +393,21 @@ def make_step(cfg: MagnetizedConfig):
             raise ValueError(f"unknown backend {cfg.backend!r}")
         return jax.default_backend() == "tpu" and n >= 8192
 
+    ax = cfg.axis_name
+
+    def _allreduce(x):
+        """Sum partial deposits / counters across particle shards (no-op
+        single-device)."""
+        return lax.psum(x, ax) if ax else x
+
     def step(state: MagnetizedState):
         key, k_ion, k_src = jax.random.split(state.rng, 3)
+        if ax:
+            # per-shard ionization stream (the replicated key would draw
+            # identical randoms on every shard); k_src stays replicated —
+            # the source sampler's slot offsets make its draws
+            # shard-count-invariant instead.
+            k_ion = jax.random.fold_in(k_ion, lax.axis_index(ax))
         fused = _use_fused(state.p.shape[0])
         is_active = state.active == 1
         w_rho = jnp.where(
@@ -379,6 +424,8 @@ def make_step(cfg: MagnetizedConfig):
                           method=cfg.deposit_method)
             n_dens = deposit(state.p, w_n, ng, periodic=False,
                              method=cfg.deposit_method)
+        rho = _allreduce(rho)
+        n_dens = _allreduce(n_dens)
         n0, p_old = _boltzmann_weight(state, rho, n_dens)
         added = jnp.zeros_like(state.added)  # reset (pygcpic.py:1215,1492)
 
@@ -504,13 +551,20 @@ def make_step(cfg: MagnetizedConfig):
 
             k_batch = state.p.shape[0]
             rank = compact_rows(inactive)
-            sample_source = (
-                sources.sample_source_6d_hash
-                if cfg.source_sampler == "hash" else sources.sample_source_6d
-            )
+            src_kw = {}
+            if cfg.source_sampler == "hash":
+                sample_source = sources.sample_source_6d_hash
+                if ax:
+                    # global slot ids: shard r draws the same values the
+                    # single-device run draws for its slots — the sharded
+                    # re-activation batch is shard-count-invariant
+                    src_kw["slot_offset"] = lax.axis_index(ax) * k_batch
+            else:
+                sample_source = sources.sample_source_6d
             if cfg.reactivate == "source":
                 batch = sample_source(
-                    k_src, k_batch, grid, src.ti, src.mass, vx=src.vx
+                    k_src, k_batch, grid, src.ti, src.mass, vx=src.vx,
+                    **src_kw,
                 )
                 take = inactive
             elif cfg.reactivate == "capped-source":
@@ -552,21 +606,24 @@ def make_step(cfg: MagnetizedConfig):
             n_react = jnp.sum(take.astype(jnp.int32))
             added = added + (2.0 * src.p2c) * jnp.sum(take.astype(added.dtype))
 
+        # global ledgers/counters under dp (the n0 particle-balance update
+        # next step needs the GLOBAL added-particle rate, pygcpic.py:889-904)
+        added = _allreduce(added)
         metrics = StepMetrics(
             n0=n0,
             phi_max=jnp.max(phi),
             newton_iters=res.iterations,
             newton_residual=res.residual,
-            n_active=jnp.sum((active == 1).astype(jnp.int32)),
-            n_hit_wall=jnp.sum(hit.astype(jnp.int32)),
-            n_ionized=n_ionized,
-            n_reactivated=n_react,
+            n_active=_allreduce(jnp.sum((active == 1).astype(jnp.int32))),
+            n_hit_wall=_allreduce(jnp.sum(hit.astype(jnp.int32))),
+            n_ionized=_allreduce(n_ionized),
+            n_reactivated=_allreduce(n_react),
             added=added,
             rho=rho,
             phi=phi,
             impacts=impacts,
             n_impacts=n_impacts,
-            n_escaped=n_escaped,
+            n_escaped=_allreduce(n_escaped),
         )
         new_state = state.replace(
             p=p1, yz=yz1, v=v1, m=m_arr, charge_state=charge_state,

@@ -64,13 +64,17 @@ def _mix32(x):
 _GOLDEN = 0x9E3779B9  # 2^32 / phi: decorrelates stream offsets
 
 
-def hash_uniforms(seed, n: int, streams: int, dtype=jnp.float32):
+def hash_uniforms(seed, n: int, streams: int, dtype=jnp.float32, offset=0):
     """(streams, n) uniforms in (0, 1), open at both ends (Box-Muller safe).
 
     seed: uint32 scalar (vary per step); each stream is an independent
-    full-period counter sequence.
+    full-period counter sequence. ``offset`` shifts the counter (slot)
+    ids — under data-parallel sharding, shard r passing
+    offset = r * local_n makes the sharded draw bit-identical to the
+    single-device draw over the concatenated slots (shard-count-invariant
+    randomness, something a split-key stream cannot give).
     """
-    idx = lax.iota(jnp.uint32, n)
+    idx = lax.iota(jnp.uint32, n) + jnp.uint32(offset)
     offs = (jnp.arange(1, streams + 1, dtype=jnp.uint32)
             * jnp.uint32(_GOLDEN))[:, None]
     h = _mix32(_mix32(idx[None, :] + offs) ^ jnp.uint32(seed))
@@ -78,9 +82,9 @@ def hash_uniforms(seed, n: int, streams: int, dtype=jnp.float32):
     return ((h >> 8).astype(dtype) + 0.5) * dtype(2.0**-24)
 
 
-def hash_normals(seed, n: int, pairs: int, dtype=jnp.float32):
+def hash_normals(seed, n: int, pairs: int, dtype=jnp.float32, offset=0):
     """(2*pairs, n) standard normals via Box-Muller on hash_uniforms."""
-    u = hash_uniforms(seed, n, 2 * pairs, dtype)
+    u = hash_uniforms(seed, n, 2 * pairs, dtype, offset=offset)
     r = jnp.sqrt(-2.0 * jnp.log(u[0::2]))
     theta = dtype(2.0 * np.pi) * u[1::2]
     return jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=0)
@@ -93,14 +97,16 @@ def seed_from_key(key):
 
 
 def sample_source_6d_hash(key, n: int, grid: GridSpec, ti: float,
-                          mass: float, vx: float = 0.0, dtype=jnp.float32):
+                          mass: float, vx: float = 0.0, dtype=jnp.float32,
+                          slot_offset=0):
     """``sample_source_6d`` on the counter-based generator: identical
     distribution (gaussian-in-x at L/2 sigma L/12 wrapped, Maxwellian
     3-velocity + vx on every component, pygcpic.py:723-755), ~10x cheaper
-    per draw on TPU."""
+    per draw on TPU. ``slot_offset``: see hash_uniforms — shard-count-
+    invariant batches under data-parallel sharding."""
     length = grid.length
     vth = float(np.sqrt(K_BOLTZMANN * float(ti) / float(mass)))
-    z = hash_normals(seed_from_key(key), n, 2, dtype)
+    z = hash_normals(seed_from_key(key), n, 2, dtype, offset=slot_offset)
     x = jnp.mod(z[0] * dtype(length / 12.0) + dtype(length / 2.0),
                 dtype(length))
     v = z[1:4].T * dtype(vth) + dtype(vx)

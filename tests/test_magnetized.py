@@ -432,3 +432,73 @@ def test_magnetized_fused_backend_matches_composed():
     assert int(np.asarray(st_f.active).sum()) == int(
         np.asarray(st_c.active).sum()
     )
+
+
+def test_magnetized_data_parallel_matches_single_device():
+    """Data-parallel magnetized engine (the pic_iead workload) on the
+    8-device mesh: deposits/histograms/ledgers psum'd, the Newton solve
+    replicated on global densities, and the re-activation batch
+    shard-count-INVARIANT (the counter-based sampler offsets its slot ids
+    by the shard's global position, so the sharded draw equals the
+    single-device draw bit-for-bit). Continuous quantities match to f32
+    reduction-order tolerance; discrete wall/reactivation counts may
+    differ by borderline particles."""
+    import dataclasses as dc
+
+    from pypic_tpu.presets import pic_iead
+    from pypic_tpu.parallel import make_mesh, make_data_parallel_step
+    from pypic_tpu.parallel.dataparallel import shard_state
+
+    steps = 30
+    pre = pic_iead(n_per_species=400)  # n = 2400 = 8 * 300
+    _, m1 = run(magnetized.make_step(pre.config), pre.state, steps)
+
+    mesh = make_mesh(8)
+    cfg8 = dc.replace(pre.config, axis_name="particles")
+    st8 = shard_state(pre.state, mesh)
+    step8 = make_data_parallel_step(
+        magnetized.make_step, cfg8, mesh, example_state=pre.state
+    )
+    _, m8 = run(step8, st8, steps)
+
+    # tight agreement while trajectories stay correlated; the adaptive-n0
+    # + absorb/reactivate feedback then amplifies f32 reduction-order
+    # noise (chaotic divergence, not a sharding error)
+    np.testing.assert_allclose(
+        np.asarray(m8.phi_max, np.float64)[:15],
+        np.asarray(m1.phi_max, np.float64)[:15], rtol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(m8.phi_max, np.float64),
+        np.asarray(m1.phi_max, np.float64), rtol=5e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(m8.n0, np.float64), np.asarray(m1.n0, np.float64),
+        rtol=1e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(m8.added, np.float64), np.asarray(m1.added, np.float64),
+        rtol=5e-2, atol=float(np.asarray(m1.added).max()) * 5e-2 + 1e-30,
+    )
+    a1 = np.asarray(m1.n_active)
+    a8 = np.asarray(m8.n_active)
+    assert np.abs(a1.astype(int) - a8.astype(int)).max() <= 4, (a1, a8)
+    # the IEAD histograms accumulate the same impacts (psum'd updates)
+    assert abs(float(np.asarray(m8.n_hit_wall).sum())
+               - float(np.asarray(m1.n_hit_wall).sum())) <= 8
+
+
+def test_magnetized_dp_config_gates():
+    """Unsupported dp combinations fail loudly, not silently."""
+    import dataclasses as dc
+
+    from pypic_tpu.presets import pic_iead
+
+    cfg = pic_iead(n_per_species=8).config
+    with pytest.raises(ValueError, match="capped-source"):
+        dc.replace(cfg, axis_name="particles", reactivate="capped-source",
+                   source_n=10)
+    with pytest.raises(ValueError, match="shard-invariant"):
+        dc.replace(cfg, axis_name="particles", source_sampler="threefry")
+    with pytest.raises(ValueError, match="impact_buffer"):
+        dc.replace(cfg, axis_name="particles", impact_buffer_size=64)
