@@ -117,7 +117,7 @@ class ImplicitConfig:
             raise ValueError(f"unknown picard_init {self.picard_init!r}")
         if self.finalize not in ("converged", "converged-deposit", "iterate"):
             raise ValueError(f"unknown finalize {self.finalize!r}")
-        if self.picard_accel not in ("none", "anderson"):
+        if self.picard_accel not in ("none", "anderson", "anderson2"):
             raise ValueError(f"unknown picard_accel {self.picard_accel!r}")
 
 
@@ -200,21 +200,25 @@ def make_step(cfg: ImplicitConfig):
                             + 3.0 * state.e_prev2)
         return state.e
 
-    anderson = cfg.picard_accel == "anderson"
+    accel = cfg.picard_accel
 
     def _mix(es, eh, k, aux):
-        """Next Picard iterate from the map output eh (Anderson(1) secant
+        """Next Picard iterate from the map output eh (Anderson secant
         mixing when enabled — same fixed point; see ops.accel)."""
-        from ..ops.accel import anderson_mix
+        from ..ops.accel import anderson2_mix, anderson_mix
 
         # fields are replicated under data-parallel sharding, so the inner
         # products need no psum
-        return anderson_mix(es, eh, k, aux) if anderson else (eh, aux)
+        if accel == "anderson":
+            return anderson_mix(es, eh, k, aux)
+        if accel == "anderson2":
+            return anderson2_mix(es, eh, k, aux)
+        return eh, aux
 
     def _mix_init(e0):
         from ..ops.accel import mix_init
 
-        return mix_init(e0, anderson)
+        return mix_init(e0, accel)
 
     def step_fused(state: ImplicitState):
         """Pallas-fused Picard: one particle sweep per inner iteration.

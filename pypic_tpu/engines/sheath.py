@@ -102,7 +102,7 @@ class SheathConfig:
             object.__setattr__(self, f, int(getattr(self, f)))
         if self.picard_init not in ("field", "extrapolate"):
             raise ValueError(f"unknown picard_init {self.picard_init!r}")
-        if self.picard_accel not in ("none", "anderson"):
+        if self.picard_accel not in ("none", "anderson", "anderson2"):
             raise ValueError(f"unknown picard_accel {self.picard_accel!r}")
 
 
@@ -265,12 +265,16 @@ def make_step(cfg: SheathConfig):
             return hist + upd.reshape(2, bins)
 
         # --- Picard loop (PIC_L_DD.py:458-533).
-        from ..ops.accel import anderson_mix, mix_init
+        from ..ops.accel import anderson2_mix, anderson_mix, mix_init
 
-        anderson = cfg.picard_accel == "anderson"
+        accel = cfg.picard_accel
 
         def _mix(es, eh, k, aux):
-            return anderson_mix(es, eh, k, aux) if anderson else (eh, aux)
+            if accel == "anderson":
+                return anderson_mix(es, eh, k, aux)
+            if accel == "anderson2":
+                return anderson2_mix(es, eh, k, aux)
+            return eh, aux
 
         es0 = (
             e0 + 0.5 * (e0 - state.e_prev)
@@ -350,7 +354,7 @@ def make_step(cfg: SheathConfig):
 
             fcarry0 = (
                 es0, p0_b, act0_b, e0, state.exit_hist,
-                mix_init(e0, anderson),
+                mix_init(e0, accel),
                 jnp.asarray(jnp.inf, e0.dtype), jnp.asarray(0, jnp.int32),
             )
             es, ps, act_f, e1, exit_hist, _, r, k = lax.while_loop(
@@ -369,7 +373,7 @@ def make_step(cfg: SheathConfig):
         else:
             carry0 = (
                 es0, p0, (p0, u0), (e0, state.j), active, state.exit_hist,
-                mix_init(e0, anderson),
+                mix_init(e0, accel),
                 jnp.asarray(jnp.inf, e0.dtype), jnp.asarray(0, jnp.int32),
             )
             (_, _, (x1, u1), (e1, j1), active, exit_hist, _, r,

@@ -20,9 +20,17 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def mix_init(e0, enabled: bool):
-    """Initial accelerator carry: (g_prev, f_prev) or () when disabled."""
-    return (jnp.zeros_like(e0), jnp.zeros_like(e0)) if enabled else ()
+def mix_init(e0, mode):
+    """Initial accelerator carry. ``mode``: False/'none' -> (), True /
+    'anderson' -> (g_prev, f_prev), 'anderson2' -> two histories."""
+    if mode in (False, None, "none"):
+        return ()
+    if mode in (True, "anderson"):
+        return (jnp.zeros_like(e0), jnp.zeros_like(e0))
+    if mode == "anderson2":
+        z = jnp.zeros_like(e0)
+        return (z, z, z, z)
+    raise ValueError(f"unknown accelerator mode {mode!r}")
 
 
 def anderson_mix(es, eh, k, aux, psum_axis: str | None = None):
@@ -48,3 +56,49 @@ def anderson_mix(es, eh, k, aux, psum_axis: str | None = None):
     gamma = jnp.where(denom > 0, jnp.clip(gamma, -5.0, 5.0), 0.0)
     es_next = jnp.where(k > 0, eh - gamma * (eh - g_prev), eh)
     return es_next, (eh, f)
+
+
+def anderson2_mix(es, eh, k, aux, psum_axis: str | None = None):
+    """One Anderson(2) update (two-history least squares). Returns
+    (es_next, new_aux) with aux = (g_prev, g_prev2, f_prev, f_prev2).
+
+    Solves the 2x2 normal equations for gamma minimizing
+    ||f_k - [df1 df2] gamma|| with df1 = f_k - f_{k-1},
+    df2 = f_{k-1} - f_{k-2}, then
+    es_next = g_k - g1 (g_k - g_{k-1}) - g2 (g_{k-1} - g_{k-2}).
+    Safeguards mirror anderson_mix: plain fixed-point while histories are
+    filling (k < 2 falls back to the one-history secant at k == 1), a
+    near-singular system falls back to Anderson(1), and the steps clip."""
+    if aux == ():
+        return eh, aux
+    g1p, g2p, f1p, f2p = aux
+    f = eh - es
+    df1 = f - f1p
+    df2 = f1p - f2p
+
+    def _sum(x):
+        s = jnp.sum(x)
+        return lax.psum(s, psum_axis) if psum_axis else s
+
+    a11 = _sum(df1 * df1)
+    a12 = _sum(df1 * df2)
+    a22 = _sum(df2 * df2)
+    b1 = _sum(df1 * f)
+    b2 = _sum(df2 * f)
+    det = a11 * a22 - a12 * a12
+    # conditioning guard: treat the system as singular when det is tiny
+    # relative to the diagonal product (collinear histories)
+    ok2 = det > 1e-8 * jnp.maximum(a11 * a22, 1e-30)
+    inv_det = 1.0 / jnp.where(ok2, det, 1.0)
+    c1 = jnp.clip(jnp.where(ok2, (a22 * b1 - a12 * b2) * inv_det, 0.0),
+                  -5.0, 5.0)
+    c2 = jnp.clip(jnp.where(ok2, (a11 * b2 - a12 * b1) * inv_det, 0.0),
+                  -5.0, 5.0)
+    # Anderson(1) fallback for k == 1 or a singular 2-history system
+    g1_only = _sum(df1 * f) / jnp.where(a11 > 0, a11, 1.0)
+    g1_only = jnp.where(a11 > 0, jnp.clip(g1_only, -5.0, 5.0), 0.0)
+    es_a1 = eh - g1_only * (eh - g1p)
+    es_a2 = eh - c1 * (eh - g1p) - c2 * (g1p - g2p)
+    es_next = jnp.where(k >= 2, jnp.where(ok2, es_a2, es_a1),
+                        jnp.where(k == 1, es_a1, eh))
+    return es_next, (eh, g1p, f, f1p)

@@ -94,7 +94,7 @@ class DomainSheathConfig:
             )
         if self.picard_init not in ("field", "extrapolate"):
             raise ValueError(f"unknown picard_init {self.picard_init!r}")
-        if self.picard_accel not in ("none", "anderson"):
+        if self.picard_accel not in ("none", "anderson", "anderson2"):
             raise ValueError(f"unknown picard_accel {self.picard_accel!r}")
 
     @property
@@ -289,14 +289,17 @@ def make_step(cfg: DomainSheathConfig, mesh: Mesh):
         right_wall = cells - lo  # local coordinate of the right wall
         left_wall = 0.0 - lo
 
-        from ..ops.accel import anderson_mix, mix_init
+        from ..ops.accel import anderson2_mix, anderson_mix, mix_init
 
-        anderson = cfg.picard_accel == "anderson"
+        accel = cfg.picard_accel
 
         def _mix(es, eh, k, aux):
             # fields are slab-sharded: the secant inner products psum
-            return (anderson_mix(es, eh, k, aux, psum_axis=ax)
-                    if anderson else (eh, aux))
+            if accel == "anderson":
+                return anderson_mix(es, eh, k, aux, psum_axis=ax)
+            if accel == "anderson2":
+                return anderson2_mix(es, eh, k, aux, psum_axis=ax)
+            return eh, aux
 
         es0 = (
             e0 + 0.5 * (e0 - state.e_prev)
@@ -363,7 +366,7 @@ def make_step(cfg: DomainSheathConfig, mesh: Mesh):
         hist0 = jnp.zeros_like(state.exit_hist)
         carry0 = (
             es0, p0l, (p0l, u0), (e0, state.j), active, hist0,
-            mix_init(e0, anderson),
+            mix_init(e0, accel),
             jnp.asarray(jnp.inf, e0.dtype), jnp.asarray(0, jnp.int32),
         )
         _, _, (x1, u1), (e1, j1), active, hist_d, _, r, k = lax.while_loop(

@@ -299,13 +299,15 @@ def test_picard_quadratic_init_and_anderson_same_fixed_point():
         "base": dict(picard_init="extrapolate"),
         "quad": dict(picard_init="extrapolate2"),
         "anderson": dict(picard_init="extrapolate", picard_accel="anderson"),
+        "anderson2": dict(picard_init="extrapolate",
+                          picard_accel="anderson2"),
     }.items():
         cfg = implicit.ImplicitConfig(grid, dt, params.p2c, tol=1e-10,
                                       maxiter=50, **kw)
         st = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
         runs[label] = run(implicit.make_step(cfg), st, 200)[1]
     ee_b = np.asarray(runs["base"].field_energy, np.float64)
-    for label in ("quad", "anderson"):
+    for label in ("quad", "anderson", "anderson2"):
         ee = np.asarray(runs[label].field_energy, np.float64)
         np.testing.assert_allclose(ee, ee_b, rtol=2e-3)
         it = np.asarray(runs[label].picard_iters, np.float64)
