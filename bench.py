@@ -341,7 +341,7 @@ def main():
                          "~5x the energy drift on the violent headline "
                          "workload)")
     ap.add_argument("--picard-accel", default="none",
-                    choices=("none", "anderson"),
+                    choices=("none", "anderson", "anderson2"),
                     help="Picard iterate mixing (see ImplicitConfig)")
     args = ap.parse_args()
     global _PICARD_INIT, _FINALIZE, _ACCEL

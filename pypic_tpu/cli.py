@@ -37,7 +37,12 @@ def _cmd_run(args):
     from . import checkpoint, diagnostics, presets, viz
     from .runner import run, run_thinned
 
-    preset = presets.get(args.preset, **({"n": args.particles} if args.particles else {}))
+    pkw = {}
+    if args.particles:
+        pkw["n"] = args.particles
+    if getattr(args, "shards", None):
+        pkw["shards"] = args.shards
+    preset = presets.get(args.preset, **pkw)
     outdir = args.outdir
     if os.path.isdir(outdir) and args.clean:
         shutil.rmtree(outdir)
@@ -63,6 +68,26 @@ def _cmd_run(args):
                 state = _explicit.refresh_fields(state, preset.config)
                 print("refreshed carried rho/e from restored positions",
                       file=sys.stderr)
+            # implicit/sheath states gained e_prev/e_prev2 (the extrapolated
+            # Picard-init history); a pre-history checkpoint restores those
+            # from the template's step-0 fields, perturbing the first steps'
+            # Picard starting guess — seed them from the restored e instead
+            # (equivalent to picard_init='field' on the first resumed step)
+            leaf_paths = manifest.get("leaf_paths", [])
+            refresh = {}
+            for name in ("e_prev", "e_prev2"):
+                if (hasattr(state, name) and hasattr(state, "e")
+                        and f".{name}" not in leaf_paths):
+                    refresh[name] = state.e
+            if refresh:
+                state = state.replace(**refresh)
+                print(f"seeded {sorted(refresh)} from the restored field "
+                      "(pre-history checkpoint)", file=sys.stderr)
+            # sharded presets (domain_implicit) restore to host arrays;
+            # re-place them on the device mesh before stepping
+            reshard = preset.meta.get("reshard")
+            if reshard is not None:
+                state = reshard(state)
 
     def _run_span(state, steps, thin):
         if thin:
@@ -212,7 +237,12 @@ def _cmd_run(args):
     # summary plot for the periodic engines
     if args.plot and hasattr(final, "v") and np.asarray(final.v).ndim == 1:
         params = preset.meta.get("params")
-        vth = np.sqrt(np.asarray(final.v).var()) + 1e-300
+        xp = np.asarray(final.p)
+        vp = np.asarray(final.v)
+        if hasattr(final, "alive"):  # domain states: drop dead slots
+            keep = np.asarray(final.alive)
+            xp, vp = xp[keep], vp[keep]
+        vth = np.sqrt(vp.var()) + 1e-300
         # scalar metrics are full-cadence even under --plot-every thinning
         # (run_thinned thins only heavy array rows)
         times = np.arange(len(np.asarray(mdict["field_energy"]))) * (
@@ -220,8 +250,8 @@ def _cmd_run(args):
         )
         viz.summary_figure(
             os.path.join(outdir, "summary.png"),
-            np.asarray(final.p) * preset.config.grid.dx,
-            np.asarray(final.v), vth,
+            xp * preset.config.grid.dx,
+            vp, vth,
             mdict["field_energy"], times,
             params.wp if params else 1.0,
             params.growth_rate if params else None,
@@ -243,6 +273,9 @@ def main(argv=None):
     rp.add_argument("preset")
     rp.add_argument("--steps", type=int, default=100)
     rp.add_argument("--particles", type=int, default=None)
+    rp.add_argument("--shards", type=int, default=None,
+                    help="device-mesh shards for the domain-decomposed "
+                         "presets (default: all visible devices)")
     rp.add_argument("--outdir", default="plots")
     rp.add_argument("--plot-every", type=int, default=0,
                     help="thin metrics to every k steps (reference nplot)")

@@ -50,6 +50,27 @@ class BCAStats:
         )
 
 
+@jax.jit
+def _pack(ms):
+    # one flat device array -> ONE host transfer per block instead of
+    # ~15 leaf fetches at ~45 ms tunnel latency each (all metric values
+    # are f32-exact: counts < 2^24, data already f32)
+    return jnp.concatenate(
+        [jnp.ravel(l).astype(jnp.float32) for l in jax.tree.leaves(ms)]
+    )
+
+
+def _fetch(ms):
+    leaves, treedef = jax.tree.flatten(ms)
+    flat = np.asarray(_pack(ms))
+    out, o = [], 0
+    for l in leaves:
+        n_ = int(np.prod(l.shape)) if l.shape else 1
+        out.append(flat[o:o + n_].reshape(l.shape).astype(l.dtype))
+        o += n_
+    return jax.tree.unflatten(treedef, out)
+
+
 def run_bca(
     state: magnetized.MagnetizedState,
     cfg: magnetized.MagnetizedConfig,
@@ -96,25 +117,6 @@ def run_bca(
         product_p2c = float(np.asarray(state.p2c)[0])
     z_to_idx: Dict[int, int] = {z: i for i, z in enumerate(cfg.species_z)}
     metrics_hist = []
-
-    @jax.jit
-    def _pack(ms):
-        # one flat device array -> ONE host transfer per block instead of
-        # ~15 leaf fetches at ~45 ms tunnel latency each (all metric values
-        # are f32-exact: counts < 2^24, data already f32)
-        return jnp.concatenate(
-            [jnp.ravel(l).astype(jnp.float32) for l in jax.tree.leaves(ms)]
-        )
-
-    def _fetch(ms):
-        leaves, treedef = jax.tree.flatten(ms)
-        flat = np.asarray(_pack(ms))
-        out, o = [], 0
-        for l in leaves:
-            n_ = int(np.prod(l.shape)) if l.shape else 1
-            out.append(flat[o:o + n_].reshape(l.shape).astype(l.dtype))
-            o += n_
-        return jax.tree.unflatten(treedef, out)
 
     done = 0
     while done < steps:
@@ -228,3 +230,176 @@ def run_bca(
 
 def cfg_species_name(cfg, idx):
     return f"Z={cfg.species_z[idx]}"
+
+
+def run_bca_from_iead(
+    state: magnetized.MagnetizedState,
+    cfg: magnetized.MagnetizedConfig,
+    steps: int,
+    bca_source_wall: bca_mod.BCAInterface,
+    bca_wall_wall: bca_mod.BCAInterface,
+    *,
+    source_species_idx: int = 0,
+    wall_species_idx: int = 1,
+    product_p2c: Optional[float] = None,
+    num_histories: int = 100,
+    checkpoint_manager: Optional[ckpt_mod.CheckpointManager] = None,
+    seed: int = 0,
+    log_every: int = 0,
+    pic_steps_per_bca: int = 1,
+    step_fn=None,
+    reshard=None,
+):
+    """Hybrid loop on the HISTOGRAM channel — the mesh-capable form of
+    ``run_bca``.
+
+    Instead of per-impact (E, theta) rows (cfg.impact_buffer_size, a
+    host-hybrid seam gated off under data-parallel sharding), each block
+    feeds the *increment* of the in-state per-species IEAD histograms
+    through ``run_from_iead`` (the reference's own histogram channel,
+    ``run_tridyn_simulations_from_iead``, pygcpic.py:1299-1300) and injects
+    the sputtered/reflected products into free slots. The IEADs are psum'd
+    and replicated under dp (engines.magnetized._iead_accumulate), so the
+    surface coupling sees the GLOBAL wall flux on every mesh layout —
+    single-device and 8-way data-parallel runs drive identical BCA inputs
+    (equivalence-tested on the virtual mesh).
+
+    Differences vs the list channel (both inherited from the reference's
+    histogram path): impacts are reconstructed at bin centers, and impacts
+    outside the histogram range [0, iead_energy_max] x [0, iead_angle_max]
+    are not seen by the surface model (np.histogram2d range semantics,
+    pygcpic.py:1259).
+
+    Args:
+        step_fn: optional prebuilt step (e.g. the shard_mapped dp step from
+            parallel.make_data_parallel_step); defaults to the single-device
+            ``magnetized.make_step(cfg)``.
+        reshard: optional callable state -> state re-placing the injected
+            state on the mesh (e.g. ``lambda s: dataparallel.shard_state(s,
+            mesh)``); the jitted injector's output sharding need not match
+            the shard_map step's expectation otherwise.
+
+    Returns:
+        (final_state, BCAStats, metrics_list) like ``run_bca``.
+    """
+    if cfg.iead_energy_max <= 0.0:
+        raise ValueError(
+            "cfg.iead_energy_max must be > 0 (IEAD accumulation drives the "
+            "histogram channel)"
+        )
+    if pic_steps_per_bca < 1:
+        raise ValueError("pic_steps_per_bca must be >= 1")
+    from ..runner import run as run_scan
+
+    step_raw = magnetized.make_step(cfg) if step_fn is None else step_fn
+    inject = magnetized.make_inject(cfg)
+    rng = np.random.default_rng(seed)
+    stats = BCAStats()
+    if product_p2c is None:
+        product_p2c = float(np.asarray(state.p2c)[0])
+    z_to_idx: Dict[int, int] = {z: i for i, z in enumerate(cfg.species_z)}
+    metrics_hist = []
+
+    ne, na = cfg.iead_bins
+    e_edges = np.linspace(0.0, cfg.iead_energy_max, ne + 1)
+    a_edges = np.linspace(0.0, cfg.iead_angle_max, na + 1)
+    # histograms processed so far (the state accumulates over the whole run)
+    seen = np.asarray(state.iead, np.float64).copy()
+
+    done = 0
+    while done < steps:
+        k_steps = min(pic_steps_per_bca, steps - done)
+        state, ms = run_scan(step_raw, state, k_steps)
+        ms = _fetch(ms)  # leaves stacked (k_steps, ...), host numpy
+        it = done + k_steps - 1
+        done += k_steps
+        metrics = jax.tree.map(lambda a: a[-1], ms)
+        metrics_hist.extend(
+            jax.tree.map(lambda a, i=i: a[i], ms) for i in range(k_steps)
+        )
+        total = np.asarray(state.iead, np.float64)
+        delta = np.maximum(total - seen, 0.0)
+        seen = total
+
+        new_rows = []
+        new_sides = []
+        for name, sp_idx, iface in (
+            ("source", source_species_idx, bca_source_wall),
+            ("wall", wall_species_idx, bca_wall_wall),
+        ):
+            d = delta[sp_idx]
+            n_inc = int(round(d.sum()))
+            if name == "source":
+                stats.source_incident += n_inc
+            else:
+                stats.wall_incident += n_inc
+            if n_inc == 0:
+                continue
+            sput, refl = iface.run_from_iead(
+                e_edges, a_edges, d, num_histories=num_histories
+            )
+            stats.sputtered += len(sput)
+            if name == "wall":
+                stats.self_sputtered += len(sput)
+                stats.wall_reflected += len(refl)
+            else:
+                stats.source_sputtered += len(sput)
+                stats.source_reflected += len(refl)
+            for rows in (sput, refl):
+                if len(rows):
+                    new_rows.append(np.asarray(rows))
+                    new_sides.append(
+                        rng.integers(0, 2, len(rows)).astype(np.float64)
+                    )
+
+        if new_rows:
+            rows = np.concatenate(new_rows)
+            sides = np.concatenate(new_sides)
+            batch = bca_mod.particles_from_energy_angle(
+                rows, sides, cfg.dt, cfg.grid.length, product_p2c, rng
+            )
+            k = len(batch["x"])
+            sp_idx_arr = np.asarray(
+                [z_to_idx.get(int(z), wall_species_idx) for z in batch["z"]],
+                np.int32,
+            )
+            t_now = np.full(k, (it + 1) * cfg.dt, np.float32)
+            bucket = max(8, 1 << (k - 1).bit_length())
+            pad = bucket - k
+
+            def padded(a, dt_):
+                a = np.asarray(a, dt_)
+                return np.concatenate(
+                    [a, np.zeros((pad,) + a.shape[1:], dt_)]
+                )
+
+            state, n_inj, n_drop = inject(
+                state,
+                padded(batch["x"], np.float32),
+                padded(batch["yz"], np.float32),
+                padded(batch["v"], np.float32),
+                padded(batch["m"], np.float32),
+                padded(batch["charge_state"], np.float32),
+                padded(batch["p2c"], np.float32),
+                padded(sp_idx_arr, np.int32),
+                padded(t_now, np.float32),
+                np.concatenate([np.ones(k, bool), np.zeros(pad, bool)]),
+            )
+            n_inj, n_drop = np.asarray(jnp.stack([n_inj, n_drop]))
+            stats.injected += int(n_inj)
+            stats.dropped += int(n_drop)
+            if reshard is not None:
+                state = reshard(state)
+
+        if checkpoint_manager is not None:
+            checkpoint_manager.maybe_save(state, done)
+
+        if log_every and (it % log_every < k_steps):
+            print(
+                f"step {it}: active {int(metrics.n_active)}, "
+                f"yield {stats.total_yield():.3f}, "
+                f"{cfg_species_name(cfg, source_species_idx)} reflection "
+                f"{stats.source_reflection():.3f}"
+            )
+
+    return state, stats, metrics_hist

@@ -127,7 +127,11 @@ class ImplicitState(struct.PyTreeNode):
     q: jax.Array  # () or (n,) charge [C]
     m: jax.Array  # () or (n,) mass [kg]
     e: jax.Array  # (ng,) electric field [V/m]
-    j: jax.Array  # (ng,) current density [A/m^2]
+    # (ng,) current density [A/m^2]. Semantics depend on cfg.finalize: under
+    # the default 'converged' (and 'iterate') this is the HALF-step current
+    # jh that drove the Ampere advance (pypic.py:283); only
+    # 'converged-deposit' stores the reference's full-step j1.
+    j: jax.Array
     e_prev: jax.Array  # (ng,) previous-step field (picard_init='extrapolate')
     e_prev2: jax.Array  # (ng,) field two steps back (picard_init='extrapolate2')
     step: jax.Array  # () int32

@@ -88,11 +88,13 @@ class MagnetizedConfig:
     # fixed-shape equivalent of pic_bca_aps's reactivate-or-delete logic
     # (pygcpic.py:1543-1563)
     source_n: int = 0
-    # RNG for the full-capacity re-activation batch ('source'/'capped-source'
-    # policies): 'hash' = counter-based mixer + Box-Muller
-    # (sources.sample_source_6d_hash — identical distribution, ~0.8 ms/step
-    # cheaper at 1e6 capacity on v5e); 'threefry' = jax.random. The 'flux'
-    # policy always uses threefry (categorical table draw).
+    # RNG for the full-capacity re-activation batch (all policies):
+    # 'hash' = counter-based mixer + Box-Muller / inverse-CDF
+    # (sources.sample_source_6d_hash / sample_flux_6d_hash — identical
+    # distributions, ~0.1 ms/step cheaper at 1e6 capacity on v5e, and the
+    # only sampler whose draws are shard-count-invariant under
+    # data-parallel sharding); 'threefry' = jax.random streams
+    # (sample_source_6d / sample_flux_6d).
     source_sampler: str = "hash"
     flux_limit: int = 0  # max re-activations/step on the 'flux' policy
     flux_gamma: float = 0.0  # perturbed-beam fraction (pygcpic.py:2008)
@@ -116,6 +118,27 @@ class MagnetizedConfig:
     # deposit (rho + n share a tent build) and one bounded gather + Boris
     # push — instead of four XLA passes; 'auto' = fused on TPU at scale.
     backend: str = "auto"
+    # Hot-loop pusher: 'boris' (pygcpic.py:460-507 — what every reference
+    # driver integrates with) or 'gc' — guiding-center RK4
+    # (pygcpic.py:598-645) with per-particle mode as the reference's
+    # Particle.mode (pygcpic.py:101): charged particles carry their guiding
+    # center in (p, yz) and [v_par, mu, 0] in v (the reference's r-vector
+    # packing, pygcpic.py:547-549); neutrals (BCA products) stay 6D-Boris
+    # until ionization transforms them to GC. The reference defines this
+    # machinery but no driver ever branches on mode or calls push_GC —
+    # this engine mode is the missing consumer (BASELINE configs[3]
+    # "guiding-center magnetized PIC"). 6D<->GC transforms run at the
+    # boundaries: initialization, re-activation, ionization, and wall
+    # impact (a random gyro-phase reconstructs the 6D velocity for
+    # IEAD/impact diagnostics, pygcpic.py:553-596).
+    pusher: str = "boris"
+    # GC parallel acceleration: 'physical' = (q/m) E.bhat; 'reference' =
+    # the literal pygcpic.py:638-639 expression (dimensionally
+    # inconsistent — see push.gc_push_rk4). The engine defaults to
+    # 'physical' because no reference driver integrates GC dynamics, so
+    # there is no reference trajectory to reproduce; the op keeps the
+    # quirk for doctest-level parity.
+    gc_eom: str = "physical"
     # The reference's eta = exp(phi/Te/11600) divides by Te *in Kelvin* and
     # then by 11600 again (pygcpic.py:890, 895), i.e. eta ~ 1 everywhere —
     # and that near-unity eta is precisely what keeps its adaptive-n0
@@ -129,12 +152,17 @@ class MagnetizedConfig:
     # magnetized_data_parallel helper below): deposits / histograms /
     # particle ledgers are psum-reduced, the Newton solve runs replicated
     # on the globally-summed densities, and re-activation draws are
-    # shard-count-INVARIANT — the counter-based source sampler offsets its
+    # shard-count-INVARIANT — the counter-based samplers offset their
     # slot ids by the shard's global position, so an 8-way sharded run
-    # reproduces the single-device batch bit-for-bit. Restrictions (clear
-    # errors, not silent): reactivate in ('none', 'source'),
-    # source_sampler='hash', impact_buffer_size=0 (the BCA impact buffer
-    # is a host-hybrid seam; shard-local buffers would need gathering).
+    # reproduces the single-device batch bit-for-bit, and the capped
+    # policies ('capped-source'/'flux') allocate their GLOBAL caps by
+    # global slot rank (exclusive prefix of per-shard inactive counts
+    # over the axis + local rank — identical to the single-device slot
+    # order under contiguous block sharding). Restrictions (clear errors,
+    # not silent): source_sampler='hash' whenever reactivate != 'none',
+    # impact_buffer_size=0 (the BCA impact buffer is a host-hybrid seam;
+    # route surface coupling through the psum'd IEAD channel instead —
+    # see engines.bca_driver.run_bca_iead).
     axis_name: Optional[str] = None
 
     def __post_init__(self):
@@ -145,14 +173,14 @@ class MagnetizedConfig:
         object.__setattr__(self, "species_z", tuple(int(z) for z in self.species_z))
         if self.source_sampler not in ("hash", "threefry"):
             raise ValueError(f"unknown source_sampler {self.source_sampler!r}")
+        if self.pusher not in ("boris", "gc"):
+            raise ValueError(f"unknown pusher {self.pusher!r}")
+        if self.gc_eom not in ("physical", "reference"):
+            raise ValueError(f"unknown gc_eom {self.gc_eom!r}")
+        if self.pusher == "gc" and not any(v != 0.0 for v in self.b):
+            raise ValueError("pusher='gc' requires a nonzero magnetic field")
         if self.axis_name is not None:
-            if self.reactivate not in ("none", "source"):
-                raise ValueError(
-                    "data-parallel magnetized supports reactivate in "
-                    "('none', 'source') — 'capped-source'/'flux' caps are "
-                    "global counts needing cross-shard allocation"
-                )
-            if self.reactivate == "source" and self.source_sampler != "hash":
+            if self.reactivate != "none" and self.source_sampler != "hash":
                 raise ValueError(
                     "data-parallel re-activation needs source_sampler="
                     "'hash' (slot-offset counters give shard-invariant "
@@ -167,9 +195,14 @@ class MagnetizedConfig:
 
 
 class MagnetizedState(struct.PyTreeNode):
+    # Coordinate meaning per particle follows ``mode`` (the reference's
+    # Particle.mode, pygcpic.py:101): mode 0 — (p, yz) is the particle
+    # position, v the 6D velocity; mode 1 (cfg.pusher='gc') — (p, yz) is
+    # the GUIDING CENTER and v packs [v_par, mu, 0] (the reference's
+    # r-vector layout in GC coordinates, pygcpic.py:547-549).
     p: jax.Array  # (n,) x in grid coordinates
     yz: jax.Array  # (n, 2) lateral positions [m]
-    v: jax.Array  # (n, 3) velocities [m/s]
+    v: jax.Array  # (n, 3) velocities [m/s] (mode 1: [v_par, mu, 0])
     m: jax.Array  # (n,) mass [kg]
     charge_state: jax.Array  # (n,) charge number (float)
     p2c: jax.Array  # (n,)
@@ -178,6 +211,7 @@ class MagnetizedState(struct.PyTreeNode):
     active: jax.Array  # (n,) int32 {1, 0}
     at_wall: jax.Array  # (n,) int32
     from_wall: jax.Array  # (n,) int32 (BCA products)
+    mode: jax.Array  # (n,) int32 {0: 6D, 1: guiding-center} (pygcpic.py:101)
     phi: jax.Array  # (ng,) potential [V]
     n0: jax.Array  # () Boltzmann electron reference density
     p_old: jax.Array  # () previous trapz(exp(phi/Te)) (pygcpic.py:891)
@@ -205,6 +239,41 @@ class StepMetrics(NamedTuple):
     impacts: jax.Array
     n_impacts: jax.Array
     n_escaped: jax.Array  # BCA products deactivated mid-domain
+
+
+def _gc_pack(p, yz, v, charge_state, m, cfg: MagnetizedConfig):
+    """6D (p grid-coords, yz [m], v 3-vel) -> GC packing (guiding center in
+    (p, yz), [v_par, mu, 0] in v) — pygcpic.py:509-551 vectorized. Rows with
+    charge_state == 0 would divide by wc = 0; callers select with a mask, so
+    a safe charge floor keeps the unselected lanes finite."""
+    from ..push import to_guiding_center
+
+    dx = cfg.grid.dx
+    pos = jnp.stack([p * dx, yz[:, 0], yz[:, 1]], axis=-1)
+    cs_safe = jnp.where(charge_state != 0, charge_state,
+                        jnp.ones_like(charge_state))
+    x_gc, vpar, mu = to_guiding_center(
+        pos, v, jnp.asarray(cfg.b, v.dtype), cs_safe, m,
+        perp_floor=1e-30,
+    )
+    v_gc = jnp.stack([vpar, mu, jnp.zeros_like(vpar)], axis=-1)
+    return x_gc[:, 0] / dx, x_gc[:, 1:3], v_gc
+
+
+def _gc_unpack_v(key, p, yz, v_packed, charge_state, m, cfg: MagnetizedConfig):
+    """GC packing -> 6D velocity with a random gyro-phase
+    (pygcpic.py:553-596) for wall-impact / IEAD diagnostics."""
+    from ..push import from_guiding_center
+
+    dx = cfg.grid.dx
+    pos = jnp.stack([p * dx, yz[:, 0], yz[:, 1]], axis=-1)
+    cs_safe = jnp.where(charge_state != 0, charge_state,
+                        jnp.ones_like(charge_state))
+    _, v6 = from_guiding_center(
+        key, pos, v_packed[:, 0], v_packed[:, 1],
+        jnp.asarray(cfg.b, v_packed.dtype), cs_safe, m,
+    )
+    return v6
 
 
 def init_state(
@@ -245,7 +314,7 @@ def init_state(
     ne, na = cfg.iead_bins
     s = len(cfg.species_z)
     n = cap
-    return MagnetizedState(
+    state = MagnetizedState(
         p=p,
         yz=jnp.zeros((n, 2), dtype) if yz is None else jnp.asarray(yz, dtype),
         v=jnp.asarray(v3, dtype),
@@ -257,6 +326,7 @@ def init_state(
         active=jnp.asarray(active0),
         at_wall=jnp.zeros((n,), jnp.int32),
         from_wall=jnp.zeros((n,), jnp.int32),
+        mode=jnp.zeros((n,), jnp.int32),
         phi=jnp.zeros((grid.ng,), dtype),
         n0=jnp.asarray(0.0, dtype),
         p_old=jnp.asarray(0.0, dtype),
@@ -266,6 +336,20 @@ def init_state(
         iead_out=jnp.zeros((s, ne, na), dtype),
         step=jnp.asarray(0, jnp.int32),
     )
+    if cfg.pusher == "gc":
+        # charged active particles integrate as guiding centers; neutrals
+        # (and free slots) stay 6D until ionization promotes them
+        is_gc = (state.active == 1) & (state.charge_state != 0)
+        p_g, yz_g, v_g = _gc_pack(
+            state.p, state.yz, state.v, state.charge_state, state.m, cfg
+        )
+        state = state.replace(
+            p=jnp.where(is_gc, p_g, state.p),
+            yz=jnp.where(is_gc[:, None], yz_g, state.yz),
+            v=jnp.where(is_gc[:, None], v_g, state.v),
+            mode=is_gc.astype(jnp.int32),
+        )
+    return state
 
 
 def make_inject(cfg: MagnetizedConfig):
@@ -308,6 +392,9 @@ def make_inject(cfg: MagnetizedConfig):
             active=jnp.where(take, 1, state.active),
             at_wall=jnp.where(take, 0, state.at_wall),
             from_wall=jnp.where(take, 1, state.from_wall),
+            # BCA products are neutral 6D particles regardless of the
+            # engine pusher (mode 1 requires charge; ionization promotes)
+            mode=jnp.where(take, 0, state.mode),
         )
         return new_state, n_injected, n_new - n_injected
 
@@ -385,6 +472,9 @@ def make_step(cfg: MagnetizedConfig):
         return iead + _allreduce(upd.reshape(iead.shape))
 
     def _use_fused(n):
+        if cfg.pusher == "gc":
+            # the GC path mixes per-particle RK4/Boris by mode — op-composed
+            return False
         if cfg.backend == "fused":
             return True
         if cfg.backend == "composed":
@@ -401,13 +491,14 @@ def make_step(cfg: MagnetizedConfig):
         return lax.psum(x, ax) if ax else x
 
     def step(state: MagnetizedState):
-        key, k_ion, k_src = jax.random.split(state.rng, 3)
+        key, k_ion, k_src, k_gyro = jax.random.split(state.rng, 4)
         if ax:
             # per-shard ionization stream (the replicated key would draw
             # identical randoms on every shard); k_src stays replicated —
             # the source sampler's slot offsets make its draws
             # shard-count-invariant instead.
             k_ion = jax.random.fold_in(k_ion, lax.axis_index(ax))
+            k_gyro = jax.random.fold_in(k_gyro, lax.axis_index(ax))
         fused = _use_fused(state.p.shape[0])
         is_active = state.active == 1
         w_rho = jnp.where(
@@ -446,8 +537,49 @@ def make_step(cfg: MagnetizedConfig):
         phi = res.phi
         e_field = grad_neg_bounded(phi, dx)
 
-        # gather + Boris push (active only; inactive hold their state)
-        if fused:
+        # gather + push (active only; inactive hold their state)
+        is_gc = is_active & (state.mode == 1)
+        if cfg.pusher == "gc":
+            from ..push import gc_push_rk4
+
+            e_p = jnp.where(
+                is_active, gather(e_field, state.p, periodic=False), 0.0
+            )
+            x_si = state.p * dx
+            # 6D Boris for neutral / not-yet-promoted particles
+            x1_b, yz1_b, v1_b = boris_push_dt(
+                x_si, state.yz, state.v, e_p, b, state.charge_state,
+                state.m, dt,
+            )
+            # GC RK4 for mode-1 particles: v packs [v_par, mu, 0]
+            pos3 = jnp.stack([x_si, state.yz[:, 0], state.yz[:, 1]], axis=-1)
+            zeros = jnp.zeros_like(e_p)
+            e3 = jnp.stack([e_p, zeros, zeros], axis=-1)
+            cs_safe = jnp.where(is_gc, state.charge_state,
+                                jnp.ones_like(state.charge_state))
+            vpar_safe = jnp.where(state.v[:, 0] != 0.0, state.v[:, 0],
+                                  jnp.ones_like(state.v[:, 0])) \
+                if cfg.gc_eom == "reference" else state.v[:, 0]
+            x1_g3, vpar1, _ = gc_push_rk4(
+                pos3, vpar_safe, state.v[:, 1], e3, b, cs_safe, state.m,
+                dt, eom_form=cfg.gc_eom,
+            )
+            v_gc1 = jnp.stack(
+                [vpar1, state.v[:, 1], jnp.zeros_like(vpar1)], axis=-1
+            )
+            p1 = jnp.where(
+                is_gc, x1_g3[:, 0] / dx,
+                jnp.where(is_active, x1_b / dx, state.p),
+            )
+            yz1 = jnp.where(
+                is_gc[:, None], x1_g3[:, 1:3],
+                jnp.where(is_active[:, None], yz1_b, state.yz),
+            )
+            v1 = jnp.where(
+                is_gc[:, None], v_gc1,
+                jnp.where(is_active[:, None], v1_b, state.v),
+            )
+        elif fused:
             from ..ops.pallas_cic import boris_gather_push_pallas
 
             const = (0.5 * dt * E_CHARGE) * state.charge_state / state.m
@@ -479,7 +611,15 @@ def make_step(cfg: MagnetizedConfig):
         hit = is_active & ((p1 < 0.0) | (p1 > cells))
         active = jnp.where(hit, 0, state.active)
         at_wall = jnp.where(hit, 1, state.at_wall)
-        state_after_push = state.replace(v=v1)
+        if cfg.pusher == "gc":
+            # IEAD / impact diagnostics need the physical 6D velocity:
+            # reconstruct with a random gyro-phase (pygcpic.py:553-596)
+            v6 = _gc_unpack_v(k_gyro, p1, yz1, v1, state.charge_state,
+                              state.m, cfg)
+            v_diag = jnp.where(is_gc[:, None], v6, v1)
+        else:
+            v_diag = v1
+        state_after_push = state.replace(v=v_diag)
 
         iead = state.iead
         if cfg.iead_energy_max > 0.0:
@@ -491,9 +631,10 @@ def make_step(cfg: MagnetizedConfig):
         if cap > 0:
             from ..utils import pack_rows
 
-            energy_ev = 0.5 * state.m * jnp.sum(v1 * v1, axis=-1) / E_CHARGE
-            vyz = jnp.sqrt(v1[:, 1] ** 2 + v1[:, 2] ** 2)
-            angle = jnp.arctan2(vyz, jnp.abs(v1[:, 0])) * (180.0 / jnp.pi)
+            energy_ev = (0.5 * state.m * jnp.sum(v_diag * v_diag, axis=-1)
+                         / E_CHARGE)
+            vyz = jnp.sqrt(v_diag[:, 1] ** 2 + v_diag[:, 2] ** 2)
+            angle = jnp.arctan2(vyz, jnp.abs(v_diag[:, 0])) * (180.0 / jnp.pi)
             side = (p1 > cells).astype(energy_ev.dtype)
             rows = jnp.stack(
                 [energy_ev, angle, state.species_idx.astype(energy_ev.dtype),
@@ -525,6 +666,7 @@ def make_step(cfg: MagnetizedConfig):
         # MCC ionization (pygcpic.py:1510-1513)
         n_ionized = jnp.asarray(0, jnp.int32)
         charge_state = state.charge_state
+        mode = state.mode
         if cfg.ionization:
             still_active = active == 1
             n_local = jnp.where(
@@ -539,6 +681,17 @@ def make_step(cfg: MagnetizedConfig):
             )
             added = added + added_ion
             n_ionized = jnp.sum(ionized.astype(jnp.int32))
+            if cfg.pusher == "gc":
+                # a neutral that just gained charge becomes magnetized:
+                # promote it to GC coordinates (6D -> GC at its current
+                # position/velocity)
+                promote = ionized & (mode == 0)
+                p_g, yz_g, v_g = _gc_pack(p1, yz1, v1, charge_state,
+                                          state.m, cfg)
+                p1 = jnp.where(promote, p_g, p1)
+                yz1 = jnp.where(promote[:, None], yz_g, yz1)
+                v1 = jnp.where(promote[:, None], v_g, v1)
+                mode = jnp.where(promote, 1, mode)
 
         # Re-activation (pygcpic.py:691-720; policies per driver)
         n_react = jnp.asarray(0, jnp.int32)
@@ -551,9 +704,25 @@ def make_step(cfg: MagnetizedConfig):
 
             k_batch = state.p.shape[0]
             rank = compact_rows(inactive)
+            if ax and cfg.reactivate in ("capped-source", "flux"):
+                # Global-rank allocation of the cap across shards: shard r's
+                # inactive slots rank after every inactive slot of shards
+                # 0..r-1 (exclusive prefix of the per-shard counts over the
+                # axis). shard_map splits the particle arrays into contiguous
+                # blocks, so this global order IS the single-device slot
+                # order — the globally-capped take set matches the
+                # single-device run exactly (equivalence-tested).
+                n_inact = jnp.sum(inactive.astype(jnp.int32))
+                counts = lax.all_gather(n_inact, ax)
+                before = jnp.sum(jnp.where(
+                    jnp.arange(counts.shape[0]) < lax.axis_index(ax),
+                    counts, 0,
+                ))
+                rank = rank + before
             src_kw = {}
             if cfg.source_sampler == "hash":
                 sample_source = sources.sample_source_6d_hash
+                sample_flux = sources.sample_flux_6d_hash
                 if ax:
                     # global slot ids: shard r draws the same values the
                     # single-device run draws for its slots — the sharded
@@ -561,6 +730,7 @@ def make_step(cfg: MagnetizedConfig):
                     src_kw["slot_offset"] = lax.axis_index(ax) * k_batch
             else:
                 sample_source = sources.sample_source_6d
+                sample_flux = sources.sample_flux_6d
             if cfg.reactivate == "source":
                 batch = sample_source(
                     k_src, k_batch, grid, src.ti, src.mass, vx=src.vx,
@@ -570,21 +740,24 @@ def make_step(cfg: MagnetizedConfig):
             elif cfg.reactivate == "capped-source":
                 # pic_bca_aps: refill only while the active ionized source-
                 # species population is below source_n; the rest stay free
-                # slots (reactivate-or-delete, pygcpic.py:1543-1549)
+                # slots (reactivate-or-delete, pygcpic.py:1543-1549). Under
+                # dp the cap counts the GLOBAL population.
                 batch = sample_source(
-                    k_src, k_batch, grid, src.ti, src.mass, vx=src.vx
+                    k_src, k_batch, grid, src.ti, src.mass, vx=src.vx,
+                    **src_kw,
                 )
-                n_src_active = jnp.sum(
+                n_src_active = _allreduce(jnp.sum(
                     ((active == 1)
                      & (state.species_idx == src.species_idx)
                      & (charge_state > 0)).astype(jnp.int32)
-                )
+                ))
                 deficit = jnp.maximum(cfg.source_n - n_src_active, 0)
                 take = inactive & (rank < deficit)
             else:  # 'flux'
-                batch = sources.sample_flux_6d(
+                batch = sample_flux(
                     k_src, k_batch, grid, src.ti, src.mass,
                     vx=src.vx, gamma=cfg.flux_gamma, vx_pert=cfg.flux_vx_pert,
+                    **src_kw,
                 )
                 batch["v"] = batch["v"].at[:, 0].set(
                     -jnp.abs(batch["v"][:, 0])  # pygcpic.py:2059
@@ -592,9 +765,18 @@ def make_step(cfg: MagnetizedConfig):
                 take = inactive & (rank < cfg.flux_limit)
             bx = batch["x"] / dx
             bv = batch["v"]
+            byz = jnp.zeros((k_batch, 2), bv.dtype)  # both samplers: yz = 0
+            react_mode = 0
+            if cfg.pusher == "gc" and src.charge_state != 0:
+                # charged re-activated particles enter in GC coordinates
+                cs_b = jnp.full((k_batch,), src.charge_state, bv.dtype)
+                m_b = jnp.full((k_batch,), src.mass, bv.dtype)
+                bx, byz, bv = _gc_pack(bx, byz, bv, cs_b, m_b, cfg)
+                react_mode = 1
             p1 = jnp.where(take, bx, p1)
-            yz1 = jnp.where(take[:, None], 0.0, yz1)  # both samplers: yz = 0
+            yz1 = jnp.where(take[:, None], byz, yz1)
             v1 = jnp.where(take[:, None], bv, v1)
+            mode = jnp.where(take, react_mode, mode)
             m_arr = jnp.where(take, src.mass, m_arr)
             charge_state = jnp.where(take, src.charge_state, charge_state)
             p2c_arr = jnp.where(take, src.p2c, p2c_arr)
@@ -628,7 +810,7 @@ def make_step(cfg: MagnetizedConfig):
         new_state = state.replace(
             p=p1, yz=yz1, v=v1, m=m_arr, charge_state=charge_state,
             p2c=p2c_arr, species_idx=sp_arr, t=t1, active=active,
-            at_wall=at_wall, from_wall=fw, phi=phi,
+            at_wall=at_wall, from_wall=fw, mode=mode, phi=phi,
             n0=n0, p_old=p_old, added=added, rng=key, iead=iead,
             iead_out=iead_out, step=state.step + 1,
         )

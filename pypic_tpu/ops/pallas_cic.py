@@ -1057,13 +1057,14 @@ def _finalize_epilogue(p1, v1, w, st_ref, p1_ref, scal_ref, i,
 
     Emits the GLOBAL wrapped position (scal slot 3 carries lo - hw, the
     per-shard shift) and accumulates three step statistics into a tiny
-    (8, 128) accumulator — row 0 lanes [0..1] = (sum w*v1,
-    sum_{alive} v1^2); the halo-clamp count goes to row 2, lane
-    (program_id mod 128), so each lane accumulates at most
-    ceil(nb/128) block counts of <= block each and stays integer-exact
-    in f32 (a single running f32 total would round above 2^24 — the
-    engine sums row 2 in int32). Saves the engine's separate full-array
-    reduction passes (~5 ms/step at 1e8 on v5e)."""
+    (8, 128) accumulator, each spread over lane (program_id mod 128) so
+    per-lane partials see only ceil(nb/128) sequential additions instead
+    of nb (rounding error grows with the sequential chain length; the
+    engine tree-reduces the 128 lanes): row 0 = sum w*v1 partials,
+    row 1 = sum_{alive} v1^2 partials, row 2 = halo-clamp counts (block
+    counts <= block stay integer-exact in f32; the engine sums row 2 in
+    int32 so the total is exact past 2^24). Saves the engine's separate
+    full-array reduction passes (~5 ms/step at 1e8 on v5e)."""
     lo_shift = scal_ref[3, 0]
 
     @pl.when(i == 0)
@@ -1082,9 +1083,10 @@ def _finalize_epilogue(p1, v1, w, st_ref, p1_ref, scal_ref, i,
     rr = lax.broadcasted_iota(jnp.int32, (8, LANE), 0)
     cc = lax.broadcasted_iota(jnp.int32, (8, LANE), 1)
     z = jnp.zeros((8, LANE), st_ref.dtype)
-    contrib = jnp.where((rr == 0) & (cc == 0), s_wv, z)
-    contrib = contrib + jnp.where((rr == 0) & (cc == 1), s_vv, z)
-    contrib = contrib + jnp.where((rr == 2) & (cc == i % LANE), s_cl, z)
+    lane = cc == i % LANE
+    contrib = jnp.where((rr == 0) & lane, s_wv, z)
+    contrib = contrib + jnp.where((rr == 1) & lane, s_vv, z)
+    contrib = contrib + jnp.where((rr == 2) & lane, s_cl, z)
     st_ref[:] += contrib
 
 
@@ -1160,10 +1162,10 @@ def picard_finalize_ext_nodep_pallas(
 
     With ``w``/``lo_shift``/``ng`` given (stats mode), the kernel also
     wraps positions to GLOBAL grid coordinates in-kernel and returns
-    (p1_global, v1, stats) where stats is an (8, 128) accumulator —
-    row 0 lanes [0..1] = (sum w*v1, sum_alive v1^2), row 2 = per-lane
-    halo-clamp partial counts — saving the engine's separate wrap +
-    reduction passes."""
+    (p1_global, v1, stats) where stats is an (8, 128) accumulator of
+    per-lane partials — row 0 = sum w*v1, row 1 = sum_alive v1^2,
+    row 2 = halo-clamp counts (reduce each row over lanes) — saving the
+    engine's separate wrap + reduction passes."""
     stats = lo_shift is not None
     if stats and (w is None or ng <= 0):
         raise ValueError("stats mode requires w, lo_shift AND ng together")

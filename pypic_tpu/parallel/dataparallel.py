@@ -29,7 +29,7 @@ shard_map = jax.shard_map
 # shape-based) so a grid field with ng == n can never be mis-sharded.
 _PARTICLE_FIELDS = frozenset({
     "p", "v", "q", "m", "yz", "charge_state", "p2c", "species", "species_idx",
-    "t", "status", "active", "at_wall", "from_wall", "alive",
+    "t", "status", "active", "at_wall", "from_wall", "alive", "mode",
 })
 
 

@@ -419,7 +419,7 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
                         n_valid=n_cap, w=w_b, lo_shift=lo_shift, ng=ng,
                     )
                     j1 = jh
-                    mean_j1 = lax.psum(st[0, 0], axes_all) / ng
+                    mean_j1 = lax.psum(jnp.sum(st[0, :]), axes_all) / ng
                 else:  # 'converged-deposit'
                     p1_b, v1_b, j1_ext, st = picard_finalize_ext_pallas(
                         smoothed_ext(es), pss, p0s_b, v0_b, w_b, ext_n,
@@ -430,7 +430,7 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
                     mean_j1 = lax.psum(jnp.sum(j1), ax) / ng
                 p1 = unblock_particles(p1_b, n_cap)  # global, wrapped
                 v1 = unblock_particles(v1_b, n_cap)
-                kin_local = st[0, 1]
+                kin_local = jnp.sum(st[1, :])
                 # row 2 holds per-lane partial counts (each integer-exact
                 # in f32); sum in int32 so the total stays exact past 2^24
                 clamp_local = jnp.sum(st[2, :].astype(jnp.int32))

@@ -47,8 +47,13 @@ class Preset:
     config: Any
     state: Any
     meta: Dict[str, Any]
+    # engines whose make_step needs more than the config (the domain-
+    # decomposed engines also take the device mesh) provide a closure
+    step_builder: Any = None
 
     def make_step(self):
+        if self.step_builder is not None:
+            return self.step_builder()
         return self.engine.make_step(self.config)
 
 
@@ -199,6 +204,30 @@ def pic_iead(n_per_species: int = 1000, ng: int = 600, seed: int = 1) -> Preset:
                        bca_incident=((2.0, 1), (10.81, 5))))
 
 
+def pic_iead_gc(n_per_species: int = 1000, ng: int = 600, seed: int = 1) -> Preset:
+    """pic_iead with the guiding-center pusher (BASELINE configs[3]
+    "guiding-center magnetized PIC"): same D + B 1+..5+ magnetized sheath,
+    but charged particles integrate as guiding centers
+    (MagnetizedConfig(pusher='gc'): GC RK4 in the hot loop, 6D<->GC
+    transforms at initialization/re-activation/wall impact — the engine
+    consumer of pygcpic.py:509-645's machinery, which no reference driver
+    drives)."""
+    pre = pic_iead(n_per_species=n_per_species, ng=ng, seed=seed)
+    cfg = dataclasses.replace(pre.config, pusher="gc")
+    # rebuild the state through init_state so the initial population is
+    # transformed to GC packing under the new config
+    st = magnetized.init_state(
+        np.asarray(pre.state.p) * cfg.grid.dx,
+        np.asarray(pre.state.v),
+        np.asarray(pre.state.m),
+        np.asarray(pre.state.charge_state),
+        np.asarray(pre.state.p2c),
+        np.asarray(pre.state.species_idx),
+        cfg, seed=seed,
+    )
+    return Preset("pic_iead_gc", magnetized, cfg, st, dict(pre.meta))
+
+
 def pic_bca_aps(ppc: int = 200, seed: int = 1,
                 capacity_factor: float = 1.5) -> Preset:
     """pygcpic.py:1307-1344: H plasma vs B wall, density 1e19, 3 nodes/LD x
@@ -269,6 +298,50 @@ def dirichlet_neumann_test(n: int = 50_000, ng: int = 800, seed: int = 1) -> Pre
     return Preset("dirichlet_neumann_test", magnetized, cfg, st, {})
 
 
+def domain_implicit(n: int = 1_000_000, ng: int = 200, seed: int = 1,
+                    shards: int | None = None, **kw) -> Preset:
+    """BASELINE configs[4]: the canonical Landau workload (pypic.py:846-855)
+    domain-decomposed over the device mesh — slab-sharded fields through the
+    whole Picard loop, ppermute halo exchange, multi-hop particle migration
+    (parallel.domain_implicit). ``shards`` defaults to every visible device;
+    the flagship scale is n = 1e8 (bench.py's domain row) but the preset
+    runs at any n for CLI/testing use. Extrapolated Picard init + tol 1e-9
+    (the reference's own tol 1e-3 does not conserve energy — PERF.md)."""
+    import jax
+
+    from .parallel import domain_implicit as di, make_mesh
+
+    density, te, ti = 1e5, 100.0 * EV_TO_K, 0.1 * EV_TO_K
+    length = 22.0 * _debye(te, density)
+    grid = GridSpec(ng, length, "periodic")
+    x, v, params = initialize.initialize_periodic(
+        "landau-damping", n, density, 1, 0.8, grid, te, ti, seed=seed
+    )
+    n_dev = int(shards) if shards else len(jax.devices())
+    dt = 1e-5
+    # halo from physics: cover an 8-sigma Maxwellian intra-step excursion
+    sigma_cells = float(np.asarray(v).std()) * dt / grid.dx
+    halo = min(ng // n_dev - 3, max(4, int(np.ceil(8.0 * sigma_cells))))
+    cfg = di.DomainImplicitConfig(
+        grid, dt, params.p2c, num_shards=n_dev,
+        tol=kw.get("tol", 1e-9), maxiter=kw.get("maxiter", 50),
+        halo=halo, picard_init="extrapolate",
+        migrate_cap=max(4096, 4 * (n // ng)),
+    )
+    mesh = make_mesh(n_dev, axis="slabs")
+    st = di.shard_state(
+        di.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg), mesh, cfg
+    )
+    return Preset(
+        "domain_implicit", di, cfg, st,
+        dict(params=params, system="landau-damping",
+             # resume restores to unsharded host arrays — the CLI re-places
+             # them on the mesh with this before stepping
+             reshard=lambda s: di.shard_state(s, mesh, cfg)),
+        step_builder=lambda: di.make_step(cfg, mesh),
+    )
+
+
 PRESETS: Dict[str, Callable[..., Preset]] = {
     "landau_damping": landau_damping,
     "two_stream": two_stream,
@@ -276,8 +349,10 @@ PRESETS: Dict[str, Callable[..., Preset]] = {
     "explicit_landau": explicit_landau,
     "sheath_dd": sheath_dd,
     "pic_iead": pic_iead,
+    "pic_iead_gc": pic_iead_gc,
     "pic_bca_aps": pic_bca_aps,
     "dirichlet_neumann_test": dirichlet_neumann_test,
+    "domain_implicit": domain_implicit,
 }
 
 

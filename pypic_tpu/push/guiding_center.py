@@ -40,14 +40,19 @@ def _bhat_wc(b, charge_state, m):
     return bhat, bmag, wc
 
 
-def to_guiding_center(pos, v, b, charge_state, m):
-    """6D -> GC. pos: (n,3) [m], v: (n,3). Returns (X, vpar, mu)."""
+def to_guiding_center(pos, v, b, charge_state, m, perp_floor: float = 0.0):
+    """6D -> GC. pos: (n,3) [m], v: (n,3). Returns (X, vpar, mu).
+
+    ``perp_floor`` > 0 guards the vperp_hat normalization for exactly
+    field-aligned velocities (vperp = 0 -> X = pos, mu = 0 instead of NaN);
+    the default 0 keeps the reference's literal division (pygcpic.py:541).
+    """
     bhat, bmag, wc = _bhat_wc(b, charge_state, m)
     vpar_mag = v @ bhat  # (n,)
     vpar = vpar_mag[:, None] * bhat[None, :]
     vperp = v - vpar
     vperp_mag = jnp.linalg.norm(vperp, axis=-1)
-    vperp_hat = vperp / vperp_mag[:, None]
+    vperp_hat = vperp / jnp.maximum(vperp_mag, perp_floor)[:, None]
     mu = 0.5 * m * vperp_mag**2 / bmag
     rl_mag = vperp_mag / wc
     rl_hat = -jnp.sign(charge_state)[:, None] * jnp.cross(
@@ -75,7 +80,8 @@ def from_guiding_center(key, x_gc, vpar_mag, mu, b, charge_state, m):
     return pos, v
 
 
-def gc_push_rk4(x_gc, vpar, mu, e3, b, charge_state, m, dt):
+def gc_push_rk4(x_gc, vpar, mu, e3, b, charge_state, m, dt,
+                eom_form: str = "reference"):
     """RK4 guiding-center push (pygcpic.py:598-645).
 
     Args:
@@ -86,22 +92,36 @@ def gc_push_rk4(x_gc, vpar, mu, e3, b, charge_state, m, dt):
         b: (3,) magnetic field.
         charge_state, m: (n,) charge number / mass.
         dt: timestep [s].
+        eom_form: parallel-acceleration expression —
+            'reference' reproduces pygcpic.py:638-639's literal
+            vpardot = (E . X) / (|B| vpar / wc): E dotted with the GC
+            *position*, which is dimensionally inconsistent (units V, not
+            V/m) — a reference defect its own doctests never exercise (no
+            reference driver ever calls push_GC; the mode field set at
+            pygcpic.py:101 is never branched on);
+            'physical' uses the guiding-center parallel force
+            vpardot = (q/m) E . bhat — what the magnetized engine's 'gc'
+            pusher integrates (there is no reference GC *trajectory* to
+            reproduce, so the engine defaults to the physical form).
 
     Returns:
         (x_gc, vpar, mu) advanced by dt.
     """
+    if eom_form not in ("reference", "physical"):
+        raise ValueError(f"unknown eom_form {eom_form!r}")
     bhat, bmag, wc = _bhat_wc(b, charge_state, m)
     b2 = bmag * bmag
     exb = jnp.cross(e3, jnp.broadcast_to(jnp.asarray(b), e3.shape)) / b2  # (n,3)
+    qm = jnp.sign(charge_state) * wc / bmag  # q/m = charge_state e / m
 
     def eom(x, vp):
-        # Xdot = E x B / B^2 + vpar bhat ; vpardot = (E . X) / (|B| rho)
-        # with rho = vpar / wc — reproducing the reference's (unusual)
-        # parallel-acceleration expression (pygcpic.py:638-639) which
-        # evaluates E . position / (|B| vpar / wc).
-        rho = vp / wc
+        # Xdot = E x B / B^2 + vpar bhat ; vpardot per eom_form (above)
         xdot = exb + vp[:, None] * bhat[None, :]
-        vpdot = jnp.sum(e3 * x, axis=-1) / (bmag * rho)
+        if eom_form == "reference":
+            rho = vp / wc
+            vpdot = jnp.sum(e3 * x, axis=-1) / (bmag * rho)
+        else:
+            vpdot = qm * (e3 @ bhat)
         return xdot, vpdot
 
     k1x, k1v = eom(x_gc, vpar)

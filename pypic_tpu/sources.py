@@ -141,6 +141,48 @@ def sample_flux_6d(key, n: int, grid: GridSpec, ti: float, mass: float,
     return {"x": x, "yz": jnp.zeros((n, 2), dtype), "v": v}
 
 
+def sample_flux_6d_hash(key, n: int, grid: GridSpec, ti: float, mass: float,
+                        vx: float = 0.0, gamma: float = 0.0,
+                        vx_pert: float = 0.0, num_vels: int = 100,
+                        dtype=jnp.float32, slot_offset=0):
+    """``sample_flux_6d`` on the counter-based generator: identical
+    distribution — the categorical table draw becomes an inverse-CDF lookup
+    on a per-slot uniform (same pmf), Maxwellian 3-velocity via Box-Muller,
+    jitter/perturbation gates from per-slot uniforms. ``slot_offset``: see
+    ``hash_uniforms`` — shard r passing r * local_n makes the sharded batch
+    bit-identical to the single-device batch over the concatenated slots,
+    which a replicated threefry categorical draw cannot provide (the 'flux'
+    re-activation cap under data-parallel sharding needs it)."""
+    length = grid.length
+    dx = grid.dx
+    vth = float(np.sqrt(K_BOLTZMANN * float(ti) / float(mass)))
+    u = hash_uniforms(seed_from_key(key), n, 8, dtype, offset=slot_offset)
+
+    x = dtype(length) - dtype(dx) * u[0]
+    # 3 standard normals from 2 Box-Muller pairs (4th output unused)
+    r1 = jnp.sqrt(-2.0 * jnp.log(u[1]))
+    r2 = jnp.sqrt(-2.0 * jnp.log(u[2]))
+    th1 = dtype(2.0 * np.pi) * u[3]
+    th2 = dtype(2.0 * np.pi) * u[4]
+    v = jnp.stack(
+        [r1 * jnp.cos(th1), r1 * jnp.sin(th1), r2 * jnp.cos(th2)], axis=-1
+    ) * dtype(vth)
+
+    # flux-weighted speed pmf on the same [-6 vth, 6 vth] grid as the
+    # threefry sampler (pygcpic.py:760-778); inverse-CDF draw
+    vels = jnp.linspace(-6.0 * vth, 6.0 * vth, num_vels, dtype=dtype)
+    dvel = vels[1] - vels[0]
+    weights = jnp.exp(-((vels - vx) ** 2) / (2.0 * vth * vth)) * jnp.abs(vels)
+    cdf = jnp.cumsum(weights) / jnp.sum(weights)
+    idx = jnp.searchsorted(cdf, u[5])
+    jitter = (2.0 * u[6] - 1.0) * (dvel / 2.0)
+    v_x = -jnp.abs(vels[idx]) + jitter + vx
+    pert = u[7] < gamma
+    v_x = jnp.where(pert, dtype(vx_pert * vth), v_x)
+    v = v.at[:, 0].set(v_x.astype(dtype))
+    return {"x": x, "yz": jnp.zeros((n, 2), dtype), "v": v}
+
+
 def gaussian_distribution(x, mu, sigma):
     """Normal pdf (pygcpic.py:31-32)."""
     return (

@@ -245,3 +245,72 @@ def test_bca_driver_batched_cadence():
     assert stats.source_incident > 100
     assert stats.sputtered > 0 and stats.injected > 0
     assert 0.0 < stats.total_yield() < 0.5
+
+
+def test_bca_iead_channel_full_chain():
+    """run_bca_from_iead: the histogram channel (pygcpic.py:1299-1300) drives
+    the same surface physics as the list channel — impacts accumulate in the
+    in-state IEADs, each block's increment feeds run_from_iead, and products
+    inject as neutral wall atoms."""
+    cfg, st, pre = _bca_setup(ppc=10)
+    cfg = dataclasses.replace(cfg, impact_buffer_size=0)
+    model_sw = bca.BinaryCollisionModel(seed=1)
+    model_ww = bca.BinaryCollisionModel(incident_m_amu=10.81, incident_z=5,
+                                        seed=2)
+    fin, stats, hist = bca_driver.run_bca_from_iead(
+        st, cfg, 120, model_sw, model_ww,
+        product_p2c=float(np.asarray(st.p2c)[0]), seed=3,
+        pic_steps_per_bca=10,
+    )
+    assert len(hist) == 120
+    assert stats.source_incident > 100
+    assert stats.sputtered > 0 and stats.injected > 0
+    assert stats.dropped == 0
+    act = np.asarray(fin.active) == 1
+    assert (np.asarray(fin.from_wall)[act] == 1).sum() > 0
+    assert 0.0 < stats.total_yield() < 0.5
+
+
+def test_bca_iead_dp_matches_single_device():
+    """The IEAD channel is mesh-capable: psum'd histograms are replicated, so
+    an 8-shard data-parallel hybrid run feeds the surface model the same
+    global wall flux as the single-device run (VERDICT round-2 item 3)."""
+    from pypic_tpu.parallel import make_mesh, make_data_parallel_step
+    from pypic_tpu.parallel.dataparallel import shard_state
+
+    pre = presets.pic_bca_aps(ppc=4)
+    # impact buffer off (dp gate); ionization off (per-shard folded keys
+    # draw different — equally valid — randoms than the 1-device stream)
+    cfg1 = dataclasses.replace(pre.config, impact_buffer_size=0,
+                               ionization=False)
+
+    def models():
+        return (bca.BinaryCollisionModel(seed=1),
+                bca.BinaryCollisionModel(incident_m_amu=10.81, incident_z=5,
+                                         seed=2))
+
+    m_sw, m_ww = models()
+    fin1, stats1, _ = bca_driver.run_bca_from_iead(
+        pre.state, cfg1, 40, m_sw, m_ww, seed=3, pic_steps_per_bca=5,
+    )
+
+    mesh = make_mesh(8)
+    cfg8 = dataclasses.replace(cfg1, axis_name="particles")
+    step8 = make_data_parallel_step(
+        magnetized.make_step, cfg8, mesh, example_state=pre.state
+    )
+    m_sw8, m_ww8 = models()
+    fin8, stats8, _ = bca_driver.run_bca_from_iead(
+        shard_state(pre.state, mesh), cfg8, 40, m_sw8, m_ww8, seed=3,
+        pic_steps_per_bca=5, step_fn=step8,
+        reshard=lambda s: shard_state(s, mesh),
+    )
+    assert stats1.source_incident > 0 and stats1.injected > 0
+    # borderline wall impacts flip under f32 psum ordering; the channels
+    # otherwise see identical (replicated) histograms
+    tol = max(6, 0.05 * stats1.source_incident)
+    assert abs(stats1.source_incident - stats8.source_incident) <= tol
+    assert abs(stats1.injected - stats8.injected) <= max(
+        6, 0.15 * stats1.injected
+    )
+    assert int(np.asarray(fin8.p).shape[0]) == int(np.asarray(fin1.p).shape[0])

@@ -192,3 +192,86 @@ def test_checkpoint_manager_strided_cadence(tmp_path):
     assert saved  # crossings at 105, 203, ...
     assert saved[0] == 105
     assert len(saved) == 7  # one save per century crossed below 800
+
+
+def test_checkpoint_resume_domain_implicit_sharded_bitexact(tmp_path):
+    """Sharded checkpoint/resume (VERDICT round-2 item 5): a domain-
+    decomposed state on the 8-device mesh saves (gather-to-host npz),
+    restores into a fresh template, re-shards, and reproduces the
+    uninterrupted trajectory bit-exactly."""
+    import jax
+
+    from pypic_tpu.parallel import domain_implicit as di, make_mesh
+
+    density = 1e10
+    te = 0.1 * 11600.0
+    debye = np.sqrt(K_BOLTZMANN * te * EPSILON_0 / E_CHARGE**2 / density)
+    grid = GridSpec(64, 15.0 * debye, "periodic")
+    x, v, params = init.initialize_periodic(
+        "two-stream", 8192, density, 1, 0.05, grid, te, te, seed=2
+    )
+    cfg = di.DomainImplicitConfig(
+        grid, 0.1 / params.wp, params.p2c, num_shards=8,
+        tol=1e-5, maxiter=20, halo=4, migrate_cap=512,
+    )
+    mesh = make_mesh(8, axis="slabs")
+    st0 = di.shard_state(
+        di.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg), mesh, cfg
+    )
+    step = di.make_step(cfg, mesh)
+
+    mid, _ = run(step, st0, 3)
+    path = str(tmp_path / "dom.npz")
+    checkpoint.save(path, mid, step=3)
+    final_a, _ = run(step, mid, 3)
+
+    # restore into a template built from DIFFERENT initial conditions
+    x2, v2, _ = init.initialize_periodic(
+        "two-stream", 8192, density, 1, 0.05, grid, te, te, seed=7
+    )
+    template = di.shard_state(
+        di.init_state(x2, v2, -E_CHARGE, M_ELECTRON, cfg), mesh, cfg
+    )
+    restored, manifest = checkpoint.load(path, template)
+    assert manifest["step"] == 3
+    restored = di.shard_state(restored, mesh, cfg)
+    final_b, _ = run(step, restored, 3)
+
+    for a, b in zip(jax.tree_util.tree_leaves(final_a),
+                    jax.tree_util.tree_leaves(final_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_resume_data_parallel_magnetized_bitexact(tmp_path):
+    """Data-parallel magnetized state (psum'd deposits, counter-based
+    re-activation): save/restore/re-shard on the 8-device mesh reproduces
+    the uninterrupted trajectory bit-exactly."""
+    import dataclasses as dc
+
+    import jax
+
+    from pypic_tpu.engines import magnetized
+    from pypic_tpu.presets import pic_iead
+    from pypic_tpu.parallel import make_mesh, make_data_parallel_step
+    from pypic_tpu.parallel.dataparallel import shard_state
+
+    pre = pic_iead(n_per_species=400)
+    cfg8 = dc.replace(pre.config, axis_name="particles")
+    mesh = make_mesh(8)
+    step8 = make_data_parallel_step(
+        magnetized.make_step, cfg8, mesh, example_state=pre.state
+    )
+    st0 = shard_state(pre.state, mesh)
+    mid, _ = run(step8, st0, 3)
+    path = str(tmp_path / "dp.npz")
+    checkpoint.save(path, mid, step=3)
+    final_a, _ = run(step8, mid, 3)
+
+    pre2 = pic_iead(n_per_species=400, seed=9)
+    restored, _ = checkpoint.load(path, shard_state(pre2.state, mesh))
+    restored = shard_state(restored, mesh)
+    final_b, _ = run(step8, restored, 3)
+
+    for a, b in zip(jax.tree_util.tree_leaves(final_a),
+                    jax.tree_util.tree_leaves(final_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

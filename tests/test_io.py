@@ -20,8 +20,10 @@ def test_all_presets_construct_small():
         "explicit_landau": dict(n=2000),
         "sheath_dd": dict(n=2000),
         "pic_iead": dict(n_per_species=100, ng=100),
+        "pic_iead_gc": dict(n_per_species=100, ng=100),
         "pic_bca_aps": dict(ppc=2),
         "dirichlet_neumann_test": dict(n=2000, ng=100),
+        "domain_implicit": dict(n=2000, shards=8),
     }
     for name, kw in small.items():
         pre = presets.get(name, **kw)
@@ -217,3 +219,47 @@ def test_run_thinned_heavy_rows_thinned():
     _, m = run_thinned(pre.make_step(), pre.state, 20, 5)
     assert np.asarray(m.phi).shape == (4, pre.config.grid.ng)
     assert np.asarray(m.n_active).shape == (20,)
+
+
+def test_cli_domain_preset_end_to_end(tmp_path):
+    """The flagship domain-decomposed config (BASELINE configs[4]) is
+    drivable through the CLI like every other preset — metrics files,
+    checkpoints, and bit-continuing resume on an 8-device virtual mesh."""
+    outdir = str(tmp_path / "plots")
+    pre = (
+        "import os; os.environ['XLA_FLAGS']="
+        "os.environ.get('XLA_FLAGS','')"
+        "+' --xla_force_host_platform_device_count=8';"
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from pypic_tpu.cli import main;"
+    )
+    code = pre + (
+        f"main(['run','domain_implicit','--steps','20',"
+        f"'--particles','8192','--shards','8',"
+        f"'--outdir',r'{outdir}','--checkpoint-every','10','--clean'])"
+    )
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, cwd=cwd)
+    assert res.returncode == 0, res.stderr[-2000:]
+    for f in ("time.out", "metrics.npz", "metrics.jsonl", "E2.txt"):
+        assert os.path.exists(os.path.join(outdir, f)), f
+    rows = [json.loads(l) for l in open(os.path.join(outdir, "metrics.jsonl"))]
+    assert len(rows) == 20
+    assert all(np.isfinite(r["field_energy"]) for r in rows)
+    assert rows[-1]["n_dropped"] == 0
+    ck = os.path.join(outdir, "checkpoints", "state_0000000020.npz")
+    assert os.path.exists(ck)
+
+    # resume from the step-20 checkpoint and run 10 more
+    code2 = pre + (
+        f"main(['run','domain_implicit','--steps','10',"
+        f"'--particles','8192','--shards','8',"
+        f"'--outdir',r'{outdir}','--checkpoint-every','10','--resume'])"
+    )
+    res2 = subprocess.run([sys.executable, "-c", code2], capture_output=True,
+                          text=True, cwd=cwd)
+    assert res2.returncode == 0, res2.stderr[-2000:]
+    assert "resumed from step 20" in res2.stderr
+    rows2 = [json.loads(l) for l in open(os.path.join(outdir, "metrics.jsonl"))]
+    assert len(rows2) == 10 and np.isfinite(rows2[-1]["field_energy"])
