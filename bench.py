@@ -36,6 +36,7 @@ NORTH_STAR = 1e9
 _PICARD_INIT = "field"
 _FINALIZE = "converged"
 _ACCEL = "none"
+_FINALIZE_FIELD = "last"
 
 
 def _emit(name, n, steps, elapsed, extra=""):
@@ -61,6 +62,31 @@ def _time(run_fn, warm=True):
     t0 = time.perf_counter()
     run_fn()
     return time.perf_counter() - t0
+
+
+def _drift_loop(step, state, drift_steps):
+    """North-star drift protocol: total-energy change over ``drift_steps``
+    in chunked dispatches (a single 1e4-step scan dispatch through the
+    remote tunnel crashes the TPU worker; 1000-step spans are stable)."""
+    from pypic_tpu.runner import run
+
+    st = state
+    tot0 = tot1 = None
+    done = 0
+    while done < drift_steps:
+        chunk = min(1000, drift_steps - done)
+        st, m2 = run(step, st, chunk)
+        tot = np.asarray(m2.field_energy, np.float64) + np.asarray(
+            m2.kinetic_energy, np.float64
+        )
+        if tot0 is None:
+            tot0 = tot[0]
+        print(f"  drift chunk [{done}-{done + chunk}): "
+              f"{(tot[-1] - tot[0]) / tot0:+.3e}", file=sys.stderr)
+        tot1 = tot[-1]
+        done += chunk
+    print(f"bench: energy drift over {drift_steps} steps: "
+          f"{(tot1 - tot0) / tot0:.3e}", file=sys.stderr)
 
 
 def _landau_problem(n, tol, maxiter=50):
@@ -97,7 +123,8 @@ def _landau_problem(n, tol, maxiter=50):
     x = x + np.float32(0.8 / k_pert) * jnp.sin(k_pert * x) * 0.5
     cfg = implicit.ImplicitConfig(grid, dt, p2c, tol=tol, maxiter=maxiter,
                                   picard_init=_PICARD_INIT,
-                                  finalize=_FINALIZE, picard_accel=_ACCEL)
+                                  finalize=_FINALIZE, picard_accel=_ACCEL,
+                                  finalize_field=_FINALIZE_FIELD)
     return grid, x, v, cfg
 
 
@@ -135,25 +162,7 @@ def bench_headline(args):
           f"EE[0]={np.asarray(m.field_energy)[0]:.3e})")
 
     if args.drift_steps:
-        # chunked dispatches: a single 1e4-step scan dispatch through the
-        # remote tunnel crashes the TPU worker; 1000-step spans are stable
-        st = state
-        tot0 = tot1 = None
-        done = 0
-        while done < args.drift_steps:
-            chunk = min(1000, args.drift_steps - done)
-            st, m2 = run(step, st, chunk)
-            tot = np.asarray(m2.field_energy, np.float64) + np.asarray(
-                m2.kinetic_energy, np.float64
-            )
-            if tot0 is None:
-                tot0 = tot[0]
-            print(f"  drift chunk [{done}-{done + chunk}): "
-                  f"{(tot[-1] - tot[0]) / tot0:+.3e}", file=sys.stderr)
-            tot1 = tot[-1]
-            done += chunk
-        print(f"bench: energy drift over {args.drift_steps} steps: "
-              f"{(tot1 - tot0) / tot0:.3e}", file=sys.stderr)
+        _drift_loop(step, state, args.drift_steps)
 
 
 def bench_two_stream(args):
@@ -276,8 +285,8 @@ def bench_domain(args):
     halo = min(grid.ng // n_dev - 3, max(4, int(np.ceil(8.0 * sigma_cells))))
     cfg = di.DomainImplicitConfig(
         grid, 1e-5, grid.length * 1e5 / n, num_shards=n_dev,
-        tol=args.tol, maxiter=50, halo=halo, picard_init=_PICARD_INIT,
-        finalize=_FINALIZE,
+        tol=args.tol, maxiter=args.maxiter, halo=halo,
+        picard_init=_PICARD_INIT, finalize=_FINALIZE,
         migrate_cap=max(4096, 4 * (n // max(1, grid.ng))),
     )
     mesh = make_mesh(n_dev, axis="slabs")
@@ -304,6 +313,11 @@ def bench_domain(args):
     _emit("domain", n, steps, elapsed,
           f"(shards={n_dev}, dropped={int(np.asarray(m.n_dropped).sum())}, "
           f"halo_clamped={int(np.asarray(m.n_halo_clamped).sum())})")
+
+    if args.drift_steps:
+        # North-star drift for configs[4] (the domain-decomposed flagship):
+        # same chunked protocol as the headline row.
+        _drift_loop(step, st, args.drift_steps)
 
 
 def main():
@@ -341,13 +355,20 @@ def main():
                          "~5x the energy drift on the violent headline "
                          "workload)")
     ap.add_argument("--picard-accel", default="none",
-                    choices=("none", "anderson", "anderson2"),
+                    choices=("none", "anderson", "anderson2", "damped"),
                     help="Picard iterate mixing (see ImplicitConfig)")
+    ap.add_argument("--finalize-field", default="last",
+                    choices=("last", "mean2"),
+                    help="field the finalize sweep gathers with (see "
+                         "ImplicitConfig.finalize_field; 'mean2' averages "
+                         "the last two Picard map outputs to cancel the "
+                         "spiral alternation bias)")
     args = ap.parse_args()
-    global _PICARD_INIT, _FINALIZE, _ACCEL
+    global _PICARD_INIT, _FINALIZE, _ACCEL, _FINALIZE_FIELD
     _PICARD_INIT = args.picard_init
     _FINALIZE = args.finalize
     _ACCEL = args.picard_accel
+    _FINALIZE_FIELD = args.finalize_field
 
     matrix = {
         "two_stream": bench_two_stream,

@@ -105,7 +105,17 @@ class ImplicitConfig:
     #     fixed point, typically fewer iterations at tight tolerances. O(ng)
     #     extra work per iteration. The residual test stays on the unmixed
     #     ||es - eh||^2 so the tolerance means the same thing.
+    #   'damped'   — under-relaxed es <- (es + eh)/2: same fixed point;
+    #     counters the Picard spiral's alternation bias (the fixed-odd-count
+    #     drift resonance, PERF.md) by exiting on a two-history average.
     picard_accel: str = "none"
+    # Field the finalize sweep gathers with (fused backend, finalize !=
+    # 'iterate'): 'last' = the latest map output eh_k (round-2 behavior);
+    # 'mean2' = (eh_k + eh_{k-1})/2 — averaging consecutive iterates cancels
+    # the first-order component of the Picard spiral around the fixed point,
+    # aiming the conserving fixed-count configs at fewer iterations for the
+    # same drift (measured on the violent headline workload, PERF.md).
+    finalize_field: str = "last"
 
     def __post_init__(self):
         # numpy scalars are not weakly typed and would promote float32 state.
@@ -117,8 +127,10 @@ class ImplicitConfig:
             raise ValueError(f"unknown picard_init {self.picard_init!r}")
         if self.finalize not in ("converged", "converged-deposit", "iterate"):
             raise ValueError(f"unknown finalize {self.finalize!r}")
-        if self.picard_accel not in ("none", "anderson", "anderson2"):
+        if self.picard_accel not in ("none", "anderson", "anderson2", "damped"):
             raise ValueError(f"unknown picard_accel {self.picard_accel!r}")
+        if self.finalize_field not in ("last", "mean2"):
+            raise ValueError(f"unknown finalize_field {self.finalize_field!r}")
 
 
 class ImplicitState(struct.PyTreeNode):
@@ -209,7 +221,7 @@ def make_step(cfg: ImplicitConfig):
     def _mix(es, eh, k, aux):
         """Next Picard iterate from the map output eh (Anderson secant
         mixing when enabled — same fixed point; see ops.accel)."""
-        from ..ops.accel import anderson2_mix, anderson_mix
+        from ..ops.accel import anderson2_mix, anderson_mix, damped_mix
 
         # fields are replicated under data-parallel sharding, so the inner
         # products need no psum
@@ -217,6 +229,8 @@ def make_step(cfg: ImplicitConfig):
             return anderson_mix(es, eh, k, aux)
         if accel == "anderson2":
             return anderson2_mix(es, eh, k, aux)
+        if accel == "damped":
+            return damped_mix(es, eh, k, aux)
         return eh, aux
 
     def _mix_init(e0):
@@ -272,6 +286,8 @@ def make_step(cfg: ImplicitConfig):
             es_next, aux = _mix(es, eh, c["k"], c["aux"])
             nxt = dict(c, es=es_next, ps=outs[0], e1=e1, r=r, k=c["k"] + 1,
                        aux=aux)
+            if keep_eh:
+                nxt["ehp"], nxt["eh"] = c["eh"], eh
             if keep_jh:
                 nxt["jh"] = jh
             if emit_v:
@@ -286,18 +302,30 @@ def make_step(cfg: ImplicitConfig):
         # either way, landau row inside its 0.13-0.16 ms noise band) —
         # and was removed; see PERF.md negative results.
         keep_jh = cfg.finalize in ("iterate", "converged")
+        # finalize_field='mean2' needs the last two Picard map outputs
+        # (eh_k, eh_{k-1}) in the carry — the finalize sweep then gathers
+        # with their average, cancelling the first-order component of the
+        # Picard spiral around the fixed point (the alternation bias behind
+        # the fixed-odd-count drift resonance, PERF.md).
+        keep_eh = cfg.finalize_field == "mean2" and not emit_v
+        es0 = _es0(state)
         c0 = {
-            "es": _es0(state), "ps": p0_b, "e1": e0,
+            "es": es0, "ps": p0_b, "e1": e0,
             "r": jnp.asarray(jnp.inf, e0.dtype),
             "k": jnp.asarray(0, jnp.int32),
             "aux": _mix_init(e0),
         }
+        if keep_eh:
+            c0["eh"] = es0
+            c0["ehp"] = es0
         if keep_jh:
             c0["jh"] = state.j
         if emit_v:
             c0["v1"] = v0_b
         c = lax.while_loop(cond, body, c0)
         e1, r, k = c["e1"], c["r"], c["k"]
+        # Field the finalize sweep evaluates the converged update with.
+        ef = 0.5 * (c["eh"] + c["ehp"]) if keep_eh else c["es"]
 
         if emit_v:
             # Pad lanes of the blocked iterate hold garbage — slice before
@@ -313,7 +341,7 @@ def make_step(cfg: ImplicitConfig):
             current_bias = (w_s / ng) * _allreduce(jnp.sum(v1))
         elif cfg.finalize == "converged":
             p1_b, v1_b = picard_finalize_nodep_pallas(
-                _smooth(c["es"]), c["ps"], p0_b, v0_b, ng,
+                _smooth(ef), c["ps"], p0_b, v0_b, ng,
                 qm=qm_s, dt=dt, dx=dx, n_valid=n,
             )
             p1 = unblock_particles(p1_b, n)
@@ -322,7 +350,7 @@ def make_step(cfg: ImplicitConfig):
             current_bias = (w_s / ng) * _allreduce(jnp.sum(v1))
         else:  # 'converged-deposit'
             p1_b, v1_b, j1 = picard_finalize_pallas(
-                _smooth(c["es"]), c["ps"], p0_b, v0_b, ng,
+                _smooth(ef), c["ps"], p0_b, v0_b, ng,
                 qm=qm_s, w=w_s, dt=dt, dx=dx, n_valid=n,
             )
             p1 = unblock_particles(p1_b, n)

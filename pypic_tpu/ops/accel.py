@@ -21,9 +21,9 @@ from jax import lax
 
 
 def mix_init(e0, mode):
-    """Initial accelerator carry. ``mode``: False/'none' -> (), True /
-    'anderson' -> (g_prev, f_prev), 'anderson2' -> two histories."""
-    if mode in (False, None, "none"):
+    """Initial accelerator carry. ``mode``: False/'none'/'damped' -> (),
+    True / 'anderson' -> (g_prev, f_prev), 'anderson2' -> two histories."""
+    if mode in (False, None, "none", "damped"):
         return ()
     if mode in (True, "anderson"):
         return (jnp.zeros_like(e0), jnp.zeros_like(e0))
@@ -31,6 +31,16 @@ def mix_init(e0, mode):
         z = jnp.zeros_like(e0)
         return (z, z, z, z)
     raise ValueError(f"unknown accelerator mode {mode!r}")
+
+
+def damped_mix(es, eh, k, aux):
+    """Under-relaxed fixed point es_{k+1} = (es_k + eh_k)/2: same fixed
+    point. For an iteration error that ROTATES around the fixed point (the
+    Picard spiral behind the fixed-odd-count drift resonance, PERF.md), the
+    damped multiplier |(1 + rho e^{i theta})/2| is far below |rho| near
+    theta ~ pi — and the exit iterate is a two-history average, which
+    cancels the first-order alternation bias the raw last iterate carries."""
+    return 0.5 * (es + eh), aux
 
 
 def anderson_mix(es, eh, k, aux, psum_axis: str | None = None):

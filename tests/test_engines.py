@@ -315,6 +315,41 @@ def test_picard_quadratic_init_and_anderson_same_fixed_point():
         assert it.mean() <= it_b.mean() + 0.1
 
 
+def test_finalize_field_mean2_and_damped_same_fixed_point():
+    """finalize_field='mean2' (finalize sweep gathers with the average of
+    the last two Picard map outputs) and picard_accel='damped'
+    (under-relaxed iterate) both converge to the same fixed point at tight
+    tolerance — they change the finalize evaluation/iteration path, not the
+    scheme. At a fixed iteration count (tol=1e-30, maxiter=4) mean2 must
+    still produce a bounded, physical trajectory."""
+    grid, x, v, params = _two_stream_setup(n=10_000, ng=64)
+    dt = 0.1 / params.wp
+    runs = {}
+    for label, kw in {
+        "base": dict(tol=1e-10, maxiter=50),
+        "mean2": dict(tol=1e-10, maxiter=50, finalize_field="mean2"),
+        "damped": dict(tol=1e-10, maxiter=50, picard_accel="damped"),
+        "fixed4_mean2": dict(tol=1e-30, maxiter=4, finalize_field="mean2"),
+    }.items():
+        cfg = implicit.ImplicitConfig(grid, dt, params.p2c,
+                                      picard_init="extrapolate",
+                                      backend="fused", **kw)
+        st = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
+        runs[label] = run(implicit.make_step(cfg), st, 200)[1]
+    ee_b = np.asarray(runs["base"].field_energy, np.float64)
+    for label in ("mean2", "damped"):
+        ee = np.asarray(runs[label].field_energy, np.float64)
+        np.testing.assert_allclose(ee, ee_b, rtol=2e-3)
+    # the fixed-count mean2 run tracks the converged trajectory to a few
+    # parts in 1e3 and conserves total energy at the percent level
+    ee4 = np.asarray(runs["fixed4_mean2"].field_energy, np.float64)
+    np.testing.assert_allclose(ee4, ee_b, rtol=5e-2)
+    tot = ee4 + np.asarray(runs["fixed4_mean2"].kinetic_energy, np.float64)
+    assert abs(tot[-1] / tot[0] - 1.0) < 1e-2
+    with pytest.raises(ValueError):
+        implicit.ImplicitConfig(grid, dt, params.p2c, finalize_field="nope")
+
+
 def test_picard_extrapolated_init_same_physics_fewer_iters():
     """picard_init='extrapolate' converges to the same fixed point (tight
     tol) with no more iterations than the reference start es0 = E0 — it is a
