@@ -10,6 +10,12 @@ vs_baseline is measured pushes/sec divided by the 1e9 north-star target
 (BASELINE.json; the reference publishes no numbers and cannot run in this
 image — it requires numba).
 
+The default headline is the CONSERVING configuration (fixed 4 Picard
+sweeps + extrapolated init + Anderson mixing): it satisfies both
+north-star clauses at once — measured 2.03e9 pushes/s AND -3.3e-4/1e4
+energy drift at 1e8 on v5e (PERF.md round-3 drift table). ``--throughput``
+switches to the faster tol-1e-9 configuration (2.55e9, ~2e-3/1e4 drift).
+
 ``--all`` additionally runs the full BASELINE.md "configs to report" matrix,
 one JSON line per config:
   1. two_stream   — explicit engine, ~1e4 particles (configs[0])
@@ -91,8 +97,9 @@ def _drift_loop(step, state, drift_steps):
 
 def _landau_problem(n, tol, maxiter=50):
     # maxiter also serves as the fixed-iteration knob for the conserving
-    # configuration: --tol 1e-30 --maxiter 6 --picard-init extrapolate
-    # measured <0.1% drift per 1e4 steps across seeds (PERF.md).
+    # configuration (the default): tol 1e-30, maxiter 4, extrapolated init,
+    # Anderson mixing — <1e-3 drift per 1e4 steps across seeds and at 1e8
+    # (PERF.md round-3 drift table).
     import jax
     import jax.numpy as jnp
 
@@ -286,7 +293,7 @@ def bench_domain(args):
     cfg = di.DomainImplicitConfig(
         grid, 1e-5, grid.length * 1e5 / n, num_shards=n_dev,
         tol=args.tol, maxiter=args.maxiter, halo=halo,
-        picard_init=_PICARD_INIT, finalize=_FINALIZE,
+        picard_init=_PICARD_INIT, finalize=_FINALIZE, picard_accel=_ACCEL,
         migrate_cap=max(4096, 4 * (n // max(1, grid.ng))),
     )
     mesh = make_mesh(n_dev, axis="slabs")
@@ -324,15 +331,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=int, default=None)
     ap.add_argument("--steps", type=int, default=10)
-    ap.add_argument("--tol", type=float, default=1e-9,
-                    help="Picard tolerance (reference parity: 1e-3, which "
-                         "does NOT conserve energy on this workload; see "
-                         "PERF.md's drift landscape — the conserving config "
-                         "is --tol 1e-30 --maxiter 6 --picard-init "
-                         "extrapolate)")
-    ap.add_argument("--maxiter", type=int, default=50,
+    ap.add_argument("--throughput", action="store_true",
+                    help="run the throughput configuration (tol 1e-9, "
+                         "unmixed, ~2e-3/1e4 drift) instead of the default "
+                         "conserving one (fixed-4 + extrapolate + Anderson, "
+                         "<1e-3/1e4 drift; PERF.md)")
+    ap.add_argument("--tol", type=float, default=None,
+                    help="Picard tolerance (default: the conserving "
+                         "config's 1e-30 fixed-count mode, or 1e-9 with "
+                         "--throughput; reference parity is 1e-3, which "
+                         "does NOT conserve energy on this workload — see "
+                         "PERF.md's drift landscape)")
+    ap.add_argument("--maxiter", type=int, default=None,
                     help="Picard iteration cap (with --tol 1e-30: a fixed "
-                         "count; 6 + extrapolate = the conserving config)")
+                         "count; default 4 [conserving] / 50 [--throughput])")
     ap.add_argument("--drift-steps", type=int, default=0,
                     help="additionally measure energy drift over this many steps")
     ap.add_argument("--all", action="store_true",
@@ -354,9 +366,11 @@ def main():
                          "reference's last-iterate return, fastest but "
                          "~5x the energy drift on the violent headline "
                          "workload)")
-    ap.add_argument("--picard-accel", default="none",
+    ap.add_argument("--picard-accel", default=None,
                     choices=("none", "anderson", "anderson2", "damped"),
-                    help="Picard iterate mixing (see ImplicitConfig)")
+                    help="Picard iterate mixing (see ImplicitConfig; "
+                         "default anderson [conserving] / none "
+                         "[--throughput])")
     ap.add_argument("--finalize-field", default="last",
                     choices=("last", "mean2"),
                     help="field the finalize sweep gathers with (see "
@@ -364,6 +378,14 @@ def main():
                          "the last two Picard map outputs to cancel the "
                          "spiral alternation bias)")
     args = ap.parse_args()
+    # Resolve the headline/domain configuration: conserving by default
+    # (both north-star clauses at once), throughput on request.
+    if args.tol is None:
+        args.tol = 1e-9 if args.throughput else 1e-30
+    if args.maxiter is None:
+        args.maxiter = 50 if args.throughput else 4
+    if args.picard_accel is None:
+        args.picard_accel = "none" if args.throughput else "anderson"
     global _PICARD_INIT, _FINALIZE, _ACCEL, _FINALIZE_FIELD
     _PICARD_INIT = args.picard_init
     _FINALIZE = args.finalize

@@ -83,6 +83,13 @@ class DomainImplicitConfig:
     # deposit — the domain form of engines.implicit's fused backend);
     # 'composed' assembles it from individual ops; 'auto' = fused on TPU.
     backend: str = "auto"
+    # Picard iterate mixing (see engines.implicit.ImplicitConfig.picard_accel
+    # and ops.accel): same fixed point and residual test; the secant inner
+    # products are psum'd over the slab axis so mixing on the slab-sharded
+    # field equals mixing on the global one. 'anderson' + maxiter=4 +
+    # tol=1e-30 + picard_init='extrapolate' is the conserving configuration
+    # (PERF.md round-3 drift table).
+    picard_accel: str = "none"
     axis_name: str = "slabs"
     deposit_method: str = "auto"
     # Data-parallel axis composed WITH the slab axis on a 2D device mesh
@@ -118,6 +125,9 @@ class DomainImplicitConfig:
             raise ValueError(f"unknown picard_init {self.picard_init!r}")
         if self.finalize not in ("converged", "converged-deposit", "iterate"):
             raise ValueError(f"unknown finalize {self.finalize!r}")
+        if self.picard_accel not in ("none", "anderson", "anderson2",
+                                     "damped"):
+            raise ValueError(f"unknown picard_accel {self.picard_accel!r}")
 
     @property
     def cells_per_shard(self) -> int:
@@ -320,8 +330,23 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
             # residual and iteration count ride at the end
             return (carry[-2] > cfg.tol) & (carry[-1] < cfg.maxiter)
 
+        def mix(es, eh, k, aux):
+            """Next Picard iterate from the map output eh (ops.accel): the
+            secant inner products psum over the slab axis, so mixing the
+            slab-sharded field equals mixing the global one. Fields are
+            replicated across the dp axis — no dp psum needed."""
+            from ..ops.accel import anderson2_mix, anderson_mix, damped_mix
+
+            if cfg.picard_accel == "anderson":
+                return anderson_mix(es, eh, k, aux, psum_axis=ax)
+            if cfg.picard_accel == "anderson2":
+                return anderson2_mix(es, eh, k, aux, psum_axis=ax)
+            if cfg.picard_accel == "damped":
+                return damped_mix(es, eh, k, aux)
+            return eh, aux
+
         def body_composed(carry):
-            es, psl, _, _, _, _, k = carry
+            es, psl, _, _, _, aux, _, k = carry
             # Gather the smoothed field guess at the position guess
             # (pypic.py:261) from the halo-extended slab.
             e_ext = halo_extend(es, hw, ax, perm_r, perm_l)
@@ -339,7 +364,8 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
             jh = slab_deposit(phl, w * vh)
             j1 = slab_deposit(p1l, w * v1)
             e1, eh, r = ampere(es, jh)
-            return eh, phl, (p1l, v1), e1, j1, r, k + 1
+            es_next, aux = mix(es, eh, k, aux)
+            return es_next, phl, (p1l, v1), e1, j1, aux, r, k + 1
 
         emit_v = cfg.finalize == "iterate"
 
@@ -354,9 +380,10 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
             )
             jh = dpsum(halo_fold(outs[-1], c, hw, ax, perm_r, perm_l))
             e1, eh, r = ampere(es, jh)
+            es_next, aux = mix(es, eh, carry[-1], carry[-3])
             if emit_v:
-                return eh, outs[0], outs[1], e1, jh, r, k_next(carry)
-            return eh, outs[0], e1, jh, r, k_next(carry)
+                return es_next, outs[0], outs[1], e1, jh, aux, r, k_next(carry)
+            return es_next, outs[0], e1, jh, aux, r, k_next(carry)
 
         def k_next(carry):
             return carry[-1] + 1
@@ -368,6 +395,9 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
                            + 3.0 * state.e_prev2)
         else:
             es0 = e0
+        from ..ops.accel import mix_init
+
+        aux0 = mix_init(e0, cfg.picard_accel)
         if use_fused:
             from ..ops.pallas_cic import (
                 block_particles,
@@ -384,10 +414,10 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
             (p0s_b, v0_b, w_b), _ = block_particles([p0s, v0, w])
             if emit_v:
                 carry0 = (
-                    es0, p0s_b, v0_b, e0, state.j,
+                    es0, p0s_b, v0_b, e0, state.j, aux0,
                     jnp.asarray(jnp.inf, e0.dtype), jnp.asarray(0, jnp.int32),
                 )
-                es, pss, v1_b, e1, jh, r, k = lax.while_loop(
+                es, pss, v1_b, e1, jh, _, r, k = lax.while_loop(
                     cond, body_fused, carry0
                 )
                 # Last Picard iterate, no extra sweep (pypic.py:293-295):
@@ -400,10 +430,10 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
                 mean_j1 = lax.psum(jnp.sum(w * v1), axes_all) / ng
             else:
                 carry0 = (
-                    es0, p0s_b, e0, state.j,
+                    es0, p0s_b, e0, state.j, aux0,
                     jnp.asarray(jnp.inf, e0.dtype), jnp.asarray(0, jnp.int32),
                 )
-                es, pss, e1, jh, r, k = lax.while_loop(
+                es, pss, e1, jh, _, r, k = lax.while_loop(
                     cond, body_fused, carry0
                 )
                 # finalize from the converged field (engines.implicit fused
@@ -436,10 +466,10 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
                 clamp_local = jnp.sum(st[2, :].astype(jnp.int32))
         else:
             carry0 = (
-                es0, p0l, (p0l, v0), e0, state.j,
+                es0, p0l, (p0l, v0), e0, state.j, aux0,
                 jnp.asarray(jnp.inf, e0.dtype), jnp.asarray(0, jnp.int32),
             )
-            _, _, (p1l, v1), e1, j1, r, k = lax.while_loop(
+            _, _, (p1l, v1), e1, j1, _, r, k = lax.while_loop(
                 cond, body_composed, carry0
             )
             mean_j1 = lax.psum(jnp.sum(j1), ax) / ng

@@ -361,6 +361,54 @@ def test_domain_implicit_fused_matches_composed(problem):
     )
 
 
+@pytest.mark.parametrize("backend", ["composed", "fused"])
+def test_domain_implicit_picard_accel_conserving_config(problem, backend):
+    """The conserving configuration (fixed-4 + extrapolate + Anderson,
+    PERF.md round 3) on the 8-shard domain engine matches the single-device
+    implicit engine running the identical configuration: the secant inner
+    products psum over the slab axis, so mixing the slab-sharded field is
+    the same map as mixing the global one. Both domain backends run (fused
+    in interpret mode on CPU)."""
+    from pypic_tpu.engines import implicit
+    from pypic_tpu.parallel import domain_implicit as di
+
+    grid, x, v, params = problem
+    dt = 0.1 / params.wp
+    kw = dict(tol=1e-30, maxiter=4, picard_init="extrapolate",
+              picard_accel="anderson")
+
+    cfg1 = implicit.ImplicitConfig(grid, dt, params.p2c,
+                                   backend="composed", **kw)
+    st1 = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg1)
+    _, m1 = run(implicit.make_step(cfg1), st1, 50)
+
+    mesh = make_mesh(8, axis="slabs")
+    cfg8 = di.DomainImplicitConfig(
+        grid, dt, params.p2c, num_shards=8, halo=4, migrate_cap=2048,
+        backend=backend, **kw,
+    )
+    st8 = di.shard_state(
+        di.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg8), mesh, cfg8
+    )
+    _, m8 = run(di.make_step(cfg8, mesh), st8, 50)
+
+    ee1 = np.asarray(m1.field_energy, np.float64)
+    ee8 = np.asarray(m8.field_energy, np.float64)
+    np.testing.assert_allclose(ee8, ee1, rtol=3e-3)
+    ke1 = np.asarray(m1.kinetic_energy, np.float64)
+    ke8 = np.asarray(m8.kinetic_energy, np.float64)
+    np.testing.assert_allclose(ke8, ke1, rtol=1e-4)
+    assert (np.asarray(m8.picard_iters) == 4).all()
+    assert (np.asarray(m8.n_alive) == 16_000).all()
+    assert np.asarray(m8.n_dropped).sum() == 0
+    # total energy conserved over the run at the fixed iteration count
+    tot8 = ee8 + ke8
+    assert abs(tot8[-1] / tot8[0] - 1.0) < 2e-3
+    with pytest.raises(ValueError, match="picard_accel"):
+        di.DomainImplicitConfig(grid, dt, params.p2c, num_shards=8,
+                                picard_accel="nope")
+
+
 def test_domain_implicit_finalize_modes(problem):
     """Domain finalize modes: 'converged' (deposit-free) is bit-exact with
     'converged-deposit'; 'iterate' (reference last-iterate semantics)
