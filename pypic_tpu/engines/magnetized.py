@@ -461,7 +461,14 @@ def make_step(cfg: MagnetizedConfig):
         flat = (state.species_idx * (ne * na) + ei * na + ai)
         # histogram as a width-0 tent deposit (TPU path; the XLA scatter
         # serializes and dominated the whole step, 8.8 ms at 1e6 on v5e) —
-        # the cast also avoids the x64 float64-into-float32 scatter error
+        # the cast also avoids the x64 float64-into-float32 scatter error.
+        # Negative result (round 3): packing the ~0.1% hit rows first and
+        # histogramming the packed buffer, with a lax.cond overflow
+        # fallback, measured 6 ms SLOWER in the scanned step (the cond
+        # forces materialization of its captured 1e6-element operands every
+        # step) even though pack+histogram is ~0.1 ms in isolation; the
+        # full sweep itself is only ~0.08 ms (probe in PERF.md), so the
+        # histogram stays unconditional.
         upd = histogram_add(
             flat,
             jnp.where(hit & in_range, 1.0, 0.0).astype(iead.dtype),

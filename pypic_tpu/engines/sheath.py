@@ -94,6 +94,13 @@ class SheathConfig:
     # plain Picard loop takes ~17 iterations at the reference tolerance,
     # see ops.accel and PERF.md).
     picard_accel: str = "none"
+    # Re-injection / thermostat randomness: 'hash' = counter-based murmur3
+    # mixer + Box-Muller (sources.hash_uniforms/hash_normals — identical
+    # distributions; the fixed-shape threefry normals over all n were
+    # 0.61 ms of the 1.63 ms step at 1e6 on v5e,
+    # scratch/bench_sheath_parts.py); 'threefry' = jax.random streams
+    # (round-2 behavior, different draws, same distribution).
+    rng_sampler: str = "hash"
 
     def __post_init__(self):
         for f in ("dt", "p2c", "kbte", "kbti", "tol", "gamma", "exit_hist_vmax"):
@@ -104,6 +111,8 @@ class SheathConfig:
             raise ValueError(f"unknown picard_init {self.picard_init!r}")
         if self.picard_accel not in ("none", "anderson", "anderson2"):
             raise ValueError(f"unknown picard_accel {self.picard_accel!r}")
+        if self.rng_sampler not in ("hash", "threefry"):
+            raise ValueError(f"unknown rng_sampler {self.rng_sampler!r}")
 
 
 class SheathState(struct.PyTreeNode):
@@ -184,37 +193,53 @@ def make_step(cfg: SheathConfig):
         j = j.at[0].add(j[1]).at[-1].add(j[-2])
         return j
 
-    def _resample_velocities(key, m, kbt):
-        """Three Maxwellian components at temperature kbt (per-particle m)."""
-        sig = jnp.sqrt(kbt / m)
-        return jax.random.normal(key, m.shape + (3,), m.dtype) * sig[:, None]
-
     def step(state: SheathState):
         key, k_therm_u, k_therm_v, k_reinj_x, k_reinj_v = jax.random.split(
             state.rng, 5
         )
+        use_hash = cfg.rng_sampler == "hash"
+        if use_hash:
+            from ..sources import hash_normals, hash_uniforms, seed_from_key
 
         p0, v0, active = state.p, state.v, state.active
         q, m, species = state.q, state.m, state.species
         e0 = state.e
+        n_slots = p0.shape[0]
+
+        def _normals3(k):
+            """(n, 3) standard normals from the configured sampler (the
+            hash path draws 4 streams and keeps 3 — still ~5x cheaper than
+            the threefry + erfinv chain at 1e6)."""
+            if use_hash:
+                z = hash_normals(seed_from_key(k), n_slots, 2, p0.dtype.type)
+                return jnp.stack([z[0], z[1], z[2]], axis=-1)
+            return jax.random.normal(k, v0.shape, v0.dtype)
 
         # --- Thermostat (PIC_L_DD.py:420-427): prob-gamma resample to Ti.
         if cfg.gamma > 0.0:
-            hit = (active == ACTIVE) & (
-                jax.random.uniform(k_therm_u, p0.shape) < cfg.gamma
+            u_th = (
+                hash_uniforms(seed_from_key(k_therm_u), n_slots, 1,
+                              p0.dtype.type)[0]
+                if use_hash else jax.random.uniform(k_therm_u, p0.shape)
             )
-            v_new = _resample_velocities(k_therm_v, m, cfg.kbti)
+            hit = (active == ACTIVE) & (u_th < cfg.gamma)
+            sig = jnp.sqrt(cfg.kbti / m)
+            v_new = _normals3(k_therm_v) * sig[:, None]
             v0 = jnp.where(hit[:, None], v_new, v0)
 
         # --- Re-injection (PIC_L_DD.py:429-450): absorbed particles get a
         # fresh uniform position and species-temperature Maxwellian.
         lost = active != ACTIVE
-        x_new = jax.random.uniform(k_reinj_x, p0.shape, p0.dtype, 0.0, cells)
+        if use_hash:
+            x_new = (
+                hash_uniforms(seed_from_key(k_reinj_x), n_slots, 1,
+                              p0.dtype.type)[0] * p0.dtype.type(cells)
+            )
+        else:
+            x_new = jax.random.uniform(k_reinj_x, p0.shape, p0.dtype, 0.0,
+                                       cells)
         kbt_per = jnp.where(species == 1, cfg.kbte, cfg.kbti)
-        v_new = (
-            jax.random.normal(k_reinj_v, v0.shape, v0.dtype)
-            * jnp.sqrt(kbt_per / m)[:, None]
-        )
+        v_new = _normals3(k_reinj_v) * jnp.sqrt(kbt_per / m)[:, None]
         p0 = jnp.where(lost, x_new, p0)
         v0 = jnp.where(lost[:, None], v_new, v0)
         active = jnp.full_like(active, ACTIVE)

@@ -25,17 +25,22 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _affine_scan(alpha, beta, reverse=False):
+def _affine_scan_multi(alpha, betas, reverse=False):
     """Evaluate x_i = alpha_i x_prev + beta_i via associative composition
-    (a2, b2) o (a1, b1) = (a2 a1, a2 b1 + b2), x_start = 0."""
+    (a2, b2) o (a1, b1) = (a2 a1, a2 b1 + b2), x_start = 0 — for several
+    right-hand sides SHARING alpha, each carried as its own (n,) array.
+    (A single (n, k) beta with k << 128 tiles to one lane per vector
+    register on TPU; k separate (n,) arrays stay lanes-major.)"""
 
     def combine(left, right):
         a1, b1 = left
         a2, b2 = right
-        return a2 * a1, a2 * b1 + b2
+        return a2 * a1, tuple(a2 * x + y for x, y in zip(b1, b2))
 
-    _, x = lax.associative_scan(combine, (alpha, beta), reverse=reverse, axis=0)
-    return x
+    _, xs = lax.associative_scan(
+        combine, (alpha, tuple(betas)), reverse=reverse, axis=0
+    )
+    return xs
 
 
 def _solve_tridiag_pscan(dl, d, du, b):
@@ -45,38 +50,47 @@ def _solve_tridiag_pscan(dl, d, du, b):
     transform of cp_{i-1}; composing the 2x2 homogeneous-coordinate matrices
     with per-combine max-abs normalization (cp is a projective ratio, so
     rescaling is exact) keeps the products bounded.
+
+    Layout note: the 2x2 products are carried as FOUR (n,) arrays, not an
+    (n, 2, 2) array — Mosaic tiles the trailing (2, 2) onto one (8, 128)
+    vreg corner, wasting ~99% of every lane and making the ng=600 Newton
+    inner solve the dominant cost of the whole magnetized step (measured
+    ~3x faster in this form on v5e, scratch/bench_tridiag_layout.py).
     """
     squeeze = b.ndim == 1
-    if squeeze:
-        b = b[:, None]
+    cols = (b,) if squeeze else tuple(b[:, j] for j in range(b.shape[1]))
     a = dl.at[0].set(0.0)
+    tiny = jnp.finfo(d.dtype).tiny
 
     # cp via normalized projective scan: m_i = [[0, du_i], [-a_i, d_i]].
-    zeros = jnp.zeros_like(d)
-    m = jnp.stack(
-        [jnp.stack([zeros, du], axis=-1), jnp.stack([-a, d], axis=-1)],
-        axis=-2,
-    )  # (n, 2, 2)
+    m = (jnp.zeros_like(d), du, -a, d)
 
     def combine(x, y):
-        prod = y @ x  # apply x first, then y
-        scale = jnp.max(jnp.abs(prod), axis=(-2, -1), keepdims=True)
-        return prod / jnp.maximum(scale, jnp.finfo(prod.dtype).tiny)
+        x00, x01, x10, x11 = x
+        y00, y01, y10, y11 = y
+        p00 = y00 * x00 + y01 * x10  # apply x first, then y
+        p01 = y00 * x01 + y01 * x11
+        p10 = y10 * x00 + y11 * x10
+        p11 = y10 * x01 + y11 * x11
+        s = jnp.maximum(
+            jnp.maximum(jnp.abs(p00), jnp.abs(p01)),
+            jnp.maximum(jnp.abs(p10), jnp.abs(p11)),
+        )
+        s = jnp.maximum(s, tiny)
+        return p00 / s, p01 / s, p10 / s, p11 / s
 
-    p = lax.associative_scan(combine, m, axis=0)
-    cp = p[:, 0, 1] / p[:, 1, 1]  # acting on [cp_{-1}=0, 1]
+    _, p01, _, p11 = lax.associative_scan(combine, m, axis=0)
+    cp = p01 / p11  # acting on [cp_{-1}=0, 1]
 
     cp_prev = jnp.concatenate([jnp.zeros((1,), cp.dtype), cp[:-1]])
-    denom = (d - a * cp_prev)[:, None]
+    denom = d - a * cp_prev
 
     # dp_i = (b_i - a_i dp_{i-1}) / denom_i: affine in dp_{i-1}.
-    dp = _affine_scan(jnp.broadcast_to((-a)[:, None] / denom, b.shape),
-                      b / denom)
+    dps = _affine_scan_multi(-a / denom, tuple(c / denom for c in cols))
 
     # back-substitution x_i = dp_i - cp_i x_{i+1}: affine, reversed.
-    x = _affine_scan(jnp.broadcast_to(-cp[:, None], b.shape), dp,
-                     reverse=True)
-    return x[:, 0] if squeeze else x
+    xs = _affine_scan_multi(-cp, dps, reverse=True)
+    return xs[0] if squeeze else jnp.stack(xs, axis=1)
 
 
 def solve_tridiag(dl, d, du, b, method: str = "auto"):

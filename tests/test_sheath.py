@@ -96,6 +96,39 @@ def test_thermostat_resamples_to_ion_temperature():
         assert 0.9 * vth < std < 1.1 * vth, (sp, std, vth)
 
 
+def test_rng_sampler_hash_matches_threefry_distribution():
+    """'hash' (the default counter-based re-injection/thermostat sampler)
+    and 'threefry' draw from identical distributions: after the same run
+    length both produce the same sheath potential profile, loss statistics,
+    and re-injected velocity temperature within Monte-Carlo tolerance."""
+    import dataclasses as dc
+
+    outs = {}
+    for sampler in ("hash", "threefry"):
+        cfg, st, te = _setup(n=20_000)
+        cfg = dc.replace(cfg, rng_sampler=sampler)
+        fin, m = run(sheath.make_step(cfg), st, 800)
+        outs[sampler] = (fin, m)
+    te_volts = te * K_BOLTZMANN / E_CHARGE
+    phis = {
+        k: np.asarray(m.phi, np.float64)[-200:].mean(axis=0)
+        for k, (_, m) in outs.items()
+    }
+    # same time-averaged sheath profile (stochastic-noise tolerance)
+    np.testing.assert_allclose(phis["hash"], phis["threefry"],
+                               atol=0.35 * te_volts)
+    losses = {
+        k: (np.asarray(m.n_lost_left) + np.asarray(m.n_lost_right))[
+            -200:].mean()
+        for k, (_, m) in outs.items()
+    }
+    assert abs(losses["hash"] - losses["threefry"]) < 0.15 * max(
+        1.0, losses["threefry"]
+    ), losses
+    with pytest.raises(ValueError, match="rng_sampler"):
+        dc.replace(cfg, rng_sampler="nope")
+
+
 def test_wall_charge_current_terms():
     """An absorbed particle deposits the reference's wall surface-charge
     current: j[0] += dx q p2c / dt for left-absorbed (PIC_L_DD.py:55-63),
