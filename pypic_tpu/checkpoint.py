@@ -58,13 +58,17 @@ def save(path: str, state, step: int | None = None, extra: dict | None = None):
             os.unlink(tmp)
 
 
-def load(path: str, template):
+def load(path: str, template, migrate: dict | None = None):
     """Restore a state pytree saved with ``save``.
 
     Args:
         path: the .npz file.
         template: a pytree with the same structure (e.g. a freshly
             constructed initial state) providing the treedef and leaf dtypes.
+        migrate: optional {old_leaf_path: fn(array) -> {new_path: array}}
+            renames applied to checkpoint leaves the template no longer has
+            (engines declare theirs as ``CHECKPOINT_MIGRATIONS``, e.g. the
+            sheath state's round-3 ``.v`` -> ``.u``/``.vy``/``.vz`` split).
 
     Returns:
         (state, manifest_dict)
@@ -92,6 +96,10 @@ def load(path: str, template):
                 p: data[f"leaf_{i}"]
                 for i, p in enumerate(manifest["leaf_paths"])
             }
+        if migrate:
+            for old, fn in migrate.items():
+                if old in by_path and old not in paths:
+                    by_path.update(fn(by_path.pop(old)))
         # a checkpoint leaf the template does not know is a rename or a
         # wrong-engine template — refuse rather than silently mixing states
         unknown = sorted(set(by_path) - set(paths))
@@ -165,9 +173,10 @@ class CheckpointManager:
         steps = self.steps()
         return steps[-1] if steps else None
 
-    def restore(self, template, step: int | None = None):
+    def restore(self, template, step: int | None = None,
+                migrate: dict | None = None):
         if step is None:
             step = self.latest()
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")
-        return load(self._path(step), template)
+        return load(self._path(step), template, migrate=migrate)

@@ -56,7 +56,10 @@ def _cmd_run(args):
             os.path.join(outdir, "checkpoints"), every=args.checkpoint_every
         )
         if args.resume:
-            state, manifest = mgr.restore(state)
+            state, manifest = mgr.restore(
+                state,
+                migrate=getattr(preset.engine, "CHECKPOINT_MIGRATIONS", None),
+            )
             print(f"resumed from step {manifest['step']}", file=sys.stderr)
             # a checkpoint from before the explicit engine carried rho/e
             # restores those leaves from the template (a different particle

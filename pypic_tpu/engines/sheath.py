@@ -71,6 +71,18 @@ class SheathConfig:
     kbte: float  # electron kB T [J] for re-injection sampling
     kbti: float  # ion kB T [J] for re-injection + thermostat sampling
     tol: float = 1e-5  # PIC_L_DD.py:317
+    # f32 residual-floor exit: the reference tolerance is ABSOLUTE
+    # (||es - eh||_2 < 1e-5 in V/m) and unattainable in f32 once the field
+    # reaches sheath magnitude (~2e4 V/m: one ulp of the iterate is
+    # ~2.4e-3/component, so the residual plateaus around 5e-4 and the loop
+    # burns iterations to maxiter making round-off-sized non-progress).
+    # The loop also exits once r < tol_floor * eps_f32 * ||es||_2 — the
+    # same fixed point to machine precision, measured plateau ~0.2x
+    # eps*||es||. 0 restores the reference's pure-absolute test.
+    # Measured at the 1e6 bench config (v5e, warm state): 0 -> 13.6 mean
+    # iterations grinding round-off, 0.25 -> 6.5, 0.5 -> 4.9 at mean exit
+    # residual 5e-2 V/m on a ~2e4 V/m field (relative ~3e-6).
+    tol_floor: float = 0.5
     maxiter: int = 20  # PIC_L_DD.py:318
     gamma: float = 0.0  # thermostat resampling probability (PIC_L_DD.py:331)
     deposit_method: str = "auto"
@@ -94,30 +106,47 @@ class SheathConfig:
     # plain Picard loop takes ~17 iterations at the reference tolerance,
     # see ops.accel and PERF.md).
     picard_accel: str = "none"
-    # Re-injection / thermostat randomness: 'hash' = counter-based murmur3
-    # mixer + Box-Muller (sources.hash_uniforms/hash_normals — identical
-    # distributions; the fixed-shape threefry normals over all n were
-    # 0.61 ms of the 1.63 ms step at 1e6 on v5e,
-    # scratch/bench_sheath_parts.py); 'threefry' = jax.random streams
-    # (round-2 behavior, different draws, same distribution).
-    rng_sampler: str = "hash"
+    # Re-injection / thermostat randomness. 'threefry' = jax.random streams
+    # (the 'auto' default everywhere — fastest measured); 'pallas' = one
+    # fused VMEM sweep drawing from the TPU hardware PRNG (ops.pallas_rng;
+    # measured neutral at 1e6 on v5e — kernel transcendentals + operand
+    # materialization offset the saved threefry chain; off-TPU the same
+    # kernel consumes threefry bits); 'hash' = counter-based murmur3 +
+    # Box-Muller (sources.hash_uniforms — identical distribution but
+    # SLOWER than threefry on TPU: the VPU has no native u32 multiply,
+    # +0.25 ms/step measured; kept for draw-compat with the magnetized
+    # engine's shard-invariant sampler). All samplers: same distributions,
+    # different draws.
+    rng_sampler: str = "auto"
 
     def __post_init__(self):
-        for f in ("dt", "p2c", "kbte", "kbti", "tol", "gamma", "exit_hist_vmax"):
+        for f in ("dt", "p2c", "kbte", "kbti", "tol", "tol_floor", "gamma",
+                  "exit_hist_vmax"):
             object.__setattr__(self, f, float(getattr(self, f)))
         for f in ("maxiter", "exit_hist_bins", "record_exit_after_step"):
             object.__setattr__(self, f, int(getattr(self, f)))
         if self.picard_init not in ("field", "extrapolate"):
             raise ValueError(f"unknown picard_init {self.picard_init!r}")
         if self.picard_accel not in ("none", "anderson", "anderson2"):
-            raise ValueError(f"unknown picard_accel {self.picard_accel!r}")
-        if self.rng_sampler not in ("hash", "threefry"):
+            from ..ops.accel import anderson_depth
+
+            if anderson_depth(self.picard_accel) is None:
+                raise ValueError(
+                    f"unknown picard_accel {self.picard_accel!r}"
+                )
+        if self.rng_sampler not in ("auto", "pallas", "hash", "threefry"):
             raise ValueError(f"unknown rng_sampler {self.rng_sampler!r}")
 
 
 class SheathState(struct.PyTreeNode):
     p: jax.Array  # (n,) x in grid coordinates
-    v: jax.Array  # (n, 3) velocities [m/s] (u, v, w)
+    # velocities [m/s] as three flat (n,) leaves: (n, 3) arrays cost
+    # lane-padding relayouts and slice/stack passes on every step (the
+    # round-3 intercept trace attributed ~0.1 ms/step at 1e6 to them);
+    # the ``v`` property provides the stacked view for diagnostics
+    u: jax.Array  # (n,) x velocity (the only field-accelerated component)
+    vy: jax.Array  # (n,)
+    vz: jax.Array  # (n,)
     q: jax.Array  # (n,) charge [C]
     m: jax.Array  # (n,) mass [kg]
     species: jax.Array  # (n,) int32: 1 = electron, 2 = ion (PIC_L_DD.py:241)
@@ -128,6 +157,18 @@ class SheathState(struct.PyTreeNode):
     rng: jax.Array  # PRNG key
     exit_hist: jax.Array  # (2, bins) outgoing-velocity histograms (e-, ion)
     step: jax.Array  # () int32
+
+    @property
+    def v(self) -> jax.Array:
+        """(n, 3) stacked velocity view (diagnostics/tests; not a leaf)."""
+        return jnp.stack([self.u, self.vy, self.vz], axis=-1)
+
+
+# old checkpoints stored the (n, 3) ``v`` leaf; split it on restore
+# (checkpoint.load(migrate=...), wired up by cli --resume)
+CHECKPOINT_MIGRATIONS = {
+    ".v": lambda a: {".u": a[:, 0], ".vy": a[:, 1], ".vz": a[:, 2]},
+}
 
 
 class StepMetrics(NamedTuple):
@@ -158,7 +199,9 @@ def init_state(
     j0 = deposit(p, w * v3[:, 0], ng, periodic=False, method=cfg.deposit_method)
     return SheathState(
         p=p,
-        v=v3,
+        u=v3[:, 0],
+        vy=v3[:, 1],
+        vz=v3[:, 2],
         q=q,
         m=m,
         species=jnp.asarray(species, jnp.int32),
@@ -197,54 +240,89 @@ def make_step(cfg: SheathConfig):
         key, k_therm_u, k_therm_v, k_reinj_x, k_reinj_v = jax.random.split(
             state.rng, 5
         )
-        use_hash = cfg.rng_sampler == "hash"
+        sampler = cfg.rng_sampler
+        if sampler == "auto":
+            # measured on v5e at 1e6 (round 3, after the flat-velocity
+            # state): threefry 0.94 ms/step vs pallas 1.0 — the hardware-
+            # PRNG sweep saves the (3, n) threefry chain but pays a
+            # similar amount in kernel transcendentals + operand
+            # materialization at the pallas_call boundary; threefry wins
+            # on both backends
+            sampler = "threefry"
+        use_hash = sampler == "hash"
         if use_hash:
             from ..sources import hash_normals, hash_uniforms, seed_from_key
 
-        p0, v0, active = state.p, state.v, state.active
+        p0, active = state.p, state.active
+        u0, vy0, vz0 = state.u, state.vy, state.vz
         q, m, species = state.q, state.m, state.species
         e0 = state.e
         n_slots = p0.shape[0]
-
-        def _normals3(k):
-            """(n, 3) standard normals from the configured sampler (the
-            hash path draws 4 streams and keeps 3 — still ~5x cheaper than
-            the threefry + erfinv chain at 1e6)."""
-            if use_hash:
-                z = hash_normals(seed_from_key(k), n_slots, 2, p0.dtype.type)
-                return jnp.stack([z[0], z[1], z[2]], axis=-1)
-            return jax.random.normal(k, v0.shape, v0.dtype)
-
-        # --- Thermostat (PIC_L_DD.py:420-427): prob-gamma resample to Ti.
-        if cfg.gamma > 0.0:
-            u_th = (
-                hash_uniforms(seed_from_key(k_therm_u), n_slots, 1,
-                              p0.dtype.type)[0]
-                if use_hash else jax.random.uniform(k_therm_u, p0.shape)
-            )
-            hit = (active == ACTIVE) & (u_th < cfg.gamma)
-            sig = jnp.sqrt(cfg.kbti / m)
-            v_new = _normals3(k_therm_v) * sig[:, None]
-            v0 = jnp.where(hit[:, None], v_new, v0)
-
-        # --- Re-injection (PIC_L_DD.py:429-450): absorbed particles get a
-        # fresh uniform position and species-temperature Maxwellian.
-        lost = active != ACTIVE
-        if use_hash:
-            x_new = (
-                hash_uniforms(seed_from_key(k_reinj_x), n_slots, 1,
-                              p0.dtype.type)[0] * p0.dtype.type(cells)
-            )
-        else:
-            x_new = jax.random.uniform(k_reinj_x, p0.shape, p0.dtype, 0.0,
-                                       cells)
         kbt_per = jnp.where(species == 1, cfg.kbte, cfg.kbti)
-        v_new = _normals3(k_reinj_v) * jnp.sqrt(kbt_per / m)[:, None]
-        p0 = jnp.where(lost, x_new, p0)
-        v0 = jnp.where(lost[:, None], v_new, v0)
-        active = jnp.full_like(active, ACTIVE)
 
-        u0 = v0[:, 0]
+        if sampler == "pallas":
+            # Fused thermostat + re-injection sweep on the hardware PRNG
+            # (ops.pallas_rng): no (n, 3) random intermediate touches HBM.
+            from ..ops.pallas_rng import sheath_reinject_pallas
+            from ..sources import seed_from_key as _seed
+
+            p0, u0, vy0, vz0 = sheath_reinject_pallas(
+                _seed(k_reinj_x), k_reinj_v,
+                p0, u0, vy0, vz0,
+                active.astype(p0.dtype),
+                jnp.sqrt(kbt_per / m),
+                jnp.sqrt(cfg.kbti / m) if cfg.gamma > 0.0 else None,
+                cells=cells, gamma=cfg.gamma,
+            )
+            active = jnp.full_like(active, ACTIVE)
+        else:
+
+            def _normals3(k):
+                """Three (n,) standard-normal rows from the configured
+                sampler (rows of a (3, n) draw stay lanes-major — no
+                (n, 3) relayout)."""
+                if use_hash:
+                    z = hash_normals(seed_from_key(k), n_slots, 2,
+                                     p0.dtype.type)
+                    return z[0], z[1], z[2]
+                z = jax.random.normal(k, (3, n_slots), p0.dtype)
+                return z[0], z[1], z[2]
+
+            # --- Thermostat (PIC_L_DD.py:420-427): prob-gamma resample
+            # to Ti.
+            if cfg.gamma > 0.0:
+                u_th = (
+                    hash_uniforms(seed_from_key(k_therm_u), n_slots, 1,
+                                  p0.dtype.type)[0]
+                    if use_hash else jax.random.uniform(k_therm_u, p0.shape)
+                )
+                hit = (active == ACTIVE) & (u_th < cfg.gamma)
+                sig = jnp.sqrt(cfg.kbti / m)
+                z0, z1, z2 = _normals3(k_therm_v)
+                u0 = jnp.where(hit, z0 * sig, u0)
+                vy0 = jnp.where(hit, z1 * sig, vy0)
+                vz0 = jnp.where(hit, z2 * sig, vz0)
+
+            # --- Re-injection (PIC_L_DD.py:429-450): absorbed particles
+            # get a fresh uniform position and species-temperature
+            # Maxwellian.
+            lost = active != ACTIVE
+            if use_hash:
+                x_new = (
+                    hash_uniforms(seed_from_key(k_reinj_x), n_slots, 1,
+                                  p0.dtype.type)[0] * p0.dtype.type(cells)
+                )
+            else:
+                x_new = jax.random.uniform(k_reinj_x, p0.shape, p0.dtype,
+                                           0.0, cells)
+            sig_re = jnp.sqrt(kbt_per / m)
+            z0, z1, z2 = _normals3(k_reinj_v)
+            p0 = jnp.where(lost, x_new, p0)
+            u0 = jnp.where(lost, z0 * sig_re, u0)
+            vy0 = jnp.where(lost, z1 * sig_re, vy0)
+            vz0 = jnp.where(lost, z2 * sig_re, vz0)
+            active = jnp.full_like(active, ACTIVE)
+
         qm = q / m
 
         use_fused = cfg.backend == "fused" or (
@@ -290,11 +368,20 @@ def make_step(cfg: SheathConfig):
             return hist + upd.reshape(2, bins)
 
         # --- Picard loop (PIC_L_DD.py:458-533).
-        from ..ops.accel import anderson2_mix, anderson_mix, mix_init
+        from ..ops.accel import (
+            anderson2_mix,
+            anderson_depth,
+            anderson_m_mix,
+            anderson_mix,
+            mix_init,
+        )
 
         accel = cfg.picard_accel
+        accel_m = anderson_depth(accel)
 
         def _mix(es, eh, k, aux):
+            if accel_m is not None:
+                return anderson_m_mix(es, eh, k, aux, accel_m)
             if accel == "anderson":
                 return anderson_mix(es, eh, k, aux)
             if accel == "anderson2":
@@ -306,8 +393,17 @@ def make_step(cfg: SheathConfig):
             if cfg.picard_init == "extrapolate" else e0
         )
 
+        eps32 = float(jnp.finfo(jnp.float32).eps)
+
         def cond(carry):
-            return (carry[-2] > cfg.tol) & (carry[-1] < cfg.maxiter)
+            r, k = carry[-2], carry[-1]
+            keep = r > cfg.tol
+            if cfg.tol_floor > 0.0:
+                # carry[0] is the field iterate es in both loop layouts
+                keep = keep & (
+                    r > (cfg.tol_floor * eps32) * jnp.linalg.norm(carry[0])
+                )
+            return keep & (k < cfg.maxiter)
 
         def body(carry):
             es, ps, _, _, act, hist, aux, _, k = carry
@@ -405,11 +501,12 @@ def make_step(cfg: SheathConfig):
              k) = lax.while_loop(cond, body, carry0)
 
         is_active = active == ACTIVE
-        v1 = jnp.where(
-            is_active[:, None],
-            jnp.stack([u1, v0[:, 1], v0[:, 2]], axis=-1),
-            0.0,
-        )
+        # reference dead-state quirk: absorbed particles carry zero state
+        # until re-injection (PIC_L_DD.py:459-467); the KE metric below
+        # intentionally uses the raw finalize u1 (pre-mask), as before
+        u1s = jnp.where(is_active, u1, 0.0)
+        vy1 = jnp.where(is_active, vy0, 0.0)
+        vz1 = jnp.where(is_active, vz0, 0.0)
 
         phi = integrate_neg_trapz(e1, dx)
         phi = phi - jnp.max(phi)
@@ -426,8 +523,8 @@ def make_step(cfg: SheathConfig):
             phi=phi,
         )
         new_state = state.replace(
-            p=x1, v=v1, active=active, e=e1, j=j1, e_prev=e0, rng=key,
-            exit_hist=exit_hist, step=state.step + 1,
+            p=x1, u=u1s, vy=vy1, vz=vz1, active=active, e=e1, j=j1,
+            e_prev=e0, rng=key, exit_hist=exit_hist, step=state.step + 1,
         )
         return new_state, metrics
 

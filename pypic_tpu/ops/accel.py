@@ -22,7 +22,9 @@ from jax import lax
 
 def mix_init(e0, mode):
     """Initial accelerator carry. ``mode``: False/'none'/'damped' -> (),
-    True / 'anderson' -> (g_prev, f_prev), 'anderson2' -> two histories."""
+    True / 'anderson' -> (g_prev, f_prev), 'anderson2' -> two histories,
+    'andersonM' (M an integer >= 1, e.g. 'anderson5') -> (g_hist, f_hist)
+    ring buffers of M histories."""
     if mode in (False, None, "none", "damped"):
         return ()
     if mode in (True, "anderson"):
@@ -30,7 +32,21 @@ def mix_init(e0, mode):
     if mode == "anderson2":
         z = jnp.zeros_like(e0)
         return (z, z, z, z)
+    m = anderson_depth(mode)
+    if m is not None:
+        z = jnp.zeros((m + 1,) + e0.shape, e0.dtype)
+        return (z, z)
     raise ValueError(f"unknown accelerator mode {mode!r}")
+
+
+def anderson_depth(mode):
+    """Parse 'andersonM' -> M (int), else None ('anderson'/'anderson2'
+    keep their dedicated fixed-shape implementations)."""
+    if isinstance(mode, str) and mode.startswith("anderson"):
+        tail = mode[len("anderson"):]
+        if tail.isdigit() and int(tail) > 2:
+            return int(tail)
+    return None
 
 
 def damped_mix(es, eh, k, aux):
@@ -66,6 +82,74 @@ def anderson_mix(es, eh, k, aux, psum_axis: str | None = None):
     gamma = jnp.where(denom > 0, jnp.clip(gamma, -5.0, 5.0), 0.0)
     es_next = jnp.where(k > 0, eh - gamma * (eh - g_prev), eh)
     return es_next, (eh, f)
+
+
+def anderson_m_mix(es, eh, k, aux, m: int, psum_axis: str | None = None,
+                   reg: float = 1e-8):
+    """One Anderson(m) update over ring-buffered histories. Returns
+    (es_next, new_aux) with aux = (g_hist, f_hist), each ((m+1,) + es.shape)
+    holding the most recent map outputs / residuals (row 0 newest after the
+    update).
+
+    Solves the regularized normal equations for the least-squares
+    combination of the last ``min(k, m)`` residual differences
+    dF_j = f_{k-j+1} - f_{k-j} (Walker & Ni 2011, SIAM J. Numer. Anal. —
+    the standard Anderson acceleration; for a linear map this is GMRES on
+    the fixed-point residual, so depth m converges in at most
+    rank+1 iterations). Histories beyond k are masked out of the system, so
+    warm-up falls back smoothly (k == 0 is plain fixed point, k == 1 the
+    secant). Tikhonov ``reg`` times the diagonal scale keeps the f32 system
+    solvable when histories collinearize; steps clip like anderson_mix.
+    """
+    if aux == ():
+        return eh, aux
+    g_hist, f_hist = aux
+    f = eh - es
+
+    def _sum(x, axes):
+        s = jnp.sum(x, axis=axes)
+        return lax.psum(s, psum_axis) if psum_axis else s
+
+    # histories: row j holds (g, f) from iteration k-1-j (j < k valid)
+    dg = g_hist[:m] - g_hist[1:m + 1]  # (m, ng): dG_j = g_{k-j} - g_{k-j-1}
+    df = f_hist[:m] - f_hist[1:m + 1]
+    # row j uses g_{k-j} (valid once k >= j+1) and g_{k-j-1} (k >= j+2),
+    # except row 0 whose g_{k} is the current eh handled below — shift:
+    # we store AFTER computing, so at entry row j is from iteration k-1-j;
+    # dG_0 = g_k - g_{k-1} needs the current (eh, f):
+    dg = dg.at[1:].set(dg[:-1]).at[0].set(eh - g_hist[0])
+    df = df.at[1:].set(df[:-1]).at[0].set(f - f_hist[0])
+    valid = (jnp.arange(m) < k).astype(es.dtype)
+    df = df * valid[(...,) + (None,) * (df.ndim - 1)]
+    dg = dg * valid[(...,) + (None,) * (dg.ndim - 1)]
+
+    red_axes = tuple(range(1, df.ndim))
+    a = _sum(df[:, None] * df[None, :],
+             tuple(ax + 1 for ax in red_axes))  # (m, m)
+    b = _sum(df * f[None], red_axes)  # (m,)
+    scale = jnp.maximum(jnp.max(jnp.diagonal(a)), 1e-30)
+    a = a + (reg * scale + 1e-30) * jnp.eye(m, dtype=a.dtype)
+    gamma = jnp.linalg.solve(a, b)
+    # at the f32 residual floor the history differences are pure round-off
+    # noise and the (regularized) solve can still emit inf/nan — fall back
+    # to plain fixed point there rather than poisoning the iterate
+    gamma = jnp.where(jnp.isfinite(gamma), gamma, 0.0)
+    gamma = jnp.clip(gamma, -5.0, 5.0)
+    # trust region: the map is only piecewise-smooth (wall-absorption
+    # status flips between iterates), so a near-collinear history can
+    # produce a huge extrapolation that NaNs the next particle sweep —
+    # cap the correction at 10x the current residual norm
+    delta = jnp.tensordot(gamma, dg, axes=1)
+    dn = jnp.sqrt(_sum(delta * delta, tuple(range(delta.ndim))))
+    fn = jnp.sqrt(_sum(f * f, tuple(range(f.ndim))))
+    cap = 10.0 * fn
+    delta = delta * jnp.where(dn > cap, cap / jnp.maximum(dn, 1e-30), 1.0)
+    es_next = eh - delta
+    es_next = jnp.where(k > 0, es_next, eh)
+
+    g_hist = jnp.roll(g_hist, 1, axis=0).at[0].set(eh)
+    f_hist = jnp.roll(f_hist, 1, axis=0).at[0].set(f)
+    return es_next, (g_hist, f_hist)
 
 
 def anderson2_mix(es, eh, k, aux, psum_axis: str | None = None):

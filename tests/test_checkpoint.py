@@ -180,6 +180,65 @@ def test_restore_tolerates_added_state_field(tmp_path):
     assert manifest["step"] == 7
 
 
+def test_sheath_v_leaf_migration(tmp_path):
+    """A round-2 sheath checkpoint stored velocities as one (n, 3) ``v``
+    leaf; CHECKPOINT_MIGRATIONS splits it into the round-3 u/vy/vz leaves
+    bit-exactly on restore (checkpoint.load(migrate=...), applied by cli
+    --resume)."""
+    import dataclasses
+
+    import jax
+
+    grid = GridSpec(17, 1e-4, "dirichlet-dirichlet")
+    cfg = sheath.SheathConfig(
+        grid, 1e-12, 1e8, kbte=K_BOLTZMANN * 1e5, kbti=K_BOLTZMANN * 1e5
+    )
+    rng = np.random.default_rng(0)
+    n = 200
+    st = sheath.init_state(
+        rng.uniform(0, grid.length, n), rng.normal(size=(n, 3)),
+        np.full(n, -E_CHARGE), np.full(n, M_ELECTRON),
+        np.ones(n, np.int32), cfg,
+    )
+
+    # simulate the old layout: same leaves but with v stacked
+    @dataclasses.dataclass
+    class OldSheath:
+        p: object
+        v: object
+        q: object
+        m: object
+        species: object
+        active: object
+        e: object
+        j: object
+        e_prev: object
+        rng: object
+        exit_hist: object
+        step: object
+
+    jax.tree_util.register_dataclass(
+        OldSheath,
+        data_fields=["p", "v", "q", "m", "species", "active", "e", "j",
+                     "e_prev", "rng", "exit_hist", "step"],
+        meta_fields=[],
+    )
+    old = OldSheath(
+        p=st.p, v=np.asarray(st.v), q=st.q, m=st.m, species=st.species,
+        active=st.active, e=st.e, j=st.j, e_prev=st.e_prev, rng=st.rng,
+        exit_hist=st.exit_hist, step=st.step,
+    )
+    path = str(tmp_path / "old_sheath.npz")
+    checkpoint.save(path, old, step=5)
+    with pytest.raises(ValueError, match="not in the template"):
+        checkpoint.load(path, st)
+    restored, _ = checkpoint.load(path, st,
+                                  migrate=sheath.CHECKPOINT_MIGRATIONS)
+    np.testing.assert_array_equal(np.asarray(restored.u), np.asarray(st.u))
+    np.testing.assert_array_equal(np.asarray(restored.vy), np.asarray(st.vy))
+    np.testing.assert_array_equal(np.asarray(restored.vz), np.asarray(st.vz))
+
+
 def test_checkpoint_manager_strided_cadence(tmp_path):
     """maybe_save fires on every-boundary crossings even when the caller
     advances in strides that never hit exact multiples (the batched BCA

@@ -83,7 +83,7 @@ def test_thermostat_resamples_to_ion_temperature():
     ion temperature (PIC_L_DD.py:420-427)."""
     cfg, st, _ = _setup(n=20_000, gamma=1.0)
     # make electrons hot so the resample is visible
-    st = st.replace(v=st.v * 5.0)
+    st = st.replace(u=st.u * 5.0, vy=st.vy * 5.0, vz=st.vz * 5.0)
     fin, _ = run(sheath.make_step(cfg), st, 1)
     v = np.asarray(fin.v)
     m = np.asarray(fin.m)
@@ -96,15 +96,16 @@ def test_thermostat_resamples_to_ion_temperature():
         assert 0.9 * vth < std < 1.1 * vth, (sp, std, vth)
 
 
-def test_rng_sampler_hash_matches_threefry_distribution():
-    """'hash' (the default counter-based re-injection/thermostat sampler)
-    and 'threefry' draw from identical distributions: after the same run
-    length both produce the same sheath potential profile, loss statistics,
-    and re-injected velocity temperature within Monte-Carlo tolerance."""
+def test_rng_samplers_match_threefry_distribution():
+    """'hash' (counter-based) and 'pallas' (fused kernel; the off-TPU
+    interpret fallback feeds it threefry bits) draw re-injection/thermostat
+    randomness from the same distribution as 'threefry': after the same run
+    length all three produce the same sheath potential profile and loss
+    statistics within Monte-Carlo tolerance."""
     import dataclasses as dc
 
     outs = {}
-    for sampler in ("hash", "threefry"):
+    for sampler in ("hash", "pallas", "threefry"):
         cfg, st, te = _setup(n=20_000)
         cfg = dc.replace(cfg, rng_sampler=sampler)
         fin, m = run(sheath.make_step(cfg), st, 800)
@@ -114,17 +115,18 @@ def test_rng_sampler_hash_matches_threefry_distribution():
         k: np.asarray(m.phi, np.float64)[-200:].mean(axis=0)
         for k, (_, m) in outs.items()
     }
-    # same time-averaged sheath profile (stochastic-noise tolerance)
-    np.testing.assert_allclose(phis["hash"], phis["threefry"],
-                               atol=0.35 * te_volts)
     losses = {
         k: (np.asarray(m.n_lost_left) + np.asarray(m.n_lost_right))[
             -200:].mean()
         for k, (_, m) in outs.items()
     }
-    assert abs(losses["hash"] - losses["threefry"]) < 0.15 * max(
-        1.0, losses["threefry"]
-    ), losses
+    for sampler in ("hash", "pallas"):
+        # same time-averaged sheath profile (stochastic-noise tolerance)
+        np.testing.assert_allclose(phis[sampler], phis["threefry"],
+                                   atol=0.35 * te_volts)
+        assert abs(losses[sampler] - losses["threefry"]) < 0.15 * max(
+            1.0, losses["threefry"]
+        ), losses
     with pytest.raises(ValueError, match="rng_sampler"):
         dc.replace(cfg, rng_sampler="nope")
 
@@ -156,27 +158,34 @@ def test_wall_charge_current_terms():
     np.testing.assert_allclose(j[0], expected, rtol=1e-5)
 
 
-def test_sheath_anderson_fewer_iters_same_sheath():
-    """Anderson(1) mixing + extrapolated init: same fixed point and
-    tolerance, meaningfully fewer Picard iterations (the plain bounded
-    loop converges slowly, ~13-17), and the same sheath potential."""
+def test_sheath_floor_exit_and_anderson_fewer_iters_same_sheath():
+    """The f32 residual-floor exit (tol_floor, round 3): the reference's
+    absolute tolerance is unattainable in f32 once the field reaches sheath
+    magnitude, so without the floor the Picard loop grinds round-off to
+    maxiter; with it (default) the loop exits in a handful of iterations at
+    the same sheath potential. Anderson mixing + extrapolated init stays
+    no worse than the plain loop under the floor exit."""
     import dataclasses
 
     cfg, st, te = _setup(n=8_000)
+    cfg_grind = dataclasses.replace(cfg, tol_floor=0.0)
     cfg_a = dataclasses.replace(cfg, picard_init="extrapolate",
                                 picard_accel="anderson")
+    _, m_g = run(sheath.make_step(cfg_grind), st, 400)
     _, m_b = run(sheath.make_step(cfg), st, 400)
     _, m_a = run(sheath.make_step(cfg_a), st, 400)
-    it_b = np.asarray(m_b.picard_iters, np.float64).mean()
-    it_a = np.asarray(m_a.picard_iters, np.float64).mean()
-    # saving grows with problem size (12.6 -> 8.1 at n=5e4, PERF.md); at
-    # this small n the baseline already converges faster
-    assert it_a < it_b - 1.0, (it_a, it_b)
+    it_g = np.asarray(m_g.picard_iters, np.float64)[-200:].mean()
+    it_b = np.asarray(m_b.picard_iters, np.float64)[-200:].mean()
+    it_a = np.asarray(m_a.picard_iters, np.float64)[-200:].mean()
+    assert it_b < it_g - 2.0, (it_b, it_g)  # floor exit saves iterations
+    assert it_a <= it_b + 0.5, (it_a, it_b)  # mixing never hurts
+    phi_g = np.asarray(m_g.phi, np.float64)[-100:].mean(axis=0)
     phi_b = np.asarray(m_b.phi, np.float64)[-100:].mean(axis=0)
     phi_a = np.asarray(m_a.phi, np.float64)[-100:].mean(axis=0)
-    scale = np.abs(phi_b).max()
-    np.testing.assert_allclose(phi_a, phi_b, atol=0.05 * scale)
-    assert (np.asarray(m_a.n_active) == np.asarray(m_b.n_active)).mean() > 0.95
+    scale = np.abs(phi_g).max()
+    # same sheath with and without the floor exit / mixing
+    np.testing.assert_allclose(phi_b, phi_g, atol=0.05 * scale)
+    np.testing.assert_allclose(phi_a, phi_g, atol=0.05 * scale)
 
 
 def test_sheath_fused_backend_matches_composed():
