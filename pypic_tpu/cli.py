@@ -82,6 +82,10 @@ def _cmd_run(args):
                 if (hasattr(state, name) and hasattr(state, "e")
                         and f".{name}" not in leaf_paths):
                     refresh[name] = state.e
+            # magnetized: phi_prev (round-3 extrapolated Newton warm start)
+            if (hasattr(state, "phi_prev") and hasattr(state, "phi")
+                    and ".phi_prev" not in leaf_paths):
+                refresh["phi_prev"] = state.phi
             if refresh:
                 state = state.replace(**refresh)
                 print(f"seeded {sorted(refresh)} from the restored field "

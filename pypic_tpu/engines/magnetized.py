@@ -79,6 +79,14 @@ class MagnetizedConfig:
     smooth_rho: bool = False
     newton_tol: float = 1e-9  # pygcpic.py:1022
     newton_maxiter: int = 1000  # pygcpic.py:1023
+    # Newton warm start: 'previous' = the reference's warm start at the
+    # last phi (pygcpic.py:1046, the default); 'extrapolate' =
+    # 2 phi - phi_prev. Negative result (round 3, measured on pic_iead at
+    # 1e6 on v5e): extrapolation RAISES the mean Newton count 3.4 -> 3.8 —
+    # the stochastic wall-loss/re-activation noise in phi is amplified 2x
+    # by the linear prediction, outweighing the quasi-steady drift it
+    # tracks. Kept as an option for smooth (noise-free) configurations.
+    newton_warm: str = "previous"
     ionization: bool = False
     max_charge_state: int = 3  # pygcpic.py:1512 gate; 1 == reference quirk
     reactivate: str = "none"  # 'source' | 'capped-source' | 'flux' | 'none'
@@ -89,13 +97,21 @@ class MagnetizedConfig:
     # (pygcpic.py:1543-1563)
     source_n: int = 0
     # RNG for the full-capacity re-activation batch (all policies):
-    # 'hash' = counter-based mixer + Box-Muller / inverse-CDF
+    # 'threefry' = jax.random streams (sample_source_6d / sample_flux_6d);
+    # 'hash' = counter-based murmur3 mixer + Box-Muller
     # (sources.sample_source_6d_hash / sample_flux_6d_hash — identical
-    # distributions, ~0.1 ms/step cheaper at 1e6 capacity on v5e, and the
-    # only sampler whose draws are shard-count-invariant under
-    # data-parallel sharding); 'threefry' = jax.random streams
-    # (sample_source_6d / sample_flux_6d).
-    source_sampler: str = "hash"
+    # distributions, and the only sampler whose draws are shard-count-
+    # invariant under data-parallel sharding, so it is REQUIRED for
+    # axis_name runs). Round-3 device profile: the hash mixer is ~0.23 ms
+    # at 1e6 capacity on v5e (the VPU has no native u32 multiply; its
+    # Box-Muller sine fusion was the single largest XLA op in the step)
+    # vs ~0.14 for threefry; 'pallas' = zero-input hardware-PRNG kernel
+    # (ops.pallas_rng.source_batch_pallas — no operand-materialization tax,
+    # 'source'/'capped-source' only). 'auto' resolves at make_step: hash
+    # under data-parallel, pallas on single-device TPU, threefry otherwise
+    # (kept symbolic so dataclasses.replace(cfg, axis_name=...)
+    # re-resolves).
+    source_sampler: str = "auto"
     flux_limit: int = 0  # max re-activations/step on the 'flux' policy
     flux_gamma: float = 0.0  # perturbed-beam fraction (pygcpic.py:2008)
     flux_vx_pert: float = 0.0
@@ -171,8 +187,10 @@ class MagnetizedConfig:
             object.__setattr__(self, f, float(getattr(self, f)))
         object.__setattr__(self, "b", tuple(float(v) for v in self.b))
         object.__setattr__(self, "species_z", tuple(int(z) for z in self.species_z))
-        if self.source_sampler not in ("hash", "threefry"):
+        if self.source_sampler not in ("auto", "hash", "threefry", "pallas"):
             raise ValueError(f"unknown source_sampler {self.source_sampler!r}")
+        if self.newton_warm not in ("extrapolate", "previous"):
+            raise ValueError(f"unknown newton_warm {self.newton_warm!r}")
         if self.pusher not in ("boris", "gc"):
             raise ValueError(f"unknown pusher {self.pusher!r}")
         if self.gc_eom not in ("physical", "reference"):
@@ -180,12 +198,13 @@ class MagnetizedConfig:
         if self.pusher == "gc" and not any(v != 0.0 for v in self.b):
             raise ValueError("pusher='gc' requires a nonzero magnetic field")
         if self.axis_name is not None:
-            if self.reactivate != "none" and self.source_sampler != "hash":
+            if self.reactivate != "none" and self.source_sampler in (
+                    "threefry", "pallas"):
                 raise ValueError(
                     "data-parallel re-activation needs source_sampler="
                     "'hash' (slot-offset counters give shard-invariant "
                     "draws; a replicated threefry key would draw the SAME "
-                    "batch on every shard)"
+                    "batch on every shard) — 'auto' resolves to hash here"
                 )
             if self.impact_buffer_size > 0:
                 raise ValueError(
@@ -200,9 +219,17 @@ class MagnetizedState(struct.PyTreeNode):
     # position, v the 6D velocity; mode 1 (cfg.pusher='gc') — (p, yz) is
     # the GUIDING CENTER and v packs [v_par, mu, 0] (the reference's
     # r-vector layout in GC coordinates, pygcpic.py:547-549).
+    # Lateral positions / velocities are flat (n,) leaves (round 3): the
+    # (n, 2)/(n, 3) stacked forms cost slice/stack materializations at the
+    # Pallas-call boundaries and cross-layout reduces (~0.25 ms/step at
+    # 1e6 in the device profile); the ``yz``/``v`` properties provide the
+    # stacked diagnostic views.
     p: jax.Array  # (n,) x in grid coordinates
-    yz: jax.Array  # (n, 2) lateral positions [m]
-    v: jax.Array  # (n, 3) velocities [m/s] (mode 1: [v_par, mu, 0])
+    y: jax.Array  # (n,) lateral position [m]
+    z: jax.Array  # (n,) lateral position [m]
+    vx: jax.Array  # (n,) [m/s] (mode 1: v_par)
+    vy: jax.Array  # (n,) [m/s] (mode 1: mu)
+    vz: jax.Array  # (n,) [m/s] (mode 1: 0)
     m: jax.Array  # (n,) mass [kg]
     charge_state: jax.Array  # (n,) charge number (float)
     p2c: jax.Array  # (n,)
@@ -213,6 +240,7 @@ class MagnetizedState(struct.PyTreeNode):
     from_wall: jax.Array  # (n,) int32 (BCA products)
     mode: jax.Array  # (n,) int32 {0: 6D, 1: guiding-center} (pygcpic.py:101)
     phi: jax.Array  # (ng,) potential [V]
+    phi_prev: jax.Array  # (ng,) previous-step potential (Newton warm start)
     n0: jax.Array  # () Boltzmann electron reference density
     p_old: jax.Array  # () previous trapz(exp(phi/Te)) (pygcpic.py:891)
     added: jax.Array  # () particle-creation ledger (pygcpic.py:1111-1117)
@@ -220,6 +248,24 @@ class MagnetizedState(struct.PyTreeNode):
     iead: jax.Array  # (S, ne, na) wall-impact histograms per species
     iead_out: jax.Array  # (S, ne, na) sheath-escape histograms (pygcpic.py:1426)
     step: jax.Array  # () int32
+
+    @property
+    def v(self) -> jax.Array:
+        """(n, 3) stacked velocity view (diagnostics/tests; not a leaf)."""
+        return jnp.stack([self.vx, self.vy, self.vz], axis=-1)
+
+    @property
+    def yz(self) -> jax.Array:
+        """(n, 2) stacked lateral-position view (not a leaf)."""
+        return jnp.stack([self.y, self.z], axis=-1)
+
+
+# old checkpoints stored stacked (n, 2)/(n, 3) leaves; split on restore
+# (checkpoint.load(migrate=...), wired up by cli --resume)
+CHECKPOINT_MIGRATIONS = {
+    ".yz": lambda a: {".y": a[:, 0], ".z": a[:, 1]},
+    ".v": lambda a: {".vx": a[:, 0], ".vy": a[:, 1], ".vz": a[:, 2]},
+}
 
 
 class StepMetrics(NamedTuple):
@@ -314,10 +360,15 @@ def init_state(
     ne, na = cfg.iead_bins
     s = len(cfg.species_z)
     n = cap
+    yz_a = np.zeros((n, 2)) if yz is None else np.asarray(yz)
+    v3 = np.asarray(v3)
     state = MagnetizedState(
         p=p,
-        yz=jnp.zeros((n, 2), dtype) if yz is None else jnp.asarray(yz, dtype),
-        v=jnp.asarray(v3, dtype),
+        y=jnp.asarray(yz_a[:, 0], dtype),
+        z=jnp.asarray(yz_a[:, 1], dtype),
+        vx=jnp.asarray(v3[:, 0], dtype),
+        vy=jnp.asarray(v3[:, 1], dtype),
+        vz=jnp.asarray(v3[:, 2], dtype),
         m=jnp.broadcast_to(jnp.asarray(m, dtype), (n,)),
         charge_state=jnp.broadcast_to(jnp.asarray(charge_state, dtype), (n,)),
         p2c=jnp.broadcast_to(jnp.asarray(p2c, dtype), (n,)),
@@ -328,6 +379,7 @@ def init_state(
         from_wall=jnp.zeros((n,), jnp.int32),
         mode=jnp.zeros((n,), jnp.int32),
         phi=jnp.zeros((grid.ng,), dtype),
+        phi_prev=jnp.zeros((grid.ng,), dtype),
         n0=jnp.asarray(0.0, dtype),
         p_old=jnp.asarray(0.0, dtype),
         added=jnp.asarray(0.0, dtype),
@@ -345,8 +397,11 @@ def init_state(
         )
         state = state.replace(
             p=jnp.where(is_gc, p_g, state.p),
-            yz=jnp.where(is_gc[:, None], yz_g, state.yz),
-            v=jnp.where(is_gc[:, None], v_g, state.v),
+            y=jnp.where(is_gc, yz_g[:, 0], state.y),
+            z=jnp.where(is_gc, yz_g[:, 1], state.z),
+            vx=jnp.where(is_gc, v_g[:, 0], state.vx),
+            vy=jnp.where(is_gc, v_g[:, 1], state.vy),
+            vz=jnp.where(is_gc, v_g[:, 2], state.vz),
             mode=is_gc.astype(jnp.int32),
         )
     return state
@@ -376,19 +431,24 @@ def make_inject(cfg: MagnetizedConfig):
                species_idx, t, valid):
         n_new = jnp.sum(valid.astype(jnp.int32))
         inactive = state.active != 1
-        new_fields = [jnp.asarray(x) / dx, jnp.asarray(yz), jnp.asarray(v),
+        yz = jnp.asarray(yz)
+        v = jnp.asarray(v)
+        new_fields = [jnp.asarray(x) / dx, yz[:, 0], yz[:, 1],
+                      v[:, 0], v[:, 1], v[:, 2],
                       jnp.asarray(m), jnp.asarray(charge_state),
                       jnp.asarray(p2c), jnp.asarray(species_idx),
                       jnp.asarray(t)]
-        old_fields = [state.p, state.yz, state.v, state.m, state.charge_state,
+        old_fields = [state.p, state.y, state.z, state.vx, state.vy,
+                      state.vz, state.m, state.charge_state,
                       state.p2c, state.species_idx, state.t]
         updated, take, n_injected = place_rows(
             inactive, new_fields, n_new, old_fields, valid=valid
         )
-        p_u, yz_u, v_u, m_u, cs_u, p2c_u, sp_u, t_u = updated
+        (p_u, y_u, z_u, vx_u, vy_u, vz_u, m_u, cs_u, p2c_u, sp_u,
+         t_u) = updated
         new_state = state.replace(
-            p=p_u, yz=yz_u, v=v_u, m=m_u, charge_state=cs_u, p2c=p2c_u,
-            species_idx=sp_u, t=t_u,
+            p=p_u, y=y_u, z=z_u, vx=vx_u, vy=vy_u, vz=vz_u, m=m_u,
+            charge_state=cs_u, p2c=p2c_u, species_idx=sp_u, t=t_u,
             active=jnp.where(take, 1, state.active),
             at_wall=jnp.where(take, 0, state.at_wall),
             from_wall=jnp.where(take, 1, state.from_wall),
@@ -435,19 +495,21 @@ def make_step(cfg: MagnetizedConfig):
 
         return lax.cond(state.step == 0, first, later, None)
 
-    def _iead_accumulate(iead, state, hit):
+    def _iead_accumulate(iead, species_idx, m, vdx, vdy, vdz, hit):
         """Wall-impact energy-angle histogram (pygcpic.py:1239-1262).
 
         Out-of-range impacts are excluded, matching np.histogram2d's range
         semantics (pygcpic.py:1259: range=[[0, emax], [0, amax]] discards
         values beyond the range rather than clipping them into edge bins);
         values exactly at the upper edge land in the last bin, as numpy's do.
+        Velocities arrive as flat components (the stacked (n, 3) form cost
+        a cross-layout multiply-reduce, ~0.1 ms/step at 1e6).
         """
         ne, na = cfg.iead_bins
-        v = state.v
-        energy_ev = 0.5 * state.m * jnp.sum(v * v, axis=-1) / E_CHARGE
-        vyz = jnp.sqrt(v[:, 1] ** 2 + v[:, 2] ** 2)
-        angle = jnp.arctan2(vyz, jnp.abs(v[:, 0])) * (180.0 / jnp.pi)
+        energy_ev = (0.5 * m * (vdx * vdx + vdy * vdy + vdz * vdz)
+                     / E_CHARGE)
+        vyz = jnp.sqrt(vdy ** 2 + vdz ** 2)
+        angle = jnp.arctan2(vyz, jnp.abs(vdx)) * (180.0 / jnp.pi)
         in_range = (
             (energy_ev >= 0.0) & (energy_ev <= cfg.iead_energy_max)
             & (angle >= 0.0) & (angle <= cfg.iead_angle_max)
@@ -458,7 +520,7 @@ def make_step(cfg: MagnetizedConfig):
         ai = jnp.clip(
             (angle * (na / cfg.iead_angle_max)).astype(jnp.int32), 0, na - 1
         )
-        flat = (state.species_idx * (ne * na) + ei * na + ai)
+        flat = (species_idx * (ne * na) + ei * na + ai)
         # histogram as a width-0 tent deposit (TPU path; the XLA scatter
         # serializes and dominated the whole step, 8.8 ms at 1e6 on v5e) —
         # the cast also avoids the x64 float64-into-float32 scatter error.
@@ -531,15 +593,23 @@ def make_step(cfg: MagnetizedConfig):
             rho = smooth_bounded(rho)
 
         if dirichlet_neumann:
+            phi_warm = (
+                2.0 * state.phi - state.phi_prev
+                if cfg.newton_warm == "extrapolate" else state.phi
+            )
             res = solve_boltzmann_dirichlet_neumann(
-                n_dens, n0, cfg.te, dx, state.phi,
+                n_dens, n0, cfg.te, dx, phi_warm,
                 tol=1e-3, maxiter=100,
             )
         else:
+            phi_warm = (
+                2.0 * state.phi - state.phi_prev
+                if cfg.newton_warm == "extrapolate" else state.phi
+            )
             res = solve_boltzmann_dirichlet(
                 rho, n0, cfg.te, dx,
                 tol=cfg.newton_tol, maxiter=cfg.newton_maxiter,
-                phi0=state.phi,
+                phi0=phi_warm,
             )
         phi = res.phi
         e_field = grad_neg_bounded(phi, dx)
@@ -553,39 +623,40 @@ def make_step(cfg: MagnetizedConfig):
                 is_active, gather(e_field, state.p, periodic=False), 0.0
             )
             x_si = state.p * dx
+            v_st = state.v  # stacked views (cold path: GC mixes 6D/GC)
+            yz_st = state.yz
             # 6D Boris for neutral / not-yet-promoted particles
             x1_b, yz1_b, v1_b = boris_push_dt(
-                x_si, state.yz, state.v, e_p, b, state.charge_state,
+                x_si, yz_st, v_st, e_p, b, state.charge_state,
                 state.m, dt,
             )
             # GC RK4 for mode-1 particles: v packs [v_par, mu, 0]
-            pos3 = jnp.stack([x_si, state.yz[:, 0], state.yz[:, 1]], axis=-1)
+            pos3 = jnp.stack([x_si, state.y, state.z], axis=-1)
             zeros = jnp.zeros_like(e_p)
             e3 = jnp.stack([e_p, zeros, zeros], axis=-1)
             cs_safe = jnp.where(is_gc, state.charge_state,
                                 jnp.ones_like(state.charge_state))
-            vpar_safe = jnp.where(state.v[:, 0] != 0.0, state.v[:, 0],
-                                  jnp.ones_like(state.v[:, 0])) \
-                if cfg.gc_eom == "reference" else state.v[:, 0]
+            vpar_safe = jnp.where(state.vx != 0.0, state.vx,
+                                  jnp.ones_like(state.vx)) \
+                if cfg.gc_eom == "reference" else state.vx
             x1_g3, vpar1, _ = gc_push_rk4(
-                pos3, vpar_safe, state.v[:, 1], e3, b, cs_safe, state.m,
+                pos3, vpar_safe, state.vy, e3, b, cs_safe, state.m,
                 dt, eom_form=cfg.gc_eom,
-            )
-            v_gc1 = jnp.stack(
-                [vpar1, state.v[:, 1], jnp.zeros_like(vpar1)], axis=-1
             )
             p1 = jnp.where(
                 is_gc, x1_g3[:, 0] / dx,
                 jnp.where(is_active, x1_b / dx, state.p),
             )
-            yz1 = jnp.where(
-                is_gc[:, None], x1_g3[:, 1:3],
-                jnp.where(is_active[:, None], yz1_b, state.yz),
-            )
-            v1 = jnp.where(
-                is_gc[:, None], v_gc1,
-                jnp.where(is_active[:, None], v1_b, state.v),
-            )
+            y1 = jnp.where(is_gc, x1_g3[:, 1],
+                           jnp.where(is_active, yz1_b[:, 0], state.y))
+            z1 = jnp.where(is_gc, x1_g3[:, 2],
+                           jnp.where(is_active, yz1_b[:, 1], state.z))
+            vx1 = jnp.where(is_gc, vpar1,
+                            jnp.where(is_active, v1_b[:, 0], state.vx))
+            vy1 = jnp.where(is_gc, state.vy,
+                            jnp.where(is_active, v1_b[:, 1], state.vy))
+            vz1 = jnp.where(is_gc, jnp.zeros_like(vpar1),
+                            jnp.where(is_active, v1_b[:, 2], state.vz))
         elif fused:
             from ..ops.pallas_cic import boris_gather_push_pallas
 
@@ -593,13 +664,11 @@ def make_step(cfg: MagnetizedConfig):
             act_f = is_active.astype(state.p.dtype)
             p1, vx1, vy1, vz1 = boris_gather_push_pallas(
                 e_field, state.p,
-                state.v[:, 0], state.v[:, 1], state.v[:, 2],
+                state.vx, state.vy, state.vz,
                 const, act_f, b=cfg.b, dt=dt, dt_dx=dt / dx,
             )
-            v1 = jnp.stack([vx1, vy1, vz1], axis=-1)
-            yz1 = jnp.where(
-                is_active[:, None], state.yz + dt * v1[:, 1:], state.yz
-            )
+            y1 = jnp.where(is_active, state.y + dt * vy1, state.y)
+            z1 = jnp.where(is_active, state.z + dt * vz1, state.z)
         else:
             e_p = jnp.where(
                 is_active, gather(e_field, state.p, periodic=False), 0.0
@@ -610,8 +679,11 @@ def make_step(cfg: MagnetizedConfig):
                 state.m, dt,
             )
             p1 = jnp.where(is_active, x1 / dx, state.p)
-            yz1 = jnp.where(is_active[:, None], yz1, state.yz)
-            v1 = jnp.where(is_active[:, None], v1, state.v)
+            y1 = jnp.where(is_active, yz1[:, 0], state.y)
+            z1 = jnp.where(is_active, yz1[:, 1], state.z)
+            vx1 = jnp.where(is_active, v1[:, 0], state.vx)
+            vy1 = jnp.where(is_active, v1[:, 1], state.vy)
+            vz1 = jnp.where(is_active, v1[:, 2], state.vz)
         t1 = jnp.where(is_active, state.t + dt, state.t)
 
         # Dirichlet walls (pygcpic.py:668-689)
@@ -621,16 +693,20 @@ def make_step(cfg: MagnetizedConfig):
         if cfg.pusher == "gc":
             # IEAD / impact diagnostics need the physical 6D velocity:
             # reconstruct with a random gyro-phase (pygcpic.py:553-596)
-            v6 = _gc_unpack_v(k_gyro, p1, yz1, v1, state.charge_state,
-                              state.m, cfg)
-            v_diag = jnp.where(is_gc[:, None], v6, v1)
+            yz1_st = jnp.stack([y1, z1], axis=-1)
+            v1_st = jnp.stack([vx1, vy1, vz1], axis=-1)
+            v6 = _gc_unpack_v(k_gyro, p1, yz1_st, v1_st,
+                              state.charge_state, state.m, cfg)
+            vdx = jnp.where(is_gc, v6[:, 0], vx1)
+            vdy = jnp.where(is_gc, v6[:, 1], vy1)
+            vdz = jnp.where(is_gc, v6[:, 2], vz1)
         else:
-            v_diag = v1
-        state_after_push = state.replace(v=v_diag)
+            vdx, vdy, vdz = vx1, vy1, vz1
 
         iead = state.iead
         if cfg.iead_energy_max > 0.0:
-            iead = _iead_accumulate(iead, state_after_push, hit)
+            iead = _iead_accumulate(iead, state.species_idx, state.m,
+                                    vdx, vdy, vdz, hit)
 
         # Wall-impact (E, theta) rows for the BCA coupling (fixed-shape form
         # of the reference's per-step lists, pygcpic.py:1516-1527).
@@ -638,10 +714,10 @@ def make_step(cfg: MagnetizedConfig):
         if cap > 0:
             from ..utils import pack_rows
 
-            energy_ev = (0.5 * state.m * jnp.sum(v_diag * v_diag, axis=-1)
-                         / E_CHARGE)
-            vyz = jnp.sqrt(v_diag[:, 1] ** 2 + v_diag[:, 2] ** 2)
-            angle = jnp.arctan2(vyz, jnp.abs(v_diag[:, 0])) * (180.0 / jnp.pi)
+            energy_ev = (0.5 * state.m
+                         * (vdx * vdx + vdy * vdy + vdz * vdz) / E_CHARGE)
+            vyz = jnp.sqrt(vdy ** 2 + vdz ** 2)
+            angle = jnp.arctan2(vyz, jnp.abs(vdx)) * (180.0 / jnp.pi)
             side = (p1 > cells).astype(energy_ev.dtype)
             rows = jnp.stack(
                 [energy_ev, angle, state.species_idx.astype(energy_ev.dtype),
@@ -667,7 +743,8 @@ def make_step(cfg: MagnetizedConfig):
             )
             active = jnp.where(escaped, 0, active)
             if cfg.iead_energy_max > 0.0:
-                iead_out = _iead_accumulate(iead_out, state_after_push, escaped)
+                iead_out = _iead_accumulate(iead_out, state.species_idx,
+                                            state.m, vdx, vdy, vdz, escaped)
             n_escaped = jnp.sum(escaped.astype(jnp.int32))
 
         # MCC ionization (pygcpic.py:1510-1513)
@@ -693,11 +770,17 @@ def make_step(cfg: MagnetizedConfig):
                 # promote it to GC coordinates (6D -> GC at its current
                 # position/velocity)
                 promote = ionized & (mode == 0)
-                p_g, yz_g, v_g = _gc_pack(p1, yz1, v1, charge_state,
-                                          state.m, cfg)
+                p_g, yz_g, v_g = _gc_pack(
+                    p1, jnp.stack([y1, z1], axis=-1),
+                    jnp.stack([vx1, vy1, vz1], axis=-1), charge_state,
+                    state.m, cfg,
+                )
                 p1 = jnp.where(promote, p_g, p1)
-                yz1 = jnp.where(promote[:, None], yz_g, yz1)
-                v1 = jnp.where(promote[:, None], v_g, v1)
+                y1 = jnp.where(promote, yz_g[:, 0], y1)
+                z1 = jnp.where(promote, yz_g[:, 1], z1)
+                vx1 = jnp.where(promote, v_g[:, 0], vx1)
+                vy1 = jnp.where(promote, v_g[:, 1], vy1)
+                vz1 = jnp.where(promote, v_g[:, 2], vz1)
                 mode = jnp.where(promote, 1, mode)
 
         # Re-activation (pygcpic.py:691-720; policies per driver)
@@ -726,8 +809,39 @@ def make_step(cfg: MagnetizedConfig):
                     counts, 0,
                 ))
                 rank = rank + before
-            src_kw = {}
-            if cfg.source_sampler == "hash":
+            src_kw = {"components": True}
+            src_sampler = cfg.source_sampler
+            if src_sampler == "auto":
+                # hash: the only shard-invariant draw (required under dp);
+                # pallas: zero-input hardware-PRNG kernel (fastest on TPU,
+                # ops.pallas_rng.source_batch_pallas); threefry otherwise
+                if ax:
+                    src_sampler = "hash"
+                elif (jax.default_backend() == "tpu"
+                      and cfg.reactivate in ("source", "capped-source")):
+                    src_sampler = "pallas"
+                else:
+                    src_sampler = "threefry"
+            if src_sampler == "pallas" and cfg.reactivate == "flux":
+                src_sampler = "threefry"  # flux needs the CDF table draw
+            if src_sampler == "pallas":
+                from ..ops.pallas_rng import source_batch_pallas
+                from ..sources import seed_from_key as _seed
+
+                def sample_source(k, n_s, grid_s, ti_s, mass_s, vx=0.0,
+                                  components=True):
+                    vth = float(np.sqrt(K_BOLTZMANN * float(ti_s)
+                                        / float(mass_s)))
+                    length = grid_s.length
+                    x_b, bvx_, bvy_, bvz_ = source_batch_pallas(
+                        _seed(k), k, n_s, x_mu=length / 2.0,
+                        x_sigma=length / 12.0, x_wrap=length, vth=vth,
+                        vx=vx,
+                    )
+                    return {"x": x_b, "vx": bvx_, "vy": bvy_, "vz": bvz_}
+
+                sample_flux = None  # unreachable (flux falls back above)
+            elif src_sampler == "hash":
                 sample_source = sources.sample_source_6d_hash
                 sample_flux = sources.sample_flux_6d_hash
                 if ax:
@@ -766,23 +880,30 @@ def make_step(cfg: MagnetizedConfig):
                     vx=src.vx, gamma=cfg.flux_gamma, vx_pert=cfg.flux_vx_pert,
                     **src_kw,
                 )
-                batch["v"] = batch["v"].at[:, 0].set(
-                    -jnp.abs(batch["v"][:, 0])  # pygcpic.py:2059
-                )
+                batch["vx"] = -jnp.abs(batch["vx"])  # pygcpic.py:2059
                 take = inactive & (rank < cfg.flux_limit)
             bx = batch["x"] / dx
-            bv = batch["v"]
-            byz = jnp.zeros((k_batch, 2), bv.dtype)  # both samplers: yz = 0
+            bvx, bvy, bvz = batch["vx"], batch["vy"], batch["vz"]
+            by = jnp.zeros((k_batch,), bvx.dtype)  # both samplers: yz = 0
+            bz = by
             react_mode = 0
             if cfg.pusher == "gc" and src.charge_state != 0:
                 # charged re-activated particles enter in GC coordinates
-                cs_b = jnp.full((k_batch,), src.charge_state, bv.dtype)
-                m_b = jnp.full((k_batch,), src.mass, bv.dtype)
-                bx, byz, bv = _gc_pack(bx, byz, bv, cs_b, m_b, cfg)
+                cs_b = jnp.full((k_batch,), src.charge_state, bvx.dtype)
+                m_b = jnp.full((k_batch,), src.mass, bvx.dtype)
+                bx, byz_g, bv_g = _gc_pack(
+                    bx, jnp.stack([by, bz], axis=-1),
+                    jnp.stack([bvx, bvy, bvz], axis=-1), cs_b, m_b, cfg,
+                )
+                by, bz = byz_g[:, 0], byz_g[:, 1]
+                bvx, bvy, bvz = bv_g[:, 0], bv_g[:, 1], bv_g[:, 2]
                 react_mode = 1
             p1 = jnp.where(take, bx, p1)
-            yz1 = jnp.where(take[:, None], byz, yz1)
-            v1 = jnp.where(take[:, None], bv, v1)
+            y1 = jnp.where(take, by, y1)
+            z1 = jnp.where(take, bz, z1)
+            vx1 = jnp.where(take, bvx, vx1)
+            vy1 = jnp.where(take, bvy, vy1)
+            vz1 = jnp.where(take, bvz, vz1)
             mode = jnp.where(take, react_mode, mode)
             m_arr = jnp.where(take, src.mass, m_arr)
             charge_state = jnp.where(take, src.charge_state, charge_state)
@@ -815,9 +936,11 @@ def make_step(cfg: MagnetizedConfig):
             n_escaped=_allreduce(n_escaped),
         )
         new_state = state.replace(
-            p=p1, yz=yz1, v=v1, m=m_arr, charge_state=charge_state,
+            p=p1, y=y1, z=z1, vx=vx1, vy=vy1, vz=vz1, m=m_arr,
+            charge_state=charge_state,
             p2c=p2c_arr, species_idx=sp_arr, t=t1, active=active,
             at_wall=at_wall, from_wall=fw, mode=mode, phi=phi,
+            phi_prev=state.phi,
             n0=n0, p_old=p_old, added=added, rng=key, iead=iead,
             iead_out=iead_out, step=state.step + 1,
         )

@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_cic import _DEFAULT_BLOCK, _as_blocks, _interpret
 
-__all__ = ["sheath_reinject_pallas"]
+__all__ = ["sheath_reinject_pallas", "source_batch_pallas"]
 
 
 def _u01(bits):
@@ -117,6 +117,80 @@ def _reinject_kernel(
     u1_ref[0, 0, :] = u1
     vy1_ref[0, 0, :] = vy1
     vz1_ref[0, 0, :] = vz1
+
+
+def _source_batch_kernel(seed_ref, bits_ref, x_ref, vx_ref, vy_ref, vz_ref,
+                         *, x_mu, x_sigma, x_wrap, vth, vx, block, hw_prng):
+    """Volumetric-source batch draw (pygcpic.py:723-755 distribution):
+    x ~ N(x_mu, x_sigma) wrapped mod x_wrap, each velocity component
+    ~ N(vx, vth). Runs with ZERO per-particle inputs — unlike the sheath
+    re-injection sweep there is no operand-materialization tax at the
+    pallas boundary, so the hardware PRNG wins outright here."""
+    if hw_prng:
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        bits = jax.lax.bitcast_convert_type(
+            pltpu.prng_random_bits((4, block)), jnp.uint32
+        )
+    else:
+        bits = bits_ref[0]
+    u = _u01(bits)
+    r0 = jnp.sqrt(-2.0 * jnp.log(u[0]))
+    t0 = jnp.float32(_TWO_PI) * u[1]
+    r1 = jnp.sqrt(-2.0 * jnp.log(u[2]))
+    t1 = jnp.float32(_TWO_PI) * u[3]
+    z0 = r0 * jnp.cos(t0)
+    z1 = r0 * jnp.sin(t0)
+    z2 = r1 * jnp.cos(t1)
+    z3 = r1 * jnp.sin(t1)
+    x = z0 * jnp.float32(x_sigma) + jnp.float32(x_mu)
+    x = x - jnp.floor(x * jnp.float32(1.0 / x_wrap)) * jnp.float32(x_wrap)
+    x_ref[0, 0, :] = x
+    vx_ref[0, 0, :] = z1 * jnp.float32(vth) + jnp.float32(vx)
+    vy_ref[0, 0, :] = z2 * jnp.float32(vth) + jnp.float32(vx)
+    vz_ref[0, 0, :] = z3 * jnp.float32(vth) + jnp.float32(vx)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "x_mu", "x_sigma", "x_wrap", "vth", "vx", "block"),
+)
+def source_batch_pallas(seed, key, n: int, *, x_mu, x_sigma, x_wrap, vth,
+                        vx=0.0, block: int = _DEFAULT_BLOCK):
+    """Full-capacity volumetric Maxwellian source batch on the TPU
+    hardware PRNG. Returns flat (x, vx, vy, vz) arrays of length n (x in
+    the units of x_mu/x_sigma/x_wrap). ``key`` feeds the off-TPU interpret
+    fallback's threefry bits (same transform, different draws)."""
+    nb = (n + block - 1) // block
+    interpret = _interpret()
+    if interpret:
+        bits = jax.random.bits(key, (nb, 4, block), jnp.uint32)
+    else:
+        bits = jnp.zeros((1, 4, 8), jnp.uint32)
+    pspec = pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    bits_spec = (
+        pl.BlockSpec((1, 4, block), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM)
+        if interpret
+        else pl.BlockSpec((1, 4, 8), lambda i: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    )
+    outs = pl.pallas_call(
+        functools.partial(
+            _source_batch_kernel, x_mu=float(x_mu), x_sigma=float(x_sigma),
+            x_wrap=float(x_wrap), vth=float(vth), vx=float(vx), block=block,
+            hw_prng=not interpret,
+        ),
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), bits_spec],
+        out_specs=(pspec, pspec, pspec, pspec),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((nb, 1, block), jnp.float32)
+            for _ in range(4)
+        ),
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.uint32).reshape(1), bits)
+    return tuple(o.reshape(-1)[:n] for o in outs)
 
 
 @functools.partial(

@@ -30,6 +30,8 @@ shard_map = jax.shard_map
 _PARTICLE_FIELDS = frozenset({
     "p", "v", "q", "m", "yz", "charge_state", "p2c", "species", "species_idx",
     "t", "status", "active", "at_wall", "from_wall", "alive", "mode",
+    # round-3 flat component leaves (SheathState / MagnetizedState)
+    "u", "vx", "vy", "vz", "y", "z",
 })
 
 

@@ -28,13 +28,21 @@ from .grid import GridSpec
 
 
 def sample_source_6d(key, n: int, grid: GridSpec, ti: float, mass: float,
-                     vx: float = 0.0, dtype=jnp.float32):
-    """Volumetric Maxwellian source batch (pygcpic.py:723-755)."""
+                     vx: float = 0.0, dtype=jnp.float32,
+                     components: bool = False):
+    """Volumetric Maxwellian source batch (pygcpic.py:723-755).
+
+    ``components=True`` returns flat {"x", "vx", "vy", "vz"} rows drawn as
+    a (3, n) normal (lanes-major — no (n, 3) slice materialization in the
+    consumer; different draws than the stacked form, same distribution)."""
     kx, kv = jax.random.split(key)
     length = grid.length
     vth = float(np.sqrt(K_BOLTZMANN * float(ti) / float(mass)))
     x = jax.random.normal(kx, (n,), dtype) * (length / 12.0) + length / 2.0
     x = jnp.mod(x, length)
+    if components:
+        z = jax.random.normal(kv, (3, n), dtype) * vth + vx
+        return {"x": x, "vx": z[0], "vy": z[1], "vz": z[2]}
     v = jax.random.normal(kv, (n, 3), dtype) * vth + vx
     return {"x": x, "yz": jnp.zeros((n, 2), dtype), "v": v}
 
@@ -98,7 +106,7 @@ def seed_from_key(key):
 
 def sample_source_6d_hash(key, n: int, grid: GridSpec, ti: float,
                           mass: float, vx: float = 0.0, dtype=jnp.float32,
-                          slot_offset=0):
+                          slot_offset=0, components: bool = False):
     """``sample_source_6d`` on the counter-based generator: identical
     distribution (gaussian-in-x at L/2 sigma L/12 wrapped, Maxwellian
     3-velocity + vx on every component, pygcpic.py:723-755), ~10x cheaper
@@ -109,21 +117,28 @@ def sample_source_6d_hash(key, n: int, grid: GridSpec, ti: float,
     z = hash_normals(seed_from_key(key), n, 2, dtype, offset=slot_offset)
     x = jnp.mod(z[0] * dtype(length / 12.0) + dtype(length / 2.0),
                 dtype(length))
+    if components:
+        return {"x": x, "vx": z[1] * dtype(vth) + dtype(vx),
+                "vy": z[2] * dtype(vth) + dtype(vx),
+                "vz": z[3] * dtype(vth) + dtype(vx)}
     v = z[1:4].T * dtype(vth) + dtype(vx)
     return {"x": x, "yz": jnp.zeros((n, 2), dtype), "v": v}
 
 
 def sample_flux_6d(key, n: int, grid: GridSpec, ti: float, mass: float,
                    vx: float = 0.0, gamma: float = 0.0, vx_pert: float = 0.0,
-                   num_vels: int = 100, dtype=jnp.float32):
-    """Wall-flux source batch at the right wall (pygcpic.py:760-778)."""
+                   num_vels: int = 100, dtype=jnp.float32,
+                   components: bool = False):
+    """Wall-flux source batch at the right wall (pygcpic.py:760-778).
+    ``components=True``: see sample_source_6d."""
     kx, kv, kc, kj, kg = jax.random.split(key, 5)
     length = grid.length
     dx = grid.dx
     vth = float(np.sqrt(K_BOLTZMANN * float(ti) / float(mass)))
 
     x = length - dx * jax.random.uniform(kx, (n,), dtype)
-    v = jax.random.normal(kv, (n, 3), dtype) * vth
+    zc = jax.random.normal(kv, (2, n), dtype) * vth if components else None
+    v = None if components else jax.random.normal(kv, (n, 3), dtype) * vth
 
     # flux-weighted speed distribution on a [-6 vth, 6 vth] grid
     vels = jnp.linspace(-6.0 * vth, 6.0 * vth, num_vels, dtype=dtype)
@@ -137,6 +152,8 @@ def sample_flux_6d(key, n: int, grid: GridSpec, ti: float, mass: float,
     v_x = -jnp.abs(vels[idx]) + jitter + vx
     pert = jax.random.uniform(kg, (n,), dtype) < gamma
     v_x = jnp.where(pert, vx_pert * vth, v_x)
+    if components:
+        return {"x": x, "vx": v_x.astype(dtype), "vy": zc[0], "vz": zc[1]}
     v = v.at[:, 0].set(v_x)
     return {"x": x, "yz": jnp.zeros((n, 2), dtype), "v": v}
 
@@ -144,7 +161,8 @@ def sample_flux_6d(key, n: int, grid: GridSpec, ti: float, mass: float,
 def sample_flux_6d_hash(key, n: int, grid: GridSpec, ti: float, mass: float,
                         vx: float = 0.0, gamma: float = 0.0,
                         vx_pert: float = 0.0, num_vels: int = 100,
-                        dtype=jnp.float32, slot_offset=0):
+                        dtype=jnp.float32, slot_offset=0,
+                        components: bool = False):
     """``sample_flux_6d`` on the counter-based generator: identical
     distribution — the categorical table draw becomes an inverse-CDF lookup
     on a per-slot uniform (same pmf), Maxwellian 3-velocity via Box-Muller,
@@ -164,7 +182,9 @@ def sample_flux_6d_hash(key, n: int, grid: GridSpec, ti: float, mass: float,
     r2 = jnp.sqrt(-2.0 * jnp.log(u[2]))
     th1 = dtype(2.0 * np.pi) * u[3]
     th2 = dtype(2.0 * np.pi) * u[4]
-    v = jnp.stack(
+    zy = r1 * jnp.sin(th1) * dtype(vth)
+    zz = r2 * jnp.cos(th2) * dtype(vth)
+    v = None if components else jnp.stack(
         [r1 * jnp.cos(th1), r1 * jnp.sin(th1), r2 * jnp.cos(th2)], axis=-1
     ) * dtype(vth)
 
@@ -179,6 +199,8 @@ def sample_flux_6d_hash(key, n: int, grid: GridSpec, ti: float, mass: float,
     v_x = -jnp.abs(vels[idx]) + jitter + vx
     pert = u[7] < gamma
     v_x = jnp.where(pert, dtype(vx_pert * vth), v_x)
+    if components:
+        return {"x": x, "vx": v_x.astype(dtype), "vy": zy, "vz": zz}
     v = v.at[:, 0].set(v_x.astype(dtype))
     return {"x": x, "yz": jnp.zeros((n, 2), dtype), "v": v}
 

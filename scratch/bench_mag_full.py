@@ -6,7 +6,7 @@ sys.path.insert(0, "/root/repo")
 from pypic_tpu.presets import pic_iead
 
 N_PER = 1_000_000 // 6
-ITERS = 50
+ITERS = 400
 preset = pic_iead(n_per_species=N_PER)
 cfg, st = preset.config, preset.state
 step = preset.make_step()

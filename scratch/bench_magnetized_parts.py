@@ -27,6 +27,9 @@ variants = {
     "no-impacts": dict(impact_buffer_size=0),
     "no-reactivation": dict(reactivate="none"),
     "newton-1iter": dict(newton_maxiter=1),
+    # round-3: murmur3 hashing is expensive on the VPU (no native u32
+    # multiply) — compare the threefry re-activation batch sampler
+    "threefry-sampler": dict(source_sampler="threefry"),
 }
 
 for name, kw in variants.items():

@@ -145,7 +145,9 @@ def test_bca_escape_region_deactivates_wall_born():
     mid = cfg.grid.num_cells / 2.0
     st = st.replace(
         p=st.p.at[0].set(mid),
-        v=st.v.at[0].set(jnp.asarray([1.0, 0.0, 0.0], st.v.dtype)),
+        vx=st.vx.at[0].set(1.0),
+        vy=st.vy.at[0].set(0.0),
+        vz=st.vz.at[0].set(0.0),
         from_wall=st.from_wall.at[0].set(1),
         charge_state=st.charge_state.at[0].set(0.0),  # neutral: no cap refill
     )
@@ -166,7 +168,9 @@ def test_iead_excludes_out_of_range_impacts():
     v_huge = 5e6  # ~130 keV for H
     st = st.replace(
         p=st.p.at[0].set(0.5),
-        v=st.v.at[0].set(jnp.asarray([-v_huge, 0.0, 0.0], st.v.dtype)),
+        vx=st.vx.at[0].set(-v_huge),
+        vy=st.vy.at[0].set(0.0),
+        vz=st.vz.at[0].set(0.0),
     )
     step = magnetized.make_step(cfg)
     st2, m = step(st)

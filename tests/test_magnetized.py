@@ -188,6 +188,48 @@ def test_source_distribution_moments():
     np.testing.assert_allclose(np.asarray(b["v"]).std(axis=0), vth, rtol=0.02)
 
 
+def test_pallas_source_batch_distribution():
+    """source_batch_pallas (the single-device-TPU 'auto' sampler; the
+    off-TPU interpret fallback feeds it threefry bits) draws the
+    sample_source_6d distribution: wrapped gaussian x at (L/2, L/12),
+    Maxwellian + vx on every velocity component. Also exercised in-engine
+    via source_sampler='pallas' on the pic_iead workload."""
+    import dataclasses as dc
+
+    from pypic_tpu.ops.pallas_rng import source_batch_pallas
+    from pypic_tpu.presets import pic_iead
+    from pypic_tpu.runner import run as _run
+
+    ti, mass, vx = 10.0 * EV_TO_K, M_PROTON, 3e4
+    vth = np.sqrt(K_BOLTZMANN * ti / mass)
+    x, ux, uy, uz = source_batch_pallas(
+        jnp.uint32(9), jax.random.PRNGKey(9), 200_000,
+        x_mu=0.5, x_sigma=1.0 / 12.0, x_wrap=1.0, vth=float(vth), vx=vx,
+    )
+    x = np.asarray(x, np.float64)
+    assert (x >= 0).all() and (x <= 1.0).all()
+    assert abs(x.mean() - 0.5) < 0.01
+    assert abs(x.std() - 1.0 / 12.0) < 0.005
+    for comp in (ux, uy, uz):
+        c = np.asarray(comp, np.float64)
+        assert abs(c.std() - vth) < 0.02 * vth
+        assert abs(c.mean() - vx) < 0.02 * vth
+        z = (c - c.mean()) / c.std()
+        assert abs((z**3).mean()) < 0.05
+        assert abs((z**4).mean() - 3.0) < 0.1
+
+    # in-engine: same pic_iead physics as the threefry sampler
+    pre = pic_iead(n_per_species=400)
+    outs = {}
+    for sampler in ("threefry", "pallas"):
+        cfg = dc.replace(pre.config, source_sampler=sampler)
+        _, m = _run(magnetized.make_step(cfg), pre.state, 30)
+        outs[sampler] = np.asarray(m.phi_max, np.float64)
+    np.testing.assert_allclose(
+        outs["pallas"][5:].mean(), outs["threefry"][5:].mean(), rtol=0.05
+    )
+
+
 def test_hash_sampler_distribution_matches_threefry():
     """The counter-based sampler draws the same distribution as the
     jax.random one (gaussian-in-x wrapped, Maxwellian + vx velocities)."""
@@ -455,10 +497,13 @@ def test_magnetized_data_parallel_matches_single_device():
 
     steps = 30
     pre = pic_iead(n_per_species=400)  # n = 2400 = 8 * 300
-    _, m1 = run(magnetized.make_step(pre.config), pre.state, steps)
+    # pin the hash sampler on BOTH sides: single-device 'auto' resolves to
+    # threefry (round 3), but shard-invariance needs the counter sampler
+    cfg1 = dc.replace(pre.config, source_sampler="hash")
+    _, m1 = run(magnetized.make_step(cfg1), pre.state, steps)
 
     mesh = make_mesh(8)
-    cfg8 = dc.replace(pre.config, axis_name="particles")
+    cfg8 = dc.replace(cfg1, axis_name="particles")
     st8 = shard_state(pre.state, mesh)
     step8 = make_data_parallel_step(
         magnetized.make_step, cfg8, mesh, example_state=pre.state
@@ -565,7 +610,8 @@ def test_magnetized_dp_capped_source_matches_single_device():
     # (equally valid) randoms than the single-device stream, which would
     # obscure the allocation equivalence this test isolates
     cfg = dc.replace(pre.config, impact_buffer_size=0, bca_escape=False,
-                     ionization=False, source_n=pre.meta["source_n"] + 64)
+                     ionization=False, source_n=pre.meta["source_n"] + 64,
+                     source_sampler="hash")  # identical draws on both sides
     m1, m8 = _dp_vs_single(cfg, pre.state, 20)
     # the deficit-capped refill takes the same number of slots every step
     r1 = np.asarray(m1.n_reactivated).astype(int)
@@ -603,6 +649,7 @@ def test_magnetized_dp_flux_matches_single_device():
         grid, dt, te, b=(0.0, 0.0, 0.0), species_z=(1,),
         reactivate="flux", source=src, flux_limit=40,
         flux_gamma=0.5, flux_vx_pert=-3.0,
+        source_sampler="hash",  # identical draws on both sides
     )
     st = magnetized.init_state(x, v, M_PROTON, 1.0, p2c, 0, cfg, seed=5)
     m1, m8 = _dp_vs_single(cfg, st, 40)
@@ -761,8 +808,9 @@ def test_gc_engine_wall_iead_uses_reconstructed_6d():
     # plant it just outside (the wall check uses the pushed position)
     st = st.replace(
         p=st.p.at[0].set(-0.5),
-        v=st.v.at[0].set(jnp.asarray(
-            [1e5, 1e-19, 0.0], st.v.dtype)),  # vpar 1e5, mu 1e-19
+        vx=st.vx.at[0].set(1e5),  # vpar
+        vy=st.vy.at[0].set(1e-19),  # mu
+        vz=st.vz.at[0].set(0.0),
         active=st.active.at[0].set(1),
     )
     step = magnetized.make_step(cfg)
@@ -796,7 +844,9 @@ def test_gc_engine_neutral_stays_6d_and_reactivation_enters_gc():
     vx_n = 1e4
     st = st.replace(
         p=st.p.at[0].set(float(cfg.grid.num_cells) / 2.0),
-        v=st.v.at[0].set(jnp.asarray([vx_n, 0.0, 0.0], st.v.dtype)),
+        vx=st.vx.at[0].set(vx_n),
+        vy=st.vy.at[0].set(0.0),
+        vz=st.vz.at[0].set(0.0),
         charge_state=st.charge_state.at[0].set(0.0),
         mode=st.mode.at[0].set(0),
     )

@@ -270,3 +270,47 @@ def test_bounded_cic_particle_exactly_at_last_node():
     f = jnp.arange(ng, dtype=jnp.float64)
     g = np.asarray(gather(f, p, periodic=False, method="take"))
     assert np.isclose(g[0], 199.0)
+
+
+def test_anderson_m_accelerates_linear_map():
+    """anderson_m_mix on a linear contraction x -> Ax + b behaves like
+    GMRES on the fixed-point residual: depth-5 reaches a far smaller
+    residual than the Anderson(1) secant in the same iteration budget, and
+    the safeguards (finite-guard + trust region) never emit non-finite
+    iterates. Depths > 2 are reachable from the engines via
+    picard_accel='anderson5' (accel.anderson_depth)."""
+    import numpy as np
+    from pypic_tpu.ops.accel import (
+        anderson_depth,
+        anderson_m_mix,
+        anderson_mix,
+        mix_init,
+    )
+
+    assert anderson_depth("anderson5") == 5
+    assert anderson_depth("anderson2") is None  # dedicated impl
+    assert anderson_depth("none") is None
+
+    rng = np.random.default_rng(0)
+    dim = 51
+    q = rng.normal(size=(dim, dim))
+    a = 0.97 * q @ np.diag(rng.uniform(-1, 1, dim)) @ np.linalg.inv(q)
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(rng.normal(size=dim), jnp.float32)
+
+    def iterate(mode, mix, iters=25):
+        es = jnp.zeros(dim, jnp.float32)
+        aux = mix_init(es, mode)
+        res = None
+        for k in range(iters):
+            eh = a @ es + b
+            res = float(jnp.linalg.norm(eh - es))
+            es, aux = mix(es, eh, k, aux)
+            assert bool(jnp.all(jnp.isfinite(es))), (mode, k)
+        return res
+
+    r1 = iterate("anderson", lambda es, eh, k, aux:
+                 anderson_mix(es, eh, k, aux))
+    r5 = iterate("anderson5", lambda es, eh, k, aux:
+                 anderson_m_mix(es, eh, k, aux, 5))
+    assert r5 < r1 * 1e-2, (r5, r1)
