@@ -56,11 +56,20 @@ def _solve_tridiag_pscan(dl, d, du, b):
     vreg corner, wasting ~99% of every lane and making the ng=600 Newton
     inner solve the dominant cost of the whole magnetized step (measured
     ~3x faster in this form on v5e, scratch/bench_tridiag_layout.py).
+
+    Negative result (round 3): fusing the cp and dp recurrences into ONE
+    normalized projective scan of 3x3 homogeneous matrices (two scans
+    total instead of three) measured 1.45x SLOWER on the magnetized
+    Newton loop (while-loop device time 0.35 -> 0.50 ms/step at ng=600 on
+    v5e): the 3x3 combine is ~27 mults + 9 divs per stage vs the 2x2's
+    8 + 4, and at (600,) each scan stage's op count — not the stage
+    count — sets the cost.
     """
     squeeze = b.ndim == 1
-    cols = (b,) if squeeze else tuple(b[:, j] for j in range(b.shape[1]))
     a = dl.at[0].set(0.0)
     tiny = jnp.finfo(d.dtype).tiny
+
+    cols = (b,) if squeeze else tuple(b[:, j] for j in range(b.shape[1]))
 
     # cp via normalized projective scan: m_i = [[0, du_i], [-a_i, d_i]].
     m = (jnp.zeros_like(d), du, -a, d)
