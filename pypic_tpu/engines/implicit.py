@@ -116,6 +116,20 @@ class ImplicitConfig:
     # aiming the conserving fixed-count configs at fewer iterations for the
     # same drift (measured on the violent headline workload, PERF.md).
     finalize_field: str = "last"
+    # Shared-window Picard deposit (fused backend): reuse the gather's
+    # window decomposition + one-hot selector for the deposit
+    # (ops.pallas_cic._picard_iter_sw_kernel — the selector build is the
+    # second-largest VPU cost of the pass). The engine then seeds the
+    # position iterate at the free-streaming midpoint p0 + (dt/2dx) v0 so
+    # the deposit offset from the gather window is only an acceleration
+    # displacement; deposits clamped at the widened window edge are
+    # counted in the picard_clamped metric (0 in any sane configuration —
+    # nonzero means the field is violent enough to need 'separate').
+    # 'auto' currently = separate everywhere (pending the TPU A/B +
+    # drift re-verification — flip to shared-on-TPU when it lands);
+    # 'separate' = the round-2c two-decomposition pass (also the
+    # reference-matching ps0 = p0 seed).
+    window_share: str = "auto"
 
     def __post_init__(self):
         # numpy scalars are not weakly typed and would promote float32 state.
@@ -131,6 +145,8 @@ class ImplicitConfig:
             raise ValueError(f"unknown picard_accel {self.picard_accel!r}")
         if self.finalize_field not in ("last", "mean2"):
             raise ValueError(f"unknown finalize_field {self.finalize_field!r}")
+        if self.window_share not in ("auto", "shared", "separate"):
+            raise ValueError(f"unknown window_share {self.window_share!r}")
 
 
 class ImplicitState(struct.PyTreeNode):
@@ -157,6 +173,9 @@ class StepMetrics(NamedTuple):
     picard_residual: jax.Array
     tracer_x: jax.Array  # grid coords
     tracer_v: jax.Array
+    # deposits clamped at the shared-window edge (fused backend with
+    # window_share; always 0 on the separate-window and composed paths)
+    picard_clamped: jax.Array = 0
 
 
 def init_state(x, v, q, m, cfg: ImplicitConfig, dtype=jnp.float32) -> ImplicitState:
@@ -269,6 +288,7 @@ def make_step(cfg: ImplicitConfig):
         # (~4 ms/pass at a misaligned 1e8 on v5e).
         n = p0.shape[0]
         (p0_b, v0_b), _ = block_particles([p0, v0])
+        share = cfg.window_share == "shared"
 
         def cond(c):
             return (c["r"] > cfg.tol) & (c["k"] < cfg.maxiter)
@@ -278,7 +298,11 @@ def make_step(cfg: ImplicitConfig):
             outs = picard_iteration_pallas(
                 _smooth(es), c["ps"], p0_b, v0_b, ng,
                 qm=qm_s, w=w_s, dt=dt, dx=dx, emit_v=emit_v, n_valid=n,
+                share_window=share,
             )
+            if share:
+                ncl = c["ncl"] + outs[-1]
+                outs = outs[:-1]
             jh = _allreduce(outs[-1])
             e1 = e0 + (dt / EPSILON_0) * (jnp.mean(jh) - _smooth(jh))
             eh = 0.5 * (e1 + e0)
@@ -286,6 +310,8 @@ def make_step(cfg: ImplicitConfig):
             es_next, aux = _mix(es, eh, c["k"], c["aux"])
             nxt = dict(c, es=es_next, ps=outs[0], e1=e1, r=r, k=c["k"] + 1,
                        aux=aux)
+            if share:
+                nxt["ncl"] = ncl
             if keep_eh:
                 nxt["ehp"], nxt["eh"] = c["eh"], eh
             if keep_jh:
@@ -309,12 +335,21 @@ def make_step(cfg: ImplicitConfig):
         # the fixed-odd-count drift resonance, PERF.md).
         keep_eh = cfg.finalize_field == "mean2" and not emit_v
         es0 = _es0(state)
+        if share:
+            # free-streaming midpoint seed: keeps the deposit offset from
+            # the shared gather window at an acceleration displacement
+            ps0 = p0_b + (0.5 * dt_dx) * v0_b
+            ps0 = ps0 - jnp.floor(ps0 * (1.0 / ng)) * ng
+        else:
+            ps0 = p0_b  # the reference's first gather position (pypic.py:253)
         c0 = {
-            "es": es0, "ps": p0_b, "e1": e0,
+            "es": es0, "ps": ps0, "e1": e0,
             "r": jnp.asarray(jnp.inf, e0.dtype),
             "k": jnp.asarray(0, jnp.int32),
             "aux": _mix_init(e0),
         }
+        if share:
+            c0["ncl"] = jnp.asarray(0, jnp.int32)
         if keep_eh:
             c0["eh"] = es0
             c0["ehp"] = es0
@@ -366,6 +401,9 @@ def make_step(cfg: ImplicitConfig):
             picard_residual=r,
             tracer_x=_from_shard0(p1[cfg.tracer]),
             tracer_v=_from_shard0(v1[cfg.tracer]),
+            picard_clamped=(
+                _allreduce(c["ncl"]) if share else jnp.asarray(0, jnp.int32)
+            ),
         )
         new_state = state.replace(p=p1, v=v1, e=e1, j=j1, e_prev=state.e,
                                   e_prev2=state.e_prev, step=state.step + 1)
@@ -437,6 +475,7 @@ def make_step(cfg: ImplicitConfig):
             picard_residual=r,
             tracer_x=_from_shard0(p1[cfg.tracer]),
             tracer_v=_from_shard0(v1[cfg.tracer]),
+            picard_clamped=jnp.asarray(0, jnp.int32),
         )
         new_state = state.replace(p=p1, v=v1, e=e1, j=j1, e_prev=state.e,
                                   e_prev2=state.e_prev, step=state.step + 1)

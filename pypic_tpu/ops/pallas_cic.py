@@ -107,18 +107,22 @@ def _sel_t(k, num_k, dtype):
     return (k[None, :] == kid).astype(dtype)
 
 
-def _fold_windows(acc, ng: int, periodic: bool, stride: int):
+def _fold_windows(acc, ng: int, periodic: bool, stride: int,
+                  row_offset: int = 0):
     """(K, width) window accumulator -> (ng,) nodes (tiny O(K*width)
-    scatter; overlapping window rows fold additively)."""
+    scatter; overlapping window rows fold additively). ``row_offset``
+    shifts the node of row l to stride*k + l + row_offset (the
+    shared-window deposit pads tent rows below the window base)."""
     num_k, width = acc.shape
     kids = jnp.arange(num_k, dtype=jnp.int32)
-    g = (kids[:, None] * stride + jnp.arange(width, dtype=jnp.int32)[None, :]).reshape(-1)
+    g = (kids[:, None] * stride + jnp.arange(width, dtype=jnp.int32)[None, :]
+         + row_offset).reshape(-1)
     flat = acc.reshape(-1)
     if periodic:
-        g = g % ng
+        g = g % ng  # negative offsets wrap too (jnp mod semantics)
     else:
-        flat = jnp.where(g < ng, flat, 0.0)
-        g = jnp.minimum(g, ng - 1)
+        flat = jnp.where((g >= 0) & (g < ng), flat, 0.0)
+        g = jnp.clip(g, 0, ng - 1)
     return jnp.zeros((ng,), acc.dtype).at[g].add(flat)
 
 
@@ -941,6 +945,91 @@ def _picard_iter_kernel(
     _deposit_into(jh_ref, ph, vals, num_k, block, stride, width)
 
 
+def _picard_iter_sw_kernel(
+    scal_ref, fwin_ref, ps_ref, p0_ref, v0_ref, ph_ref, *rest,
+    num_k, ng, block, n_valid, stride, width, pad, emit_v,
+):
+    """Shared-window Picard pass: ONE window decomposition + selector
+    serves both the gather (at ps) and the deposit (at ph).
+
+    The selector build is the second-largest VPU cost of the separate-
+    window pass (~0.065 ms per column-build pair per 1e8 particles); the
+    midpoint iterate ph never strays more than an acceleration
+    displacement from ps once the engine seeds ps with the free-streaming
+    midpoint, so the deposit lands in ps's window widened by ``pad`` rows
+    on each side (rows cover nodes stride*k - pad .. stride*k + width - 1
+    + pad; _fold_windows(row_offset=-pad) wraps them onto the grid). The
+    nearest-image delta keeps periodic wraps exact; out-of-window
+    excursions (pathological fields only) are clamped to the widened edge
+    and COUNTED into the accumulator's extra row — the engine surfaces
+    the count as a metric so a silent charge misplacement is impossible.
+    """
+    if emit_v:
+        v1_ref, jh_ref = rest
+    else:
+        (jh_ref,) = rest
+    wp = width + 2 * pad
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        jh_ref[:] = jnp.zeros_like(jh_ref)
+
+    qm_dt = scal_ref[0, 0]
+    qm_dt2_half = scal_ref[1, 0]
+    dt_dx = scal_ref[2, 0]
+    w = scal_ref[3, 0]
+
+    ps = ps_ref[0, 0, :]
+    p0 = p0_ref[0, 0, :]
+    v0 = v0_ref[0, 0, :]
+
+    # one decomposition + one selector for the whole pass
+    k, d_s = _window_decompose(ps, num_k, stride)
+    sel_t = _sel_t(k, num_k, ps.dtype)  # (K, B)
+    tent_s = _tent_t(d_s, block, width)
+    frows_t = lax.dot_general(
+        fwin_ref[:], sel_t, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(ps.dtype)  # (width, B)
+    ones = jnp.ones((1, width), ps.dtype)
+    e_p = lax.dot_general(
+        ones, tent_s * frows_t, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(ps.dtype)[0]
+
+    p1 = p0 + dt_dx * v0 + qm_dt2_half * e_p
+    v1 = v0 + qm_dt * e_p
+    ph_raw = 0.5 * (p0 + p1)
+    vh = 0.5 * (v0 + v1)
+    if emit_v:
+        v1_ref[0, 0, :] = v1
+
+    # deposit at ph in ps's window: nearest-image offset handles the
+    # periodic seam exactly (ps is wrapped, ph_raw is not)
+    delta = ph_raw - ps
+    delta = delta - jnp.round(delta * (1.0 / ng)) * ng
+    d_h = d_s + delta + pad
+    mask = _lane_mask(i, block, n_valid, ps.dtype)
+    oob = ((d_h < 0.0) | (d_h > wp - 1.0)).astype(ps.dtype) * mask
+    d_h = jnp.clip(d_h, 0.0, wp - 1.0)
+    vals = (w * vh) * mask
+    m_t = _tent_t(d_h, block, wp) * vals[None, :]  # (wp, B)
+    contrib = lax.dot_general(
+        m_t, sel_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    clamp_row = lax.dot_general(
+        oob[None, :], sel_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    jh_ref[:] += jnp.concatenate([contrib, clamp_row], axis=0).astype(
+        jh_ref.dtype
+    )
+
+    ph_ref[0, 0, :] = ph_raw - jnp.floor(ph_raw * (1.0 / ng)) * ng
+
+
 def _picard_final_kernel(
     scal_ref, fwin_ref, ps_ref, p0_ref, v0_ref, p1_ref, v1_ref, j1_ref,
     *, num_k, ng, block, n_valid, stride, width,
@@ -1334,11 +1423,19 @@ def picard_iteration_pallas(
     field_smoothed, ps, p0, v0, ng: int,
     *, qm, w, dt: float, dx: float, block: int = _DEFAULT_BLOCK,
     emit_v: bool = False, n_valid: int | None = None,
+    share_window: bool = False, pad: int = 2,
 ):
     """Fused Picard inner pass. Returns (ph, jh) — the new half-step
     positions (the next iteration's gather guess) and the (ng,) half-step
     current — or (ph, v1, jh) with ``emit_v`` (the iterate's full-step
     velocity, for the no-extra-sweep finalize).
+
+    ``share_window=True`` reuses the gather's window decomposition +
+    selector for the deposit (_picard_iter_sw_kernel): the return gains a
+    trailing ``n_clamped`` scalar counting deposits clamped at the widened
+    window edge (0 in any sane configuration — seed ps with the
+    free-streaming midpoint so the deposit offset is an acceleration
+    displacement).
 
     Particle inputs may be (n,) or pre-blocked (nb, 1, block) from
     ``block_particles`` (then ``n_valid`` is required); blocked inputs
@@ -1349,10 +1446,18 @@ def picard_iteration_pallas(
     (ps_b, p0_b, v0_b), nb, n, blocked = _as_blocks([ps, p0, v0], block,
                                                     n_valid)
     scal = _scalars(qm, dt, dx, w, ps.dtype)
-    kern = functools.partial(
-        _picard_iter_kernel, num_k=num_k, ng=ng, block=block,
-        n_valid=n, stride=stride, width=wdth, emit_v=emit_v,
-    )
+    if share_window:
+        acc_rows = wdth + 2 * pad + 1  # + the clamp-count row
+        kern = functools.partial(
+            _picard_iter_sw_kernel, num_k=num_k, ng=ng, block=block,
+            n_valid=n, stride=stride, width=wdth, pad=pad, emit_v=emit_v,
+        )
+    else:
+        acc_rows = wdth
+        kern = functools.partial(
+            _picard_iter_kernel, num_k=num_k, ng=ng, block=block,
+            n_valid=n, stride=stride, width=wdth, emit_v=emit_v,
+        )
     n_pout = 2 if emit_v else 1
     outs = pl.pallas_call(
         kern,
@@ -1364,16 +1469,23 @@ def picard_iteration_pallas(
             _particle_spec(block),
             _particle_spec(block),
         ],
-        out_specs=(_particle_spec(block),) * n_pout + (_acc_spec(num_k, wdth),),
+        out_specs=(_particle_spec(block),) * n_pout
+        + (_acc_spec(num_k, acc_rows),),
         out_shape=tuple(
             jax.ShapeDtypeStruct((nb, 1, block), ps.dtype)
             for _ in range(n_pout)
-        ) + (jax.ShapeDtypeStruct((wdth, num_k), jnp.float32),),
+        ) + (jax.ShapeDtypeStruct((acc_rows, num_k), jnp.float32),),
         interpret=_interpret(),
     )(scal, fwin_t, ps_b, p0_b, v0_b)
     parts = tuple(outs[:-1] if blocked
                   else (o.reshape(-1)[:n] for o in outs[:-1]))
-    return parts + (_fold_windows(outs[-1].T.astype(ps.dtype), ng, True, stride),)
+    acc = outs[-1]
+    if share_window:
+        jh = _fold_windows(acc[:-1].T.astype(ps.dtype), ng, True, stride,
+                           row_offset=-pad)
+        n_clamped = jnp.sum(acc[-1]).astype(jnp.int32)
+        return parts + (jh, n_clamped)
+    return parts + (_fold_windows(acc.T.astype(ps.dtype), ng, True, stride),)
 
 
 def picard_finalize_nodep_pallas(

@@ -369,3 +369,73 @@ def test_picard_extrapolated_init_same_physics_fewer_iters():
     it_x = np.asarray(runs["extrapolate"].picard_iters, np.float64)
     assert it_x.mean() <= it_f.mean()
 
+
+
+def test_window_share_same_physics_and_conservation():
+    """The shared-window fused Picard pass (window_share='shared': one
+    window decomposition + selector for gather AND deposit, free-streaming
+    midpoint ps seed) reaches the same fixed point as the separate-window
+    pass: same two-stream field-energy history within f32 iteration noise,
+    equally tight energy conservation, and ZERO edge-clamped deposits on a
+    physical workload (the clamp counter is the no-silent-charge-loss
+    guarantee)."""
+    import dataclasses as dc
+
+    grid, x, v, params = _two_stream_setup(n=10_000, ng=64)
+    dt = 0.1 / params.wp
+    outs = {}
+    for mode in ("separate", "shared"):
+        cfg = implicit.ImplicitConfig(
+            grid, dt, params.p2c, tol=1e-8, maxiter=50, backend="fused",
+            window_share=mode,
+        )
+        st = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
+        _, m = run(implicit.make_step(cfg), st, 400)
+        outs[mode] = m
+    fe_sep = np.asarray(outs["separate"].field_energy, np.float64)
+    fe_sh = np.asarray(outs["shared"].field_energy, np.float64)
+    # identical scheme to tolerance: trajectories track tightly early and
+    # stay at the same energy scale through growth
+    np.testing.assert_allclose(fe_sh[:100], fe_sep[:100], rtol=1e-3)
+    np.testing.assert_allclose(
+        np.log(fe_sh[-50:]).mean(), np.log(fe_sep[-50:]).mean(), rtol=0.02
+    )
+    assert int(np.asarray(outs["shared"].picard_clamped).sum()) == 0
+    assert int(np.asarray(outs["separate"].picard_clamped).sum()) == 0
+    for mode in outs:
+        m = outs[mode]
+        tot = np.asarray(m.field_energy, np.float64) + np.asarray(
+            m.kinetic_energy, np.float64
+        )
+        drift = abs(tot[-1] - tot[0]) / tot[0]
+        assert drift < 5e-5, (mode, drift)
+
+
+def test_window_share_single_step_deposit_matches():
+    """With v0 = 0 the shared- and separate-window passes gather and
+    deposit at identical positions (the midpoint seed degenerates to p0),
+    so one step's current and field must agree to f32 reduction tolerance
+    — isolates the widened-window deposit arithmetic from scheme
+    differences."""
+    import dataclasses as dc
+
+    grid, x, v, params = _two_stream_setup(n=5_000, ng=64)
+    dt = 0.1 / params.wp
+    outs = {}
+    for mode in ("separate", "shared"):
+        cfg = implicit.ImplicitConfig(
+            grid, dt, params.p2c, tol=1e-8, maxiter=50, backend="fused",
+            window_share=mode,
+        )
+        st = implicit.init_state(x, np.zeros_like(v), -E_CHARGE, M_ELECTRON,
+                                 cfg)
+        st2, m = implicit.make_step(cfg)(st)
+        outs[mode] = (st2, m)
+    j_sep = np.asarray(outs["separate"][0].j, np.float64)
+    j_sh = np.asarray(outs["shared"][0].j, np.float64)
+    scale = np.abs(j_sep).max() + 1e-30
+    np.testing.assert_allclose(j_sh / scale, j_sep / scale, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(outs["shared"][0].e), np.asarray(outs["separate"][0].e),
+        rtol=2e-5, atol=1e-8,
+    )
