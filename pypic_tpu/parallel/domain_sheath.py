@@ -60,6 +60,12 @@ class DomainSheathConfig:
     kbti: float
     num_shards: int
     tol: float = 1e-5  # PIC_L_DD.py:317
+    # f32 residual-floor exit in units of eps_f32 * global ||es||_2 — see
+    # engines.sheath.SheathConfig.tol_floor (the reference's absolute
+    # tolerance is unattainable in f32 at sheath field magnitudes and the
+    # loop grinds round-off to maxiter without it); 0 restores the
+    # pure-absolute test. The norm is psum'd over the slab axis.
+    tol_floor: float = 0.5
     maxiter: int = 20  # PIC_L_DD.py:318
     gamma: float = 0.0  # thermostat probability (PIC_L_DD.py:331)
     halo: int = 2  # max intra-step excursion, cells
@@ -77,7 +83,7 @@ class DomainSheathConfig:
     picard_accel: str = "none"
 
     def __post_init__(self):
-        for f in ("dt", "p2c", "kbte", "kbti", "tol", "gamma",
+        for f in ("dt", "p2c", "kbte", "kbti", "tol", "tol_floor", "gamma",
                   "exit_hist_vmax"):
             object.__setattr__(self, f, float(getattr(self, f)))
         for f in ("maxiter", "halo", "migrate_cap", "num_shards",
@@ -306,8 +312,15 @@ def make_step(cfg: DomainSheathConfig, mesh: Mesh):
             if cfg.picard_init == "extrapolate" else e0
         )
 
+        eps32 = float(jnp.finfo(jnp.float32).eps)
+
         def cond(carry):
-            return (carry[-2] > cfg.tol) & (carry[-1] < cfg.maxiter)
+            r, k = carry[-2], carry[-1]
+            keep = r > cfg.tol
+            if cfg.tol_floor > 0.0:
+                es_n = jnp.sqrt(lax.psum(jnp.sum(carry[0] ** 2), ax))
+                keep = keep & (r > (cfg.tol_floor * eps32) * es_n)
+            return keep & (k < cfg.maxiter)
 
         def body(carry):
             es, psl, _, _, act, hist, aux, _, k = carry
