@@ -1140,6 +1140,76 @@ def _picard_iter_ext_kernel(
                   num_k, block, stride, width)
 
 
+def _picard_iter_ext_sw_kernel(
+    scal_ref, fwin_ref, ps_ref, p0_ref, v0_ref, w_ref, ph_ref, *rest,
+    num_k, block, stride, width, pad, lo, hi, emit_v,
+):
+    """Shared-window variant of the extended-slab Picard pass (see
+    _picard_iter_sw_kernel): one decomposition + selector for gather AND
+    deposit. The slab is bounded, so no periodic nearest-image is needed —
+    both positions are clamped to [lo, hi] exactly as the separate-window
+    pass clamps them, and the deposit offset is their difference.
+    Edge-clamped deposits land in the accumulator's extra row."""
+    if emit_v:
+        v1_ref, jh_ref = rest
+    else:
+        (jh_ref,) = rest
+    wp = width + 2 * pad
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        jh_ref[:] = jnp.zeros_like(jh_ref)
+
+    qm_dt = scal_ref[0, 0]
+    qm_dt2_half = scal_ref[1, 0]
+    dt_dx = scal_ref[2, 0]
+
+    psc = jnp.clip(ps_ref[0, 0, :], lo, hi)
+    p0 = p0_ref[0, 0, :]
+    v0 = v0_ref[0, 0, :]
+    w = w_ref[0, 0, :]
+
+    k, d_s = _window_decompose(psc, num_k, stride)
+    sel_t = _sel_t(k, num_k, psc.dtype)
+    tent_s = _tent_t(d_s, block, width)
+    frows_t = lax.dot_general(
+        fwin_ref[:], sel_t, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(psc.dtype)
+    ones = jnp.ones((1, width), psc.dtype)
+    e_p = lax.dot_general(
+        ones, tent_s * frows_t, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(psc.dtype)[0]
+
+    p1 = p0 + dt_dx * v0 + qm_dt2_half * e_p
+    v1 = v0 + qm_dt * e_p
+    ph = 0.5 * (p0 + p1)
+    vh = 0.5 * (v0 + v1)
+    ph_ref[0, 0, :] = ph  # raw iterate (excursions counted by the caller)
+    if emit_v:
+        v1_ref[0, 0, :] = v1
+
+    delta = jnp.clip(ph, lo, hi) - psc
+    d_h = d_s + delta + pad
+    alive = (w != 0.0).astype(psc.dtype)
+    oob = ((d_h < 0.0) | (d_h > wp - 1.0)).astype(psc.dtype) * alive
+    d_h = jnp.clip(d_h, 0.0, wp - 1.0)
+    m_t = _tent_t(d_h, block, wp) * (w * vh)[None, :]
+    contrib = lax.dot_general(
+        m_t, sel_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    clamp_row = lax.dot_general(
+        oob[None, :], sel_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    jh_ref[:] += jnp.concatenate([contrib, clamp_row], axis=0).astype(
+        jh_ref.dtype
+    )
+
+
 def _finalize_epilogue(p1, v1, w, st_ref, p1_ref, scal_ref, i,
                        *, lo, hi, ng):
     """Shared wrap + statistics epilogue of the ext finalize kernels.
@@ -1309,7 +1379,7 @@ def picard_iteration_ext_pallas(
     field_ext, ps, p0, v0, w, ext_n: int,
     *, qm, dt: float, dx: float, lo: float, hi: float,
     block: int = _DEFAULT_BLOCK, emit_v: bool = False,
-    n_valid: int | None = None,
+    n_valid: int | None = None, share_window: bool = False, pad: int = 2,
 ):
     """Fused Picard inner pass on a bounded extended slab.
 
@@ -1324,7 +1394,10 @@ def picard_iteration_ext_pallas(
             come pre-blocked from ``block_particles`` (blocked inputs give
             blocked particle outputs and skip per-pass pad/slice copies).
 
-    Returns (ph_raw, jh_ext), or (ph_raw, v1, jh_ext) with ``emit_v``.
+    Returns (ph_raw, jh_ext), or (ph_raw, v1, jh_ext) with ``emit_v``;
+    with ``share_window=True`` (see picard_iteration_pallas) the return
+    gains a trailing ``n_clamped`` count of deposits clamped at the
+    widened shared-window edge.
     """
     stride, wdth = _choose_window(ext_n)
     num_k = _num_windows(ext_n, stride)
@@ -1332,10 +1405,18 @@ def picard_iteration_ext_pallas(
     (ps_b, p0_b, v0_b, w_b), nb, n, blocked = _as_blocks(
         [ps, p0, v0, w], block, n_valid)
     scal = _ext_scalars(qm, dt, dx, ps.dtype)
-    kern = functools.partial(
-        _picard_iter_ext_kernel, num_k=num_k, block=block,
-        stride=stride, width=wdth, lo=lo, hi=hi, emit_v=emit_v,
-    )
+    if share_window:
+        acc_rows = wdth + 2 * pad + 1
+        kern = functools.partial(
+            _picard_iter_ext_sw_kernel, num_k=num_k, block=block,
+            stride=stride, width=wdth, pad=pad, lo=lo, hi=hi, emit_v=emit_v,
+        )
+    else:
+        acc_rows = wdth
+        kern = functools.partial(
+            _picard_iter_ext_kernel, num_k=num_k, block=block,
+            stride=stride, width=wdth, lo=lo, hi=hi, emit_v=emit_v,
+        )
     n_pout = 2 if emit_v else 1
     outs = pl.pallas_call(
         kern,
@@ -1348,17 +1429,24 @@ def picard_iteration_ext_pallas(
             _particle_spec(block),
             _particle_spec(block),
         ],
-        out_specs=(_particle_spec(block),) * n_pout + (_acc_spec(num_k, wdth),),
+        out_specs=(_particle_spec(block),) * n_pout
+        + (_acc_spec(num_k, acc_rows),),
         out_shape=tuple(
             jax.ShapeDtypeStruct((nb, 1, block), ps.dtype)
             for _ in range(n_pout)
-        ) + (jax.ShapeDtypeStruct((wdth, num_k), jnp.float32),),
+        ) + (jax.ShapeDtypeStruct((acc_rows, num_k), jnp.float32),),
         interpret=_interpret(),
     )(scal, fwin_t, ps_b, p0_b, v0_b, w_b)
     parts = tuple(outs[:-1] if blocked
                   else (o.reshape(-1)[:n] for o in outs[:-1]))
+    acc = outs[-1]
+    if share_window:
+        jh = _fold_windows(acc[:-1].T.astype(ps.dtype), ext_n, False, stride,
+                           row_offset=-pad)
+        n_clamped = jnp.sum(acc[-1]).astype(jnp.int32)
+        return parts + (jh, n_clamped)
     return parts + (
-        _fold_windows(outs[-1].T.astype(ps.dtype), ext_n, False, stride),
+        _fold_windows(acc.T.astype(ps.dtype), ext_n, False, stride),
     )
 
 

@@ -90,6 +90,13 @@ class DomainImplicitConfig:
     # tol=1e-30 + picard_init='extrapolate' is the conserving configuration
     # (PERF.md round-3 drift table).
     picard_accel: str = "none"
+    # Shared-window fused Picard pass (see
+    # engines.implicit.ImplicitConfig.window_share): one window
+    # decomposition + selector for gather AND deposit on the extended
+    # slab, with a free-streaming-midpoint iterate seed and the
+    # picard_clamped metric counting widened-edge clamps. 'auto'
+    # currently = separate (pending TPU A/B + drift re-verification).
+    window_share: str = "auto"
     axis_name: str = "slabs"
     deposit_method: str = "auto"
     # Data-parallel axis composed WITH the slab axis on a 2D device mesh
@@ -125,6 +132,8 @@ class DomainImplicitConfig:
             raise ValueError(f"unknown picard_init {self.picard_init!r}")
         if self.finalize not in ("converged", "converged-deposit", "iterate"):
             raise ValueError(f"unknown finalize {self.finalize!r}")
+        if self.window_share not in ("auto", "shared", "separate"):
+            raise ValueError(f"unknown window_share {self.window_share!r}")
         if self.picard_accel not in ("none", "anderson", "anderson2",
                                      "damped"):
             raise ValueError(f"unknown picard_accel {self.picard_accel!r}")
@@ -157,6 +166,9 @@ class StepMetrics(NamedTuple):
     n_migrated: jax.Array
     n_dropped: jax.Array
     n_halo_clamped: jax.Array  # final-iterate excursions beyond the halo
+    # deposits clamped at the shared-window edge (window_share='shared'
+    # fused path only; see engines.implicit.ImplicitConfig.window_share)
+    picard_clamped: jax.Array = 0
 
 
 def init_state(
@@ -369,6 +381,8 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
 
         emit_v = cfg.finalize == "iterate"
 
+        share = cfg.window_share == "shared"
+
         def body_fused(carry):
             from ..ops.pallas_cic import picard_iteration_ext_pallas
 
@@ -376,14 +390,20 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
             outs = picard_iteration_ext_pallas(
                 smoothed_ext(es), pss, p0s_b, v0_b, w_b, ext_n,
                 qm=qm, dt=dt, dx=dx, lo=clamp_lo_s, hi=clamp_hi_s,
-                emit_v=emit_v, n_valid=n_cap,
+                emit_v=emit_v, n_valid=n_cap, share_window=share,
             )
+            if share:
+                ncl = carry[2] + outs[-1]
+                outs = outs[:-1]
+            else:
+                ncl = carry[2]
             jh = dpsum(halo_fold(outs[-1], c, hw, ax, perm_r, perm_l))
             e1, eh, r = ampere(es, jh)
             es_next, aux = mix(es, eh, carry[-1], carry[-3])
             if emit_v:
-                return es_next, outs[0], outs[1], e1, jh, aux, r, k_next(carry)
-            return es_next, outs[0], e1, jh, aux, r, k_next(carry)
+                return (es_next, outs[0], ncl, outs[1], e1, jh, aux, r,
+                        k_next(carry))
+            return es_next, outs[0], ncl, e1, jh, aux, r, k_next(carry)
 
         def k_next(carry):
             return carry[-1] + 1
@@ -412,12 +432,19 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
             # per pass — see engines.implicit.step_fused).
             n_cap = p0s.shape[0]
             (p0s_b, v0_b, w_b), _ = block_particles([p0s, v0, w])
+            if share:
+                # free-streaming midpoint seed keeps the shared-window
+                # deposit offset at an acceleration displacement
+                ps_seed = p0s_b + (0.5 * dt_dx) * v0_b
+            else:
+                ps_seed = p0s_b
+            ncl0 = jnp.asarray(0, jnp.int32)
             if emit_v:
                 carry0 = (
-                    es0, p0s_b, v0_b, e0, state.j, aux0,
+                    es0, ps_seed, ncl0, v0_b, e0, state.j, aux0,
                     jnp.asarray(jnp.inf, e0.dtype), jnp.asarray(0, jnp.int32),
                 )
-                es, pss, v1_b, e1, jh, _, r, k = lax.while_loop(
+                es, pss, ncl, v1_b, e1, jh, _, r, k = lax.while_loop(
                     cond, body_fused, carry0
                 )
                 # Last Picard iterate, no extra sweep (pypic.py:293-295):
@@ -430,10 +457,10 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
                 mean_j1 = lax.psum(jnp.sum(w * v1), axes_all) / ng
             else:
                 carry0 = (
-                    es0, p0s_b, e0, state.j, aux0,
+                    es0, ps_seed, ncl0, e0, state.j, aux0,
                     jnp.asarray(jnp.inf, e0.dtype), jnp.asarray(0, jnp.int32),
                 )
-                es, pss, e1, jh, _, r, k = lax.while_loop(
+                es, pss, ncl, e1, jh, _, r, k = lax.while_loop(
                     cond, body_fused, carry0
                 )
                 # finalize from the converged field (engines.implicit fused
@@ -503,6 +530,10 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
             picard_residual=r,
             n_alive=lax.psum(jnp.sum(alive1.astype(jnp.int32)), axes_all),
             n_migrated=dpsum(n_migrated),
+            picard_clamped=(
+                lax.psum(ncl, axes_all) if (use_fused and share)
+                else jnp.asarray(0, jnp.int32)
+            ),
             n_dropped=dpsum(n_dropped),
             n_halo_clamped=n_halo_clamped,
         )

@@ -496,3 +496,36 @@ def test_domain_explicit_distributed_solve_matches_replicated(problem):
     np.testing.assert_allclose(ke_d, ke_r, rtol=1e-4)
     assert (np.asarray(runs["distributed"].n_alive) == 16_000).all()
     assert np.asarray(runs["distributed"].n_dropped).sum() == 0
+
+
+def test_domain_implicit_window_share_matches_separate(problem):
+    """window_share='shared' on the 8-shard fused domain engine (one
+    window decomposition + selector per pass, free-streaming-midpoint
+    seed) reaches the same physics as the separate-window pass at the
+    conserving configuration, with zero widened-edge deposit clamps."""
+    from pypic_tpu.parallel import domain_implicit as di
+
+    grid, x, v, params = problem
+    dt = 0.1 / params.wp
+    kw = dict(tol=1e-30, maxiter=4, picard_init="extrapolate",
+              picard_accel="anderson", backend="fused",
+              num_shards=8, halo=4, migrate_cap=2048)
+    mesh = make_mesh(8, axis="slabs")
+    outs = {}
+    for mode in ("separate", "shared"):
+        cfg = di.DomainImplicitConfig(grid, dt, params.p2c,
+                                      window_share=mode, **kw)
+        st = di.shard_state(
+            di.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg), mesh, cfg
+        )
+        _, m = run(di.make_step(cfg, mesh), st, 50)
+        outs[mode] = m
+    ee_sep = np.asarray(outs["separate"].field_energy, np.float64)
+    ee_sh = np.asarray(outs["shared"].field_energy, np.float64)
+    np.testing.assert_allclose(ee_sh, ee_sep, rtol=3e-3)
+    ke_sep = np.asarray(outs["separate"].kinetic_energy, np.float64)
+    ke_sh = np.asarray(outs["shared"].kinetic_energy, np.float64)
+    np.testing.assert_allclose(ke_sh, ke_sep, rtol=1e-4)
+    assert int(np.asarray(outs["shared"].picard_clamped).sum()) == 0
+    tot = ee_sh + ke_sh
+    assert abs(tot[-1] / tot[0] - 1.0) < 2e-3
