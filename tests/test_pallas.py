@@ -266,3 +266,47 @@ def test_boris_gather_push_matches_composed_ops():
                                   np.asarray(p)[~is_act])
     np.testing.assert_array_equal(np.asarray(vy1)[~is_act],
                                   np.asarray(v)[~is_act, 1])
+
+
+def test_picard_shared_window_matches_separate_at_seam():
+    """The shared-window Picard pass computes the SAME function of
+    (field, ps, p0, v0) as the separate-window pass — the deposit merely
+    routes through ps's widened window instead of its own decomposition —
+    so (ph, jh) must agree elementwise, including for particles whose
+    midpoint iterate wraps the periodic seam (the nearest-image delta
+    path) and for a carried iterate far from p0 (seeding differences are
+    an ENGINE concern; the kernel contract is position-for-position)."""
+    from pypic_tpu.ops.pallas_cic import picard_iteration_pallas
+
+    ng = 64
+    rng = np.random.default_rng(3)
+    n = 4096
+    # cluster positions at the seam so tents and midpoints cross it
+    p0 = np.concatenate([
+        rng.uniform(ng - 1.0, ng, n // 2),  # just below the seam
+        rng.uniform(0.0, 1.0, n // 2),      # just above
+    ]).astype(np.float32)
+    # velocities large enough that ph crosses the boundary both ways
+    v0 = rng.normal(0.0, 1.0, n).astype(np.float32)
+    dt, dx = 0.8, 1.0  # dt/dx ~ cell-scale displacement per step
+    field = rng.normal(0.0, 0.5, ng).astype(np.float32)
+    ps = (p0 + 0.5 * (dt / dx) * v0) % ng  # wrapped free-streaming seed
+
+    kw = dict(qm=jnp.float32(1.0), w=jnp.float32(0.5), dt=dt, dx=dx)
+    ph_sep, jh_sep = picard_iteration_pallas(
+        jnp.asarray(field), jnp.asarray(ps), jnp.asarray(p0),
+        jnp.asarray(v0), ng, **kw,
+    )
+    ph_sh, jh_sh, ncl = picard_iteration_pallas(
+        jnp.asarray(field), jnp.asarray(ps), jnp.asarray(p0),
+        jnp.asarray(v0), ng, share_window=True, **kw,
+    )
+    assert int(ncl) == 0, "nothing should clamp at cell-scale offsets"
+    np.testing.assert_allclose(np.asarray(ph_sh), np.asarray(ph_sep),
+                               rtol=1e-6, atol=1e-5)
+    scale = np.abs(np.asarray(jh_sep)).max()
+    np.testing.assert_allclose(np.asarray(jh_sh) / scale,
+                               np.asarray(jh_sep) / scale, atol=2e-6)
+    # exact charge-weighted total either way (tents always sum to 1)
+    np.testing.assert_allclose(np.asarray(jh_sh).sum(),
+                               np.asarray(jh_sep).sum(), rtol=1e-5)
