@@ -87,6 +87,15 @@ class MagnetizedConfig:
     # by the linear prediction, outweighing the quasi-steady drift it
     # tracks. Kept as an option for smooth (noise-free) configurations.
     newton_warm: str = "previous"
+    # Newton-Boltzmann solver backend: 'xla' = ops.poisson while_loop with
+    # the O(log n) associative-scan tridiagonal solve; 'pallas' = the whole
+    # Newton loop in ONE kernel with a PCR tridiagonal solve
+    # (ops.pallas_newton — kills the ~100 us/iteration XLA dispatch latency
+    # that made the solve the largest item of the 1e6-particle step budget,
+    # PERF.md round 3). Same algorithm and globalization; converged phi
+    # agrees to tol, not bit-for-bit (PCR sums in a different order).
+    # 'auto' = pallas on TPU for the Dirichlet-Dirichlet f32 path.
+    newton_backend: str = "auto"
     ionization: bool = False
     max_charge_state: int = 3  # pygcpic.py:1512 gate; 1 == reference quirk
     reactivate: str = "none"  # 'source' | 'capped-source' | 'flux' | 'none'
@@ -191,6 +200,8 @@ class MagnetizedConfig:
             raise ValueError(f"unknown source_sampler {self.source_sampler!r}")
         if self.newton_warm not in ("extrapolate", "previous"):
             raise ValueError(f"unknown newton_warm {self.newton_warm!r}")
+        if self.newton_backend not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown newton_backend {self.newton_backend!r}")
         if self.pusher not in ("boris", "gc"):
             raise ValueError(f"unknown pusher {self.pusher!r}")
         if self.gc_eom not in ("physical", "reference"):
@@ -606,11 +617,25 @@ def make_step(cfg: MagnetizedConfig):
                 2.0 * state.phi - state.phi_prev
                 if cfg.newton_warm == "extrapolate" else state.phi
             )
-            res = solve_boltzmann_dirichlet(
-                rho, n0, cfg.te, dx,
-                tol=cfg.newton_tol, maxiter=cfg.newton_maxiter,
-                phi0=phi_warm,
-            )
+            use_pallas_newton = (
+                cfg.newton_backend == "pallas"
+                or (cfg.newton_backend == "auto"
+                    and jax.default_backend() == "tpu")
+            ) and rho.dtype == jnp.float32
+            if use_pallas_newton:
+                from ..ops.pallas_newton import boltzmann_dirichlet_pallas
+
+                res = boltzmann_dirichlet_pallas(
+                    rho, n0, cfg.te, dx,
+                    tol=cfg.newton_tol, maxiter=cfg.newton_maxiter,
+                    phi0=phi_warm,
+                )
+            else:
+                res = solve_boltzmann_dirichlet(
+                    rho, n0, cfg.te, dx,
+                    tol=cfg.newton_tol, maxiter=cfg.newton_maxiter,
+                    phi0=phi_warm,
+                )
         phi = res.phi
         e_field = grad_neg_bounded(phi, dx)
 

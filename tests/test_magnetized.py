@@ -881,3 +881,30 @@ def test_pic_iead_gc_preset_produces_ieads():
     act = np.asarray(st.active) == 1
     gc = np.asarray(st.mode) == 1
     assert (np.asarray(st.v[:, 1])[act & gc] >= 0.0).all()
+
+
+def test_magnetized_newton_backend_pallas_matches_xla():
+    """newton_backend='pallas' (one-kernel PCR Newton) tracks the 'xla'
+    while_loop solve through full engine steps: same converged potentials
+    and identical discrete outcomes (wall hits, reactivation counts)."""
+    from pypic_tpu.presets import pic_iead
+    import dataclasses as dc
+
+    outs = {}
+    for backend in ("xla", "pallas"):
+        pre = pic_iead(n_per_species=400)
+        cfg = dc.replace(pre.config, newton_backend=backend)
+        step = magnetized.make_step(cfg)
+        st, m = step(pre.state)
+        st, m2 = step(st)
+        outs[backend] = (st, m, m2)
+    st_x, m_x, m2_x = outs["xla"]
+    st_p, m_p, m2_p = outs["pallas"]
+    for a, b in ((m_x, m_p), (m2_x, m2_p)):
+        scale = float(np.abs(np.asarray(a.phi)).max()) or 1.0
+        np.testing.assert_allclose(np.asarray(b.phi) / scale,
+                                   np.asarray(a.phi) / scale, atol=1e-4)
+        assert int(a.n_hit_wall) == int(b.n_hit_wall)
+        assert int(a.n_reactivated) == int(b.n_reactivated)
+    np.testing.assert_allclose(np.asarray(st_p.phi), np.asarray(st_x.phi),
+                               rtol=1e-3, atol=1e-5)

@@ -310,3 +310,49 @@ def test_picard_shared_window_matches_separate_at_seam():
     # exact charge-weighted total either way (tents always sum to 1)
     np.testing.assert_allclose(np.asarray(jh_sh).sum(),
                                np.asarray(jh_sep).sum(), rtol=1e-5)
+
+
+def test_newton_boltzmann_pallas_matches_xla():
+    """The one-kernel PCR Newton solve (ops.pallas_newton) reaches the same
+    converged phi as ops.poisson.solve_boltzmann_dirichlet (same algorithm,
+    different tridiagonal summation order), cold and warm started."""
+    from pypic_tpu.constants import E_CHARGE
+    from pypic_tpu.ops.poisson import solve_boltzmann_dirichlet
+    from pypic_tpu.ops.pallas_newton import boltzmann_dirichlet_pallas
+
+    rng = np.random.default_rng(11)
+    te, dx, n0 = 11600.0 * 10.0, 2e-5, np.float32(1e17)
+    for ng in (600, 301, 128):
+        dens = (1e17 * (1.0 + 0.3 * rng.standard_normal(ng))).clip(1e15)
+        rho = jnp.asarray((E_CHARGE * dens).astype(np.float32))
+        ref = solve_boltzmann_dirichlet(rho, n0, te, dx, tol=1e-9)
+        new = boltzmann_dirichlet_pallas(rho, n0, te, dx, tol=1e-9)
+        assert float(new.residual) <= 1e-9
+        assert int(new.iterations) <= int(ref.iterations) + 1
+        scale = float(jnp.max(jnp.abs(ref.phi)))
+        np.testing.assert_allclose(np.asarray(new.phi), np.asarray(ref.phi),
+                                   atol=3e-5 * scale)
+        # warm start from the converged answer: both exit in one sweep
+        ref_w = solve_boltzmann_dirichlet(rho, n0, te, dx, tol=1e-9,
+                                          phi0=ref.phi)
+        new_w = boltzmann_dirichlet_pallas(rho, n0, te, dx, tol=1e-9,
+                                           phi0=ref.phi)
+        assert int(new_w.iterations) == int(ref_w.iterations)
+        np.testing.assert_allclose(np.asarray(new_w.phi),
+                                   np.asarray(ref_w.phi), atol=3e-5 * scale)
+
+
+def test_newton_boltzmann_pallas_neutral_plasma():
+    """Neutral plasma gives phi ~ 0 (pygcpic.py:1010-1019 analog) at
+    physical scales. The f32 kernel can't run the original doctest's
+    unnormalized constants (n0 = 1/e makes c0 ~ 1e11 whose f32 ulp noise
+    floors |dphi|^2 above tol); at SI sheath scales it converges to a
+    potential ~1e5x below the te scale."""
+    from pypic_tpu.constants import E_CHARGE, K_BOLTZMANN
+    from pypic_tpu.ops.pallas_newton import boltzmann_dirichlet_pallas
+
+    n0, te, dx = np.float32(1e17), 11600.0 * 10.0, 2e-5
+    rho = jnp.full(129, E_CHARGE * 1e17, jnp.float32)
+    res = boltzmann_dirichlet_pallas(rho, n0, te, dx, tol=1e-9)
+    te_volts = K_BOLTZMANN * te / E_CHARGE  # 10 V
+    assert float(jnp.max(jnp.abs(res.phi))) < 1e-4 * te_volts
