@@ -121,12 +121,37 @@ class MagnetizedConfig:
     # (kept symbolic so dataclasses.replace(cfg, axis_name=...)
     # re-resolves).
     source_sampler: str = "auto"
+    # Capped re-activation draw (round 3): 0 = draw a full-capacity batch
+    # every step and mask in the slots that re-activate (the reference's
+    # fixed-shape semantics; the draw itself is ~0.25 ms of the 1e6 step on
+    # v5e while only ~0.1% of slots take it). > 0 = draw only this many
+    # samples, keyed on the slot's re-activation RANK (its order among this
+    # step's inactive slots), and gather batch[rank] into the take slots —
+    # at most react_batch slots re-activate per step; any surplus inactive
+    # slots wait for the next step (they keep their rank order). Rank is
+    # GLOBAL under data-parallel sharding, so rank-keyed draws are
+    # shard-count-invariant for every sampler (the batch table is
+    # replicated); the 'hash'-only dp restriction doesn't apply here.
+    # Not bit-compatible with react_batch=0 (a slot's draw is keyed on rank
+    # instead of slot id — identical distribution, equivalence-tested).
+    react_batch: int = 0
     flux_limit: int = 0  # max re-activations/step on the 'flux' policy
     flux_gamma: float = 0.0  # perturbed-beam fraction (pygcpic.py:2008)
     flux_vx_pert: float = 0.0
     iead_bins: Tuple[int, int] = (40, 40)  # (energies, angles)
     iead_energy_max: float = 0.0  # [eV]; 0 disables IEAD accumulation
     iead_angle_max: float = 90.0
+    # IEAD accumulation path: 0 = histogram every particle's (masked) bin
+    # each step (the reference's exact semantics; a full-capacity Pallas
+    # delta-deposit pass, ~0.22 ms of the 1e6 step on v5e for ~0.1% hit
+    # rows). > 0 = UNCONDITIONALLY pack the wall-hit rows into a buffer of
+    # this capacity and histogram the packed buffer (~0.1 ms): bit-
+    # identical histograms while hits/step <= iead_pack; beyond that,
+    # surplus impacts are dropped from the histograms and counted in the
+    # iead_dropped metric (the lax.cond overflow fallback was measured
+    # 6 ms SLOWER in the scanned step — it materializes its captured
+    # full-capacity operands every step, PERF.md round 3).
+    iead_pack: int = 0
     deposit_method: str = "auto"
     # Wall-impact extraction for the BCA surface coupling (pypic_tpu.bca):
     # when > 0, each step returns up to this many (energy_eV, angle_deg,
@@ -208,14 +233,19 @@ class MagnetizedConfig:
             raise ValueError(f"unknown gc_eom {self.gc_eom!r}")
         if self.pusher == "gc" and not any(v != 0.0 for v in self.b):
             raise ValueError("pusher='gc' requires a nonzero magnetic field")
+        if self.react_batch < 0:
+            raise ValueError("react_batch must be >= 0")
         if self.axis_name is not None:
-            if self.reactivate != "none" and self.source_sampler in (
-                    "threefry", "pallas"):
+            if (self.react_batch == 0 and self.reactivate != "none"
+                    and self.source_sampler in ("threefry", "pallas")):
                 raise ValueError(
-                    "data-parallel re-activation needs source_sampler="
-                    "'hash' (slot-offset counters give shard-invariant "
-                    "draws; a replicated threefry key would draw the SAME "
-                    "batch on every shard) — 'auto' resolves to hash here"
+                    "data-parallel full-capacity re-activation needs "
+                    "source_sampler='hash' (slot-offset counters give "
+                    "shard-invariant draws; a replicated threefry key would "
+                    "draw the SAME batch on every shard) — 'auto' resolves "
+                    "to hash here, or set react_batch > 0 (rank-keyed "
+                    "draws from a replicated table are shard-invariant for "
+                    "every sampler)"
                 )
             if self.impact_buffer_size > 0:
                 raise ValueError(
@@ -296,6 +326,9 @@ class StepMetrics(NamedTuple):
     impacts: jax.Array
     n_impacts: jax.Array
     n_escaped: jax.Array  # BCA products deactivated mid-domain
+    # impacts dropped from the IEAD histograms this step (iead_pack > 0
+    # overflow only; always 0 on the exact full-pass path)
+    iead_dropped: jax.Array = 0
 
 
 def _gc_pack(p, yz, v, charge_state, m, cfg: MagnetizedConfig):
@@ -532,24 +565,35 @@ def make_step(cfg: MagnetizedConfig):
             (angle * (na / cfg.iead_angle_max)).astype(jnp.int32), 0, na - 1
         )
         flat = (species_idx * (ne * na) + ei * na + ai)
-        # histogram as a width-0 tent deposit (TPU path; the XLA scatter
-        # serializes and dominated the whole step, 8.8 ms at 1e6 on v5e) —
-        # the cast also avoids the x64 float64-into-float32 scatter error.
-        # Negative result (round 3): packing the ~0.1% hit rows first and
-        # histogramming the packed buffer, with a lax.cond overflow
-        # fallback, measured 6 ms SLOWER in the scanned step (the cond
-        # forces materialization of its captured 1e6-element operands every
-        # step) even though pack+histogram is ~0.1 ms in isolation; the
-        # full sweep itself is only ~0.08 ms (probe in PERF.md), so the
-        # histogram stays unconditional.
-        upd = histogram_add(
-            flat,
-            jnp.where(hit & in_range, 1.0, 0.0).astype(iead.dtype),
-            iead.size,
-            method=cfg.deposit_method,
-        )
+        contributes = hit & in_range
+        n_dropped = jnp.asarray(0, jnp.int32)
+        if cfg.iead_pack > 0:
+            # pack the ~0.1% contributing rows UNCONDITIONALLY (a lax.cond
+            # overflow fallback measured 6 ms slower in the scanned step —
+            # it materializes its captured full-capacity operands every
+            # step) and histogram the packed buffer; overflow rows are
+            # dropped and counted (PERF.md round 3)
+            from ..utils import pack_rows
+
+            (flat_p,), n_valid, n_dropped = pack_rows(
+                contributes, [flat], cfg.iead_pack
+            )
+            vals = (jnp.arange(cfg.iead_pack) < n_valid).astype(iead.dtype)
+            upd = histogram_add(flat_p, vals, iead.size,
+                                method=cfg.deposit_method)
+        else:
+            # histogram as a width-0 tent deposit over every particle (TPU
+            # path; the XLA scatter serializes and dominated the whole
+            # step, 8.8 ms at 1e6 on v5e) — the cast also avoids the x64
+            # float64-into-float32 scatter error.
+            upd = histogram_add(
+                flat,
+                jnp.where(contributes, 1.0, 0.0).astype(iead.dtype),
+                iead.size,
+                method=cfg.deposit_method,
+            )
         # replicated histogram state += psum'd per-shard impacts under dp
-        return iead + _allreduce(upd.reshape(iead.shape))
+        return iead + _allreduce(upd.reshape(iead.shape)), n_dropped
 
     def _use_fused(n):
         if cfg.pusher == "gc":
@@ -729,9 +773,10 @@ def make_step(cfg: MagnetizedConfig):
             vdx, vdy, vdz = vx1, vy1, vz1
 
         iead = state.iead
+        iead_dropped = jnp.asarray(0, jnp.int32)
         if cfg.iead_energy_max > 0.0:
-            iead = _iead_accumulate(iead, state.species_idx, state.m,
-                                    vdx, vdy, vdz, hit)
+            iead, iead_dropped = _iead_accumulate(
+                iead, state.species_idx, state.m, vdx, vdy, vdz, hit)
 
         # Wall-impact (E, theta) rows for the BCA coupling (fixed-shape form
         # of the reference's per-step lists, pygcpic.py:1516-1527).
@@ -768,8 +813,10 @@ def make_step(cfg: MagnetizedConfig):
             )
             active = jnp.where(escaped, 0, active)
             if cfg.iead_energy_max > 0.0:
-                iead_out = _iead_accumulate(iead_out, state.species_idx,
-                                            state.m, vdx, vdy, vdz, escaped)
+                iead_out, out_dropped = _iead_accumulate(
+                    iead_out, state.species_idx, state.m, vdx, vdy, vdz,
+                    escaped)
+                iead_dropped = iead_dropped + out_dropped
             n_escaped = jnp.sum(escaped.astype(jnp.int32))
 
         # MCC ionization (pygcpic.py:1510-1513)
@@ -818,8 +865,10 @@ def make_step(cfg: MagnetizedConfig):
             from ..utils import compact_rows
 
             k_batch = state.p.shape[0]
+            n_draw = cfg.react_batch or k_batch
             rank = compact_rows(inactive)
-            if ax and cfg.reactivate in ("capped-source", "flux"):
+            if ax and (cfg.react_batch
+                       or cfg.reactivate in ("capped-source", "flux")):
                 # Global-rank allocation of the cap across shards: shard r's
                 # inactive slots rank after every inactive slot of shards
                 # 0..r-1 (exclusive prefix of the per-shard counts over the
@@ -837,10 +886,12 @@ def make_step(cfg: MagnetizedConfig):
             src_kw = {"components": True}
             src_sampler = cfg.source_sampler
             if src_sampler == "auto":
-                # hash: the only shard-invariant draw (required under dp);
+                # hash: the only shard-invariant full-capacity draw
+                # (required under dp at react_batch=0; rank-keyed capped
+                # batches are shard-invariant for every sampler);
                 # pallas: zero-input hardware-PRNG kernel (fastest on TPU,
                 # ops.pallas_rng.source_batch_pallas); threefry otherwise
-                if ax:
+                if ax and not cfg.react_batch:
                     src_sampler = "hash"
                 elif (jax.default_backend() == "tpu"
                       and cfg.reactivate in ("source", "capped-source")):
@@ -869,17 +920,19 @@ def make_step(cfg: MagnetizedConfig):
             elif src_sampler == "hash":
                 sample_source = sources.sample_source_6d_hash
                 sample_flux = sources.sample_flux_6d_hash
-                if ax:
+                if ax and not cfg.react_batch:
                     # global slot ids: shard r draws the same values the
                     # single-device run draws for its slots — the sharded
-                    # re-activation batch is shard-count-invariant
+                    # re-activation batch is shard-count-invariant.
+                    # (react_batch draws are keyed on the GLOBAL rank via
+                    # positions 0..B-1 of the replicated table — no offset.)
                     src_kw["slot_offset"] = lax.axis_index(ax) * k_batch
             else:
                 sample_source = sources.sample_source_6d
                 sample_flux = sources.sample_flux_6d
             if cfg.reactivate == "source":
                 batch = sample_source(
-                    k_src, k_batch, grid, src.ti, src.mass, vx=src.vx,
+                    k_src, n_draw, grid, src.ti, src.mass, vx=src.vx,
                     **src_kw,
                 )
                 take = inactive
@@ -889,7 +942,7 @@ def make_step(cfg: MagnetizedConfig):
                 # slots (reactivate-or-delete, pygcpic.py:1543-1549). Under
                 # dp the cap counts the GLOBAL population.
                 batch = sample_source(
-                    k_src, k_batch, grid, src.ti, src.mass, vx=src.vx,
+                    k_src, n_draw, grid, src.ti, src.mass, vx=src.vx,
                     **src_kw,
                 )
                 n_src_active = _allreduce(jnp.sum(
@@ -901,7 +954,7 @@ def make_step(cfg: MagnetizedConfig):
                 take = inactive & (rank < deficit)
             else:  # 'flux'
                 batch = sample_flux(
-                    k_src, k_batch, grid, src.ti, src.mass,
+                    k_src, n_draw, grid, src.ti, src.mass,
                     vx=src.vx, gamma=cfg.flux_gamma, vx_pert=cfg.flux_vx_pert,
                     **src_kw,
                 )
@@ -909,13 +962,13 @@ def make_step(cfg: MagnetizedConfig):
                 take = inactive & (rank < cfg.flux_limit)
             bx = batch["x"] / dx
             bvx, bvy, bvz = batch["vx"], batch["vy"], batch["vz"]
-            by = jnp.zeros((k_batch,), bvx.dtype)  # both samplers: yz = 0
+            by = jnp.zeros((n_draw,), bvx.dtype)  # both samplers: yz = 0
             bz = by
             react_mode = 0
             if cfg.pusher == "gc" and src.charge_state != 0:
                 # charged re-activated particles enter in GC coordinates
-                cs_b = jnp.full((k_batch,), src.charge_state, bvx.dtype)
-                m_b = jnp.full((k_batch,), src.mass, bvx.dtype)
+                cs_b = jnp.full((n_draw,), src.charge_state, bvx.dtype)
+                m_b = jnp.full((n_draw,), src.mass, bvx.dtype)
                 bx, byz_g, bv_g = _gc_pack(
                     bx, jnp.stack([by, bz], axis=-1),
                     jnp.stack([bvx, bvy, bvz], axis=-1), cs_b, m_b, cfg,
@@ -923,6 +976,15 @@ def make_step(cfg: MagnetizedConfig):
                 by, bz = byz_g[:, 0], byz_g[:, 1]
                 bvx, bvy, bvz = bv_g[:, 0], bv_g[:, 1], bv_g[:, 2]
                 react_mode = 1
+            if cfg.react_batch:
+                # slot i's draw sits at its re-activation rank in the
+                # (react_batch,)-sized table; cap the take set at the table
+                # size — surplus inactive slots wait for the next step
+                take = take & (rank < cfg.react_batch)
+                idx = jnp.clip(rank, 0, cfg.react_batch - 1)
+                bx, by, bz, bvx, bvy, bvz = (
+                    jnp.take(b_, idx) for b_ in (bx, by, bz, bvx, bvy, bvz)
+                )
             p1 = jnp.where(take, bx, p1)
             y1 = jnp.where(take, by, y1)
             z1 = jnp.where(take, bz, z1)
@@ -959,6 +1021,7 @@ def make_step(cfg: MagnetizedConfig):
             impacts=impacts,
             n_impacts=n_impacts,
             n_escaped=_allreduce(n_escaped),
+            iead_dropped=_allreduce(iead_dropped),
         )
         new_state = state.replace(
             p=p1, y=y1, z=z1, vx=vx1, vy=vy1, vz=vz1, m=m_arr,

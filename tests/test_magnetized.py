@@ -908,3 +908,101 @@ def test_magnetized_newton_backend_pallas_matches_xla():
         assert int(a.n_reactivated) == int(b.n_reactivated)
     np.testing.assert_allclose(np.asarray(st_p.phi), np.asarray(st_x.phi),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_magnetized_react_batch_matches_full_draw_take_set():
+    """react_batch > 0 re-activates exactly the slots the full-capacity
+    draw re-activates when the cap is not binding (values come from a
+    rank-keyed table instead — identical distribution, different stream),
+    and the population balance is preserved over steps."""
+    import dataclasses as dc
+    from pypic_tpu.presets import pic_iead
+
+    pre = pic_iead(n_per_species=400)
+    cfg0 = dc.replace(pre.config, source_sampler="threefry")
+    cfgb = dc.replace(cfg0, react_batch=1024)
+    st0, m0 = run(magnetized.make_step(cfg0), pre.state, 20)
+    stb, mb = run(magnetized.make_step(cfgb), pre.state, 20)
+    # 'source' refills every inactive slot either way
+    np.testing.assert_array_equal(np.asarray(m0.n_active),
+                                  np.asarray(mb.n_active))
+    assert (np.asarray(stb.active) == 1).all()
+
+
+def test_magnetized_react_batch_caps_per_step():
+    """When more slots are inactive than react_batch, exactly react_batch
+    re-activate (the earliest ranks); the surplus waits."""
+    import dataclasses as dc
+    from pypic_tpu.presets import pic_iead
+
+    pre = pic_iead(n_per_species=400)
+    cfg = dc.replace(pre.config, source_sampler="threefry", react_batch=8,
+                     ionization=False)
+    n = pre.state.p.shape[0]
+    # deactivate 100 slots mid-array
+    active = np.ones(n, np.int32)
+    active[200:300] = 0
+    st = pre.state.replace(active=jnp.asarray(active))
+    st1, m1 = magnetized.make_step(cfg)(st)
+    assert int(m1.n_reactivated) == 8
+    a1 = np.asarray(st1.active)
+    # earliest inactive ranks took (indices 200..207), modulo any slots a
+    # wall hit deactivated this step
+    assert (a1[200:208] == 1).all()
+    assert (a1[208:300] == 0).all()
+
+
+def test_magnetized_dp_react_batch_matches_single_device():
+    """Rank-keyed capped draws are shard-count-invariant for the threefry
+    sampler too (the table is replicated, ranks are global): the dp gate
+    that forces 'hash' does not apply at react_batch > 0."""
+    import dataclasses as dc
+
+    from pypic_tpu.presets import pic_iead
+    from pypic_tpu.parallel import make_mesh, make_data_parallel_step
+    from pypic_tpu.parallel.dataparallel import shard_state
+
+    steps = 20
+    pre = pic_iead(n_per_species=400)
+    cfg1 = dc.replace(pre.config, source_sampler="threefry",
+                      react_batch=512)
+    _, m1 = run(magnetized.make_step(cfg1), pre.state, steps)
+
+    mesh = make_mesh(8)
+    cfg8 = dc.replace(cfg1, axis_name="particles")
+    st8 = shard_state(pre.state, mesh)
+    step8 = make_data_parallel_step(
+        magnetized.make_step, cfg8, mesh, example_state=pre.state
+    )
+    _, m8 = run(step8, st8, steps)
+    np.testing.assert_allclose(
+        np.asarray(m8.phi_max, np.float64)[:10],
+        np.asarray(m1.phi_max, np.float64)[:10], rtol=5e-4,
+    )
+    a1 = np.asarray(m1.n_active)
+    a8 = np.asarray(m8.n_active)
+    assert np.abs(a1.astype(int) - a8.astype(int)).max() <= 4, (a1, a8)
+
+
+def test_magnetized_iead_pack_matches_full_pass():
+    """iead_pack > 0 accumulates bit-identical IEAD histograms while the
+    per-step hit count fits the pack buffer, and counts dropped impacts
+    when it doesn't."""
+    import dataclasses as dc
+    from pypic_tpu.presets import pic_iead
+
+    pre = pic_iead(n_per_species=400)
+    cfg0 = pre.config
+    cfgp = dc.replace(cfg0, iead_pack=256)
+    st0, m0 = run(magnetized.make_step(cfg0), pre.state, 30)
+    stp, mp = run(magnetized.make_step(cfgp), pre.state, 30)
+    assert int(np.asarray(mp.iead_dropped).sum()) == 0
+    np.testing.assert_array_equal(np.asarray(stp.iead), np.asarray(st0.iead))
+    # a 1-row buffer must drop impacts on multi-hit steps and say so
+    cfg1 = dc.replace(cfg0, iead_pack=1)
+    st1, m1 = run(magnetized.make_step(cfg1), pre.state, 30)
+    hits = np.asarray(m1.n_hit_wall).astype(int)
+    # in-range drops <= hits beyond the first per step
+    dropped = np.asarray(m1.iead_dropped).astype(int)
+    assert (dropped <= np.maximum(hits - 1, 0)).all()
+    assert float(np.asarray(st1.iead).sum()) <= float(np.asarray(st0.iead).sum())
