@@ -8,4 +8,4 @@ JAX collectives over ICI replace the nonexistent comm backend.
 
 from .dataparallel import make_data_parallel_step, shard_state  # noqa: F401
 from .mesh import make_mesh, make_mesh2  # noqa: F401
-from . import domain, domain_implicit, domain_sheath  # noqa: F401
+from . import domain, domain_implicit, domain_magnetized, domain_sheath  # noqa: F401

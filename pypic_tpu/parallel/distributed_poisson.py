@@ -56,6 +56,84 @@ def _thomas_np(c: int, rhs: np.ndarray) -> np.ndarray:
     return x[:, 0] if squeeze else x
 
 
+def make_distributed_tridiag_chain(c: int, num_shards: int, ax: str):
+    """Distributed tridiagonal solve with RUNTIME coefficients on a slab
+    chain (no wrap): ``solve(dl_own, d_own, du_own, f_own) -> x_own`` for
+    use inside ``shard_map``, each operand the (ng/D,)-sized owned slab of
+    the global system A x = f.
+
+    Same Schur-complement substructuring as
+    ``make_distributed_periodic_poisson``, generalized to coefficients that
+    change every call (the Newton-Boltzmann Jacobian's diagonal depends on
+    the current phi, pygcpic.py:1030-1032): the two boundary-response
+    vectors are solved at runtime alongside the particular solution (one
+    batched 3-RHS local tridiag), and the (2D, 2D) interface system is
+    assembled from an all_gather of SIX scalars per shard and solved
+    replicated (D <= 16 in practice — a dense solve of a 32x32 at most).
+
+    The chain has no wrap link: shard 0's first row and shard D-1's last
+    row carry their GLOBAL couplings (dl[0] / du[-1] are unused by
+    convention, so the end couplings vanish naturally and the interface
+    matrix is block-bidiagonal).
+
+    Stability: intended for diagonally dominant systems (the Boltzmann
+    Jacobian always is — its diagonal only grows more negative); not a
+    general pivoted solver.
+    """
+    d_tot = num_shards
+    if c < 2:
+        raise ValueError("need at least 2 nodes per shard")
+
+    e_first = jnp.zeros((c,), jnp.float32).at[0].set(1.0)
+    e_last = jnp.zeros((c,), jnp.float32).at[-1].set(1.0)
+
+    # static scatter indices for the (2D, 2D) interface matrix:
+    # unknowns t = [y_0, z_0, y_1, z_1, ...] with y_d = x_d[0],
+    # z_d = x_d[c-1]; row 2d:   y_d + a0 u[0] z_{d-1} + cc w[0] y_{d+1} = xp[0]
+    #                row 2d+1:  z_d + a0 u[-1] z_{d-1} + cc w[-1] y_{d+1} = xp[-1]
+    # end couplings (a0 on shard 0, cc on shard D-1) are zero, so the
+    # wrapped column indices they would write are multiplied by 0.
+    rows, cols = [], []
+    for dd in range(d_tot):
+        left = (dd - 1) % d_tot
+        right = (dd + 1) % d_tot
+        rows += [2 * dd, 2 * dd, 2 * dd + 1, 2 * dd + 1]
+        cols += [2 * left + 1, 2 * right, 2 * left + 1, 2 * right]
+    rows_idx = jnp.asarray(rows, jnp.int32)
+    cols_idx = jnp.asarray(cols, jnp.int32)
+    eye = jnp.eye(2 * d_tot, dtype=jnp.float32)
+
+    from ..ops import solve_tridiag
+
+    def solve(dl_own, d_own, du_own, f_own):
+        d = lax.axis_index(ax)
+        a0 = jnp.where(d == 0, 0.0, dl_own[0])  # global end rows: no ghost
+        cc = jnp.where(d == d_tot - 1, 0.0, du_own[-1])
+        # local interior operator: ghost couplings removed
+        dl_in = dl_own.at[0].set(0.0)
+        du_in = du_own.at[-1].set(0.0)
+        rhs = jnp.stack([f_own, e_first, e_last], axis=-1)
+        sols = solve_tridiag(dl_in, d_own, du_in, rhs)
+        xp, u, w = sols[:, 0], sols[:, 1], sols[:, 2]
+
+        g_local = jnp.stack([
+            xp[0], xp[-1], a0 * u[0], a0 * u[-1], cc * w[0], cc * w[-1],
+        ])
+        g = lax.all_gather(g_local, ax)  # (D, 6)
+        vals = jnp.stack(
+            [g[:, 2], g[:, 4], g[:, 3], g[:, 5]], axis=-1
+        ).reshape(-1)  # per shard: [a0 u0, cc w0, a0 u1, cc w1]
+        m = eye.at[rows_idx, cols_idx].add(vals)
+        rhs_if = jnp.stack([g[:, 0], g[:, 1]], axis=-1).reshape(-1)
+        t = jnp.linalg.solve(m, rhs_if)
+
+        z_left = jnp.where(d == 0, 0.0, t[2 * ((d - 1) % d_tot) + 1])
+        y_right = jnp.where(d == d_tot - 1, 0.0, t[2 * ((d + 1) % d_tot)])
+        return xp - (z_left * a0) * u - (y_right * cc) * w
+
+    return solve
+
+
 def make_distributed_periodic_poisson(ng: int, dx: float, num_shards: int,
                                       ax: str):
     """Build the slab-local solver: ``solve(rho_own) -> phi_own`` for use

@@ -529,3 +529,150 @@ def test_domain_implicit_window_share_matches_separate(problem):
     assert int(np.asarray(outs["shared"].picard_clamped).sum()) == 0
     tot = ee_sh + ke_sh
     assert abs(tot[-1] / tot[0] - 1.0) < 2e-3
+
+
+def _iead_like_domain_cfg(c1, **kw):
+    from pypic_tpu.parallel import domain_magnetized as dm
+
+    base = dict(
+        grid=c1.grid, dt=c1.dt, te=c1.te, b=c1.b, species_z=c1.species_z,
+        num_shards=8, ionization=c1.ionization, reactivate="source",
+        source=c1.source, react_batch=512,
+        iead_energy_max=c1.iead_energy_max, newton_tol=c1.newton_tol,
+        newton_maxiter=c1.newton_maxiter, halo=2, migrate_cap=1024,
+    )
+    base.update(kw)
+    return dm.DomainMagnetizedConfig(**base)
+
+
+def _domain_mag_state(pre, cfg, mesh):
+    from pypic_tpu.parallel import domain_magnetized as dm
+
+    return dm.shard_state(dm.init_state(
+        np.asarray(pre.state.p) * cfg.grid.dx,
+        np.stack([pre.state.vx, pre.state.vy, pre.state.vz], -1),
+        np.asarray(pre.state.m), np.asarray(pre.state.charge_state),
+        np.asarray(pre.state.p2c), np.asarray(pre.state.species_idx),
+        cfg), mesh, cfg)
+
+
+def test_domain_magnetized_matches_single_device():
+    """Slab-sharded magnetized engine (round-2 review stretch item 9): the
+    distributed Newton-Boltzmann solve + slab deposits/halos reproduce the
+    single-device pic_iead trajectory while correlated (f32 lsb summation
+    differences then diverge chaotically through the absorb/re-activate
+    feedback, as with the data-parallel engine)."""
+    import dataclasses as dc
+    from pypic_tpu.presets import pic_iead
+    from pypic_tpu.parallel import make_mesh, domain_magnetized as dm
+    from pypic_tpu.engines import magnetized
+    from pypic_tpu.runner import run
+
+    steps = 30
+    pre = pic_iead(n_per_species=400)
+    c1 = dc.replace(pre.config, source_sampler="threefry", react_batch=512)
+    _, m1 = run(magnetized.make_step(c1), pre.state, steps)
+
+    cfg = _iead_like_domain_cfg(c1)
+    mesh = make_mesh(8, axis="slabs")
+    st = _domain_mag_state(pre, cfg, mesh)
+    stf, m8 = run(dm.make_step(cfg, mesh), st, steps)
+
+    np.testing.assert_allclose(
+        np.asarray(m8.phi_max, np.float64)[:10],
+        np.asarray(m1.phi_max, np.float64)[:10], rtol=5e-4)
+    # tight while correlated; the re-activation slot order differs (slab
+    # grouping), so later steps decorrelate faster than the dp engine's
+    np.testing.assert_allclose(
+        np.asarray(m8.n0, np.float64)[:10], np.asarray(m1.n0, np.float64)[:10],
+        rtol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(m8.n0, np.float64), np.asarray(m1.n0, np.float64),
+        rtol=2e-1)
+    a1 = np.asarray(m1.n_active).astype(int)
+    a8 = np.asarray(m8.n_active).astype(int)
+    assert np.abs(a1 - a8).max() <= 4
+    assert int(np.asarray(m8.n_dropped).sum()) == 0
+    # IEAD totals agree on the psum'd channel (same wall flux statistics)
+    tot1 = float(np.asarray(m1.n_hit_wall).sum())
+    tot8 = float(np.asarray(m8.n_hit_wall).sum())
+    assert abs(tot1 - tot8) <= 0.15 * max(tot1, 1.0), (tot1, tot8)
+
+
+def test_domain_magnetized_solvers_agree():
+    """'distributed' (substructured Newton, slab-sharded through every
+    iteration) == 'replicated' (all_gather + ops.poisson) to f32 solver
+    tolerance on identical states."""
+    import dataclasses as dc
+    from pypic_tpu.presets import pic_iead
+    from pypic_tpu.parallel import make_mesh, domain_magnetized as dm
+    from pypic_tpu.runner import run
+
+    pre = pic_iead(n_per_species=400)
+    c1 = dc.replace(pre.config, source_sampler="threefry")
+    mesh = make_mesh(8, axis="slabs")
+    outs = {}
+    for solver in ("distributed", "replicated"):
+        cfg = _iead_like_domain_cfg(c1, solver=solver)
+        st = _domain_mag_state(pre, cfg, mesh)
+        outs[solver] = run(dm.make_step(cfg, mesh), st, 10)
+    phi_d = np.asarray(outs["distributed"][1].phi, np.float64)
+    phi_r = np.asarray(outs["replicated"][1].phi, np.float64)
+    scale = np.abs(phi_r).max()
+    np.testing.assert_allclose(phi_d / scale, phi_r / scale, atol=2e-4)
+    np.testing.assert_array_equal(
+        np.asarray(outs["distributed"][1].n_active),
+        np.asarray(outs["replicated"][1].n_active))
+
+
+def test_domain_magnetized_config_gates():
+    from pypic_tpu.presets import pic_iead
+    from pypic_tpu.parallel import domain_magnetized as dm
+
+    pre = pic_iead(n_per_species=10)
+    c1 = pre.config
+    with pytest.raises(ValueError, match="react_batch"):
+        _iead_like_domain_cfg(c1, react_batch=0)
+    with pytest.raises(ValueError, match="not divisible"):
+        _iead_like_domain_cfg(c1, num_shards=7)
+    with pytest.raises(ValueError, match="dirichlet-dirichlet"):
+        from pypic_tpu.grid import GridSpec
+        dn = GridSpec(600, c1.grid.length, "dirichlet-neumann")
+        _iead_like_domain_cfg(c1, grid=dn)
+
+
+def test_distributed_tridiag_chain_matches_thomas():
+    """Runtime-coefficient Schur substructuring == the sequential Thomas
+    solve, on Boltzmann-Jacobian-like and generic dominant systems."""
+    from jax.sharding import PartitionSpec as P
+    from pypic_tpu.parallel import make_mesh
+    import jax.numpy as jnp
+    from pypic_tpu.parallel.distributed_poisson import (
+        make_distributed_tridiag_chain,
+    )
+    from pypic_tpu.ops import solve_tridiag
+
+    ng, D = 640, 8
+    mesh = make_mesh(8, axis="slabs")
+    solve_dist = make_distributed_tridiag_chain(ng // D, D, "slabs")
+    fn = jax.shard_map(solve_dist, mesh=mesh, in_specs=(P("slabs"),) * 4,
+                       out_specs=P("slabs"), check_vma=False)
+    rng = np.random.default_rng(5)
+    dl = np.ones(ng, np.float32)
+    du = np.ones(ng, np.float32)
+    dl[-1] = 0.0
+    du[0] = 0.0
+    for kind in ("boltzmann", "generic"):
+        if kind == "boltzmann":
+            d = (-2.0 - np.exp(rng.normal(0, 1.5, ng)) * 20).astype(np.float32)
+            d[0] = d[-1] = 1.0
+        else:
+            d = (rng.normal(0, 1, ng) + 4.0).astype(np.float32)
+        f = rng.normal(0, 1, ng).astype(np.float32)
+        ref = np.asarray(solve_tridiag(
+            jnp.asarray(dl, jnp.float32), jnp.asarray(d),
+            jnp.asarray(du, jnp.float32), jnp.asarray(f), method="thomas"))
+        out = np.asarray(fn(jnp.asarray(dl, jnp.float32), jnp.asarray(d),
+                            jnp.asarray(du, jnp.float32), jnp.asarray(f)))
+        err = np.abs(out - ref).max() / np.abs(ref).max()
+        assert err < 1e-4, (kind, err)
