@@ -342,6 +342,47 @@ def domain_implicit(n: int = 1_000_000, ng: int = 200, seed: int = 1,
     )
 
 
+def pic_iead_dd(n_per_species: int = 1000, ng: int = 600, seed: int = 1,
+                shards: int | None = None, **kw) -> Preset:
+    """pic_iead domain-decomposed over the device mesh
+    (parallel.domain_magnetized): slab-sharded deposits and a
+    Newton-Boltzmann solve that stays slab-sharded through every iteration
+    (runtime-coefficient Schur substructuring), walls on the end shards,
+    rank-keyed re-activation with owner migration. ``shards`` defaults to
+    every visible device; ng must divide by it."""
+    import jax
+
+    from .parallel import domain_magnetized as dmag, make_mesh
+
+    pre = pic_iead(n_per_species=n_per_species, ng=ng, seed=seed)
+    c1 = pre.config
+    n_dev = int(shards) if shards else len(jax.devices())
+    n_tot = pre.state.p.shape[0]
+    cfg = dmag.DomainMagnetizedConfig(
+        grid=c1.grid, dt=c1.dt, te=c1.te, b=c1.b, species_z=c1.species_z,
+        num_shards=n_dev, ionization=c1.ionization, reactivate="source",
+        source=c1.source,
+        react_batch=kw.get("react_batch", max(512, n_tot // 64)),
+        iead_energy_max=c1.iead_energy_max,
+        newton_tol=c1.newton_tol, newton_maxiter=c1.newton_maxiter,
+        halo=kw.get("halo", 2),
+        migrate_cap=kw.get("migrate_cap", max(1024, n_tot // 16)),
+    )
+    mesh = make_mesh(n_dev, axis="slabs")
+    st = dmag.shard_state(dmag.init_state(
+        np.asarray(pre.state.p) * c1.grid.dx,
+        np.stack([pre.state.vx, pre.state.vy, pre.state.vz], -1),
+        np.asarray(pre.state.m), np.asarray(pre.state.charge_state),
+        np.asarray(pre.state.p2c), np.asarray(pre.state.species_idx),
+        cfg, seed=seed), mesh, cfg)
+    return Preset(
+        "pic_iead_dd", dmag, cfg, st,
+        dict(pre.meta,
+             reshard=lambda s: dmag.shard_state(s, mesh, cfg)),
+        step_builder=lambda: dmag.make_step(cfg, mesh),
+    )
+
+
 PRESETS: Dict[str, Callable[..., Preset]] = {
     "landau_damping": landau_damping,
     "two_stream": two_stream,
@@ -353,6 +394,7 @@ PRESETS: Dict[str, Callable[..., Preset]] = {
     "pic_bca_aps": pic_bca_aps,
     "dirichlet_neumann_test": dirichlet_neumann_test,
     "domain_implicit": domain_implicit,
+    "pic_iead_dd": pic_iead_dd,
 }
 
 

@@ -24,6 +24,7 @@ def test_all_presets_construct_small():
         "pic_bca_aps": dict(ppc=2),
         "dirichlet_neumann_test": dict(n=2000, ng=100),
         "domain_implicit": dict(n=2000, shards=8),
+        "pic_iead_dd": dict(n_per_species=100, ng=104, shards=8),
     }
     for name, kw in small.items():
         pre = presets.get(name, **kw)
@@ -36,6 +37,45 @@ def test_all_presets_construct_small():
 def test_preset_unknown():
     with pytest.raises(KeyError):
         presets.get("nope")
+
+
+def test_cli_domain_magnetized_preset_end_to_end(tmp_path):
+    """The slab-sharded magnetized engine is drivable through the CLI:
+    metrics files, checkpoints, and resume on the 8-device virtual mesh."""
+    outdir = str(tmp_path / "plots")
+    pre = (
+        "import os; os.environ['XLA_FLAGS']="
+        "os.environ.get('XLA_FLAGS','')"
+        "+' --xla_force_host_platform_device_count=8';"
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from pypic_tpu.cli import main;"
+    )
+    code = pre + (
+        f"main(['run','pic_iead_dd','--steps','12',"
+        f"'--outdir',r'{outdir}','--checkpoint-every','6','--clean'])"
+    )
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, cwd=cwd)
+    assert res.returncode == 0, res.stderr[-2000:]
+    for f in ("time.out", "metrics.npz", "metrics.jsonl"):
+        assert os.path.exists(os.path.join(outdir, f)), f
+    rows = [json.loads(l) for l in open(os.path.join(outdir, "metrics.jsonl"))]
+    assert len(rows) == 12
+    assert all(np.isfinite(r["phi_max"]) for r in rows)
+    assert rows[-1]["n_dropped"] == 0
+    ck = os.path.join(outdir, "checkpoints", "state_0000000012.npz")
+    assert os.path.exists(ck)
+    code2 = pre + (
+        f"main(['run','pic_iead_dd','--steps','6',"
+        f"'--outdir',r'{outdir}','--checkpoint-every','6','--resume'])"
+    )
+    res2 = subprocess.run([sys.executable, "-c", code2], capture_output=True,
+                          text=True, cwd=cwd)
+    assert res2.returncode == 0, res2.stderr[-2000:]
+    assert "resumed from step 12" in res2.stderr
+    rows2 = [json.loads(l) for l in open(os.path.join(outdir, "metrics.jsonl"))]
+    assert len(rows2) == 6 and np.isfinite(rows2[-1]["phi_max"])
 
 
 def test_first_peak_index():
