@@ -652,10 +652,23 @@ def make_step(cfg: MagnetizedConfig):
                 2.0 * state.phi - state.phi_prev
                 if cfg.newton_warm == "extrapolate" else state.phi
             )
-            res = solve_boltzmann_dirichlet_neumann(
-                n_dens, n0, cfg.te, dx, phi_warm,
-                tol=1e-3, maxiter=100,
-            )
+            use_pallas_newton = (
+                cfg.newton_backend == "pallas"
+                or (cfg.newton_backend == "auto"
+                    and jax.default_backend() == "tpu")
+            ) and n_dens.dtype == jnp.float32
+            if use_pallas_newton:
+                from ..ops.pallas_newton import boltzmann_dn_pallas
+
+                res = boltzmann_dn_pallas(
+                    n_dens, n0, cfg.te, dx, phi_warm,
+                    tol=1e-3, maxiter=100,
+                )
+            else:
+                res = solve_boltzmann_dirichlet_neumann(
+                    n_dens, n0, cfg.te, dx, phi_warm,
+                    tol=1e-3, maxiter=100,
+                )
         else:
             phi_warm = (
                 2.0 * state.phi - state.phi_prev

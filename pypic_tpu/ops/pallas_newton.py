@@ -46,7 +46,7 @@ from ..constants import EPSILON_0, E_CHARGE, K_BOLTZMANN
 from .poisson import NewtonResult, _EXP_CLAMP
 from .pallas_cic import _interpret
 
-__all__ = ["boltzmann_dirichlet_pallas"]
+__all__ = ["boltzmann_dirichlet_pallas", "boltzmann_dn_pallas"]
 
 _LANE = 128
 
@@ -135,6 +135,111 @@ def _newton_dd_kernel(scal_ref, c2_ref, phi0_ref, phi_ref, stat_ref,
     phi_ref[:] = phi - jnp.min(jnp.where(valid, phi, big))
     stat_ref[0, 0] = residual
     stat_ref[0, 1] = it.astype(jnp.float32)
+
+
+def _newton_dn_kernel(scal_ref, c2_ref, phi0_ref, phi_ref, stat_ref,
+                      *, ng, ngp, c1, dx2, tol, maxiter, step_max):
+    """Dirichlet-Neumann Newton (ops.poisson.solve_boltzmann_dirichlet_
+    neumann, pygcpic.py:1062-1109): the one-sided Neumann row
+    (..., 1, -4, 3) is tridiagonal + the rank-1 A[-1, -3] entry, solved by
+    Sherman-Morrison on a 2-RHS PCR (the f and e_{ng-1} columns share the
+    elimination coefficients). Residual is ||dphi||_2 (NOT the D-D kernel's
+    squared norm — reference parity)."""
+    c0 = scal_ref[0, 0]
+    col = lax.broadcasted_iota(jnp.int32, (1, ngp), 1)
+    valid = col < ng
+    inner = (col >= 1) & (col <= ng - 2)
+    # tridiagonal part of the D-N Laplacian (ops.poisson lines: dl ends -4,
+    # d = [1, -2 .., 3], du[0] = 0); padding rows identity
+    a_lap = jnp.where(inner, 1.0, jnp.where(col == ng - 1, -4.0, 0.0))
+    c_lap = jnp.where(inner, 1.0, 0.0)
+    d_lap = jnp.where(inner, -2.0,
+                      jnp.where(col == ng - 1, 3.0, 1.0))
+    u_row = jnp.where(col == ng - 1, 1.0, 0.0)  # rank-1 u = e_{ng-1}
+    c2 = c2_ref[:]
+
+    def body(carry):
+        phi, _, it = carry
+        expo = jnp.exp(jnp.clip(c1 * phi, -_EXP_CLAMP, _EXP_CLAMP))
+        lap = (a_lap * _shift_down(phi, 1, 0.0, col)
+               + d_lap * phi
+               + c_lap * _shift_up(phi, 1, 0.0, col, ngp))
+        phi_m3 = jnp.sum(jnp.where(col == ng - 3, phi, 0.0))
+        phi_0 = jnp.sum(jnp.where(col == 0, phi, 0.0))
+        lap = lap + u_row * phi_m3  # A[-1, -3] extra entry
+        f = lap - dx2 * c0 * expo + dx2 * c2
+        # reference row overrides: f[0] = phi[0], f[-1] = 0, padding 0
+        f = jnp.where(col == 0, phi_0, f)
+        f = jnp.where((col == ng - 1) | ~valid, 0.0, f)
+        ddiag = jnp.where(inner, -dx2 * c0 * c1 * expo,
+                          jnp.where(col == 0, -dx2 * c0 * c1, 0.0))
+        rhs = jnp.concatenate([f, u_row], axis=0)  # (2, ngp)
+        sol = _pcr_solve(a_lap, d_lap + ddiag, c_lap, rhs, col, ngp)
+        y = sol[0:1]
+        z = sol[1:2]
+        vy = jnp.sum(jnp.where(col == ng - 3, y, 0.0))
+        vz = jnp.sum(jnp.where(col == ng - 3, z, 0.0))
+        dphi = y - z * (vy / (1.0 + vz))
+        dphi = jnp.clip(dphi, -step_max, step_max)
+        phi = phi - dphi
+        return phi, jnp.sqrt(jnp.sum(dphi * dphi)), it + 1
+
+    def cond(carry):
+        _, residual, it = carry
+        return (residual > tol) & (it < maxiter)
+
+    phi, residual, it = lax.while_loop(
+        cond, body,
+        (phi0_ref[:], jnp.asarray(1.0, jnp.float32),
+         jnp.asarray(0, jnp.int32)),
+    )
+    big = jnp.asarray(np.float32(np.finfo(np.float32).max))
+    phi_ref[:] = phi - jnp.min(jnp.where(valid, phi, big))
+    stat_ref[0, 0] = residual
+    stat_ref[0, 1] = it.astype(jnp.float32)
+
+
+def boltzmann_dn_pallas(n, n0, te, dx, phi0, tol=1e-3, maxiter=100):
+    """Drop-in one-kernel form of
+    ops.poisson.solve_boltzmann_dirichlet_neumann (note: takes the NUMBER
+    density n, c2 = e n / eps0 — pygcpic.py:1089)."""
+    ng = n.shape[0]
+    if n.dtype != jnp.float32:
+        raise TypeError("boltzmann_dn_pallas is f32-only")
+    ngp = max(_LANE, 1 << (ng - 1).bit_length())
+    c1 = float(E_CHARGE / (K_BOLTZMANN * float(te)))
+    dx2 = float(dx) * float(dx)
+    c0 = (E_CHARGE / EPSILON_0) * jnp.asarray(n0, jnp.float32)
+    scal = jnp.reshape(c0, (1, 1))
+    pad = ngp - ng
+    c2 = jnp.pad(n * np.float32(E_CHARGE / EPSILON_0), (0, pad))[None, :]
+    p0 = jnp.pad(phi0.astype(jnp.float32), (0, pad))[None, :]
+
+    kernel = functools.partial(
+        _newton_dn_kernel, ng=ng, ngp=ngp, c1=np.float32(c1),
+        dx2=np.float32(dx2), tol=np.float32(tol), maxiter=int(maxiter),
+        step_max=np.float32(_EXP_CLAMP / c1),
+    )
+    phi, stat = pl.pallas_call(
+        kernel,
+        in_specs=(
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, ngp), jnp.float32),
+            jax.ShapeDtypeStruct((1, _LANE), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(scal, c2, p0)
+    return NewtonResult(
+        phi[0, :ng], stat[0, 1].astype(jnp.int32), stat[0, 0]
+    )
 
 
 def boltzmann_dirichlet_pallas(rho, n0, te, dx, tol=1e-9, maxiter=1000,

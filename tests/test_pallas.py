@@ -356,3 +356,34 @@ def test_newton_boltzmann_pallas_neutral_plasma():
     res = boltzmann_dirichlet_pallas(rho, n0, te, dx, tol=1e-9)
     te_volts = K_BOLTZMANN * te / E_CHARGE  # 10 V
     assert float(jnp.max(jnp.abs(res.phi))) < 1e-4 * te_volts
+
+
+def test_newton_boltzmann_dn_pallas_matches_xla():
+    """The one-kernel D-N Newton (Sherman-Morrison on a 2-RHS PCR) reaches
+    the same converged phi as ops.poisson.solve_boltzmann_dirichlet_neumann
+    through the dirichlet_neumann_test engine envelope (tol 1e-3,
+    pygcpic.py:1079-1080)."""
+    from pypic_tpu.constants import E_CHARGE
+    from pypic_tpu.ops.poisson import solve_boltzmann_dirichlet_neumann
+    from pypic_tpu.ops.pallas_newton import boltzmann_dn_pallas
+
+    rng = np.random.default_rng(13)
+    te, dx = 11600.0 * 10.0, 2e-5
+    for ng in (600, 257):
+        dens = (1e17 * (1.0 + 0.3 * rng.standard_normal(ng))).clip(1e15)
+        n = jnp.asarray(dens.astype(np.float32))
+        n0 = np.float32(0.9e17)
+        phi0 = jnp.zeros(ng, jnp.float32)
+        ref = solve_boltzmann_dirichlet_neumann(n, n0, te, dx, phi0,
+                                                tol=1e-3, maxiter=100)
+        new = boltzmann_dn_pallas(n, n0, te, dx, phi0, tol=1e-3, maxiter=100)
+        assert abs(int(new.iterations) - int(ref.iterations)) <= 1
+        scale = float(jnp.max(jnp.abs(ref.phi)))
+        np.testing.assert_allclose(np.asarray(new.phi), np.asarray(ref.phi),
+                                   atol=5e-4 * scale)
+        # warm start from the converged answer
+        ref_w = solve_boltzmann_dirichlet_neumann(n, n0, te, dx, ref.phi,
+                                                  tol=1e-3, maxiter=100)
+        new_w = boltzmann_dn_pallas(n, n0, te, dx, ref.phi,
+                                    tol=1e-3, maxiter=100)
+        assert int(new_w.iterations) == int(ref_w.iterations)
