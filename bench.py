@@ -199,10 +199,13 @@ def bench_two_stream(args):
     )
     cfg = explicit.ExplicitConfig(grid, 0.1 / params.wp, params.p2c)
     st = explicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
-    step = explicit.make_step(cfg)
 
     def go():
-        _, m = run(step, st, steps)
+        # resident multi-step path: the whole population runs S=200 full
+        # PIC cycles per kernel invocation (bit-exact with the scanned
+        # one-kernel cycle — tests/test_pallas.py); at 1e4 particles the
+        # scanned path is ~90% per-step dispatch overhead
+        _, m = explicit.run_resident(cfg, st, steps, steps_per_call=200)
         np.asarray(m.field_energy)
 
     _emit("two_stream", n, steps, _time(go))

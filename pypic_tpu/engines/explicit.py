@@ -15,10 +15,12 @@ than the dead driver's inconsistent ``p2c**2`` / measure-free expressions
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from flax import struct
 
 from ..constants import EPSILON_0
@@ -209,3 +211,75 @@ def make_step(cfg: ExplicitConfig):
                              step=state.step + 1), metrics
 
     return step
+
+
+class ResidentMetrics(NamedTuple):
+    """Per-step scalar metrics of run_resident (the (ng,) rho/e diagnostic
+    rows of StepMetrics are only available at chunk boundaries on the
+    resident path — the field history stays in VMEM)."""
+
+    field_energy: jax.Array  # (steps,)
+    kinetic_energy: jax.Array  # (steps,)
+    current_bias: jax.Array  # (steps,)
+
+
+def run_resident(cfg: ExplicitConfig, state: ExplicitState, steps: int,
+                 steps_per_call: int = 128):
+    """Run ``steps`` explicit cycles with the population VMEM-resident:
+    ``steps_per_call`` full PIC cycles per kernel invocation
+    (ops.pallas_cic.explicit_cycle_resident_pallas). At small n the
+    per-step cost of the scanned one-kernel path is XLA dispatch — ~25 us
+    at 1e4 particles on v5e vs ~2 us of particle work; the resident path
+    amortizes it across the chunk.
+
+    Same math as the one-kernel cycle (equivalence-tested); requires
+    scalar q/m, periodic bc, ng <= 1024 and n <= 32768. Returns
+    (final_state, ResidentMetrics) with the metrics stacked over all
+    ``steps`` exactly as runner.run stacks StepMetrics scalars.
+    """
+    from ..ops.pallas_cic import (
+        explicit_cycle_resident_pallas,
+        explicit_resident_matrices,
+    )
+
+    grid = cfg.grid
+    ng, dx = grid.ng, grid.dx
+    if jnp.ndim(state.q) != 0 or jnp.ndim(state.m) != 0:
+        raise ValueError("run_resident requires scalar q/m")
+    if ng > 1024:
+        raise ValueError("run_resident requires ng <= 1024 (VMEM operators)")
+    fold, me, sel = explicit_resident_matrices(ng, dx)
+    spc = min(int(steps_per_call), int(steps))
+    full, rem = divmod(int(steps), spc)
+
+    def chunk(st: ExplicitState, n_steps: int):
+        qm = st.q / st.m
+        p1, v1, rho1, e1, fe, ke, jb = explicit_cycle_resident_pallas(
+            st.e, st.rho, st.p, st.v, ng, n_steps,
+            qm=qm, w=st.q * (cfg.p2c / dx),
+            ke_c=0.5 * cfg.p2c * st.m,
+            jb_c=st.q * (cfg.p2c / dx / ng),
+            dt=cfg.dt, dx=dx, fold_mat=fold, me_mat=me, sel_mat=sel,
+            fe_c=0.5 * EPSILON_0 * dx,
+        )
+        st1 = st.replace(p=p1, v=v1, rho=rho1, e=e1.astype(p1.dtype),
+                         step=st.step + n_steps)
+        return st1, (fe, ke, jb)
+
+    @jax.jit
+    def scan_full(st):
+        def body(st, _):
+            return chunk(st, spc)
+
+        return lax.scan(body, st, None, length=full)
+
+    parts = []
+    if full:
+        state, (fe, ke, jb) = scan_full(state)
+        parts.append((fe.reshape(-1), ke.reshape(-1), jb.reshape(-1)))
+    if rem:
+        state, (fe, ke, jb) = jax.jit(
+            functools.partial(chunk, n_steps=rem))(state)
+        parts.append((fe, ke, jb))
+    fe, ke, jb = (jnp.concatenate([p[i] for p in parts]) for i in range(3))
+    return state, ResidentMetrics(fe, ke, jb)

@@ -888,8 +888,177 @@ def leapfrog_gather_push_deposit_pallas(
 
 
 # ---------------------------------------------------------------------------
-# fused implicit Picard iteration (periodic, single species)
+# resident multi-step explicit cycle: at small n the per-step cost is XLA
+# dispatch (scan-step overhead, kernel launch, the window-view build and the
+# metric reductions — ~25 us/step at 1e4 particles on v5e while the actual
+# particle work is ~2 us). When the whole population fits VMEM, run S full
+# PIC cycles inside ONE kernel invocation: particles, field, and the window
+# view stay resident; the field solve and the window-view rebuild are the
+# same precomputed contractions as the one-kernel cycle epilogue.
 # ---------------------------------------------------------------------------
+
+
+def _deposit_acc(pos, values, num_k, block, stride, width):
+    """Value-form of _deposit_into: returns the (width, K) window
+    accumulator contribution of one particle batch."""
+    k, d = _window_decompose(pos, num_k, stride)
+    m_t = _tent_t(d, block, width) * values[None, :]
+    sel_t = _sel_t(k, num_k, pos.dtype)
+    return lax.dot_general(
+        m_t, sel_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _explicit_resident_kernel(
+    scal_ref, e0_ref, rho0_ref, fwin_ref, fold_ref, me_ref, sel_ref,
+    p_ref, v_ref,
+    p1_ref, v1_ref, rho_ref, e1_ref, fe_ref, ke_ref, jb_ref,
+    *, num_k, ng, block, n_valid, stride, width, steps, spad, fe_c,
+):
+    qm_dt_half = scal_ref[0, 0]
+    dt_dx = scal_ref[1, 0]
+    w = scal_ref[2, 0]
+    ke_c = scal_ref[3, 0]  # 0.5 * p2c * m
+    jb_c = scal_ref[4, 0]  # q * p2c / (dx * ng)
+    mask = (lax.broadcasted_iota(jnp.int32, (1, block), 1)
+            < n_valid).astype(p_ref.dtype)[0]
+    lane_s = lax.broadcasted_iota(jnp.int32, (1, spad), 1)
+    zrow = jnp.zeros((1, spad), jnp.float32)
+
+    def body(s, carry):
+        p, v, e, fwin, rho, fe_row, ke_row, jb_row = carry
+        # metrics of the CURRENT state (pre-push — engines.explicit order)
+        at = lane_s == s
+        fe_row = fe_row + jnp.where(at, fe_c * jnp.sum(e * e), zrow)
+        ke_row = ke_row + jnp.where(
+            at, ke_c * jnp.sum(v * v * mask), zrow)
+        jb_row = jb_row + jnp.where(at, jb_c * jnp.sum(v * mask), zrow)
+
+        e_p = _gather_at(fwin, p, num_k, block, stride, width)
+        vh = v + qm_dt_half * e_p
+        p1 = p + vh * dt_dx
+        p1 = p1 - jnp.floor(p1 * (1.0 / ng)) * ng
+        v1 = vh + qm_dt_half * e_p
+        acc = _deposit_acc(p1, w * mask, num_k, block, stride, width)
+        rho1 = _fold_acc_rows(acc, fold_ref, width)  # (1, ng)
+        e1 = lax.dot_general(
+            rho1, me_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+        # window view of the new field: one (1, ng) @ (ng, K) selection dot
+        # per tent row (exact — each output row sums one element)
+        fwin1 = jnp.concatenate([
+            lax.dot_general(
+                e1, sel_ref[ell], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            )
+            for ell in range(width)
+        ], axis=0)
+        return p1, v1, e1, fwin1, rho1, fe_row, ke_row, jb_row
+
+    p1, v1, e1, _, rho1, fe_row, ke_row, jb_row = lax.fori_loop(
+        0, steps,
+        body,
+        (p_ref[0, 0, :], v_ref[0, 0, :], e0_ref[:], fwin_ref[:],
+         rho0_ref[:], zrow, zrow, zrow),
+    )
+    p1_ref[0, 0, :] = p1
+    v1_ref[0, 0, :] = v1
+    rho_ref[:] = rho1
+    e1_ref[:] = e1
+    fe_ref[:] = fe_row
+    ke_ref[:] = ke_row
+    jb_ref[:] = jb_row
+
+
+def explicit_resident_matrices(ng: int, dx: float):
+    """(fold, me, sel) for the resident multi-step cycle: the one-kernel
+    cycle's matrices plus the window-view selection tensor sel[ell]:
+    (ng, K) 0/1 columns with sel[ell, (stride k + ell) % ng, k] = 1 — the
+    in-kernel rebuild of _window_field_t as exact dots."""
+    import numpy as np
+
+    fold, me = explicit_cycle_matrices(ng, dx)
+    stride, width = _choose_window(ng)
+    num_k = _num_windows(ng, stride)
+    sel = np.zeros((width, ng, num_k), np.float32)
+    for ell in range(width):
+        for k in range(num_k):
+            sel[ell, (k * stride + ell) % ng, k] = 1.0
+    return fold, me, jnp.asarray(sel)
+
+
+_RESIDENT_MAX_N = 32768  # (8 + width + K) * B * 4 bytes must fit ~16MB VMEM
+
+
+def explicit_cycle_resident_pallas(
+    e_field, rho0, p, v, ng: int, steps: int, *, qm, w, ke_c, jb_c,
+    dt: float, dx: float, fold_mat, me_mat, sel_mat, fe_c: float,
+):
+    """``steps`` full explicit PIC cycles in ONE kernel invocation —
+    particles, field, and the window view stay VMEM-resident across steps
+    (kills the ~25 us/step dispatch overhead that bounds the small-n rows).
+
+    Same per-step math as explicit_cycle_pallas (gather + leapfrog + wrap
+    + deposit + precomputed-contraction field solve); per-step metrics
+    (field energy, kinetic energy, current bias — the PRE-push convention
+    of engines.explicit) accumulate into (steps,) rows in-kernel.
+
+    Args: qm/w traced scalars as in explicit_cycle_pallas; ke_c = 0.5 p2c
+    m (traced), jb_c = q p2c / (dx ng) (traced), fe_c = 0.5 eps0 dx
+    (static). Requires n <= 32768 (VMEM residency).
+
+    Returns (p1, v1, rho1, e1, fe (steps,), ke (steps,), jb (steps,)).
+    """
+    n = p.shape[0]
+    if n > _RESIDENT_MAX_N:
+        raise ValueError(
+            f"resident cycle requires n <= {_RESIDENT_MAX_N} (got {n})")
+    stride, width = _choose_window(ng)
+    num_k = _num_windows(ng, stride)
+    fwin_t = _window_field_t(e_field, num_k, True, stride, width)
+    block = -(-n // LANE) * LANE
+    pad = block - n
+    p_b = jnp.pad(p, (0, pad))[None, None, :]
+    v_b = jnp.pad(v, (0, pad))[None, None, :]
+    spad = -(-int(steps) // LANE) * LANE
+    zero = jnp.zeros_like(qm * dt)
+    scal = jnp.stack([
+        0.5 * qm * dt, zero + dt / dx, w + zero, ke_c + zero, jb_c + zero,
+        zero, zero, zero,
+    ]).reshape(8, 1).astype(p.dtype)
+    kern = functools.partial(
+        _explicit_resident_kernel, num_k=num_k, ng=ng, block=block,
+        n_valid=n, stride=stride, width=width, steps=int(steps), spad=spad,
+        fe_c=float(fe_c),
+    )
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    p1, v1, rho, e1, fe, ke, jb = pl.pallas_call(
+        kern,
+        in_specs=[
+            pl.BlockSpec((8, 1), memory_space=pltpu.SMEM),
+            full, full, full, full, full, full, full, full,
+        ],
+        out_specs=(full,) * 7,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, 1, block), p.dtype),
+            jax.ShapeDtypeStruct((1, 1, block), v.dtype),
+            jax.ShapeDtypeStruct((1, ng), jnp.float32),
+            jax.ShapeDtypeStruct((1, ng), jnp.float32),
+            jax.ShapeDtypeStruct((1, spad), jnp.float32),
+            jax.ShapeDtypeStruct((1, spad), jnp.float32),
+            jax.ShapeDtypeStruct((1, spad), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(scal, e_field[None, :].astype(jnp.float32),
+      rho0[None, :].astype(jnp.float32), fwin_t, fold_mat, me_mat, sel_mat,
+      p_b, v_b)
+    s = int(steps)
+    return (p1.reshape(-1)[:n], v1.reshape(-1)[:n], rho.reshape(-1),
+            e1.reshape(-1), fe[0, :s], ke[0, :s], jb[0, :s])
 
 
 def _deposit_into(out_ref, pos, values, num_k, block, stride, width):

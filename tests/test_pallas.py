@@ -387,3 +387,42 @@ def test_newton_boltzmann_dn_pallas_matches_xla():
         new_w = boltzmann_dn_pallas(n, n0, te, dx, ref.phi,
                                     tol=1e-3, maxiter=100)
         assert int(new_w.iterations) == int(ref_w.iterations)
+
+
+def test_explicit_resident_matches_scanned():
+    """run_resident (S full PIC cycles per kernel invocation, VMEM-resident
+    population) reproduces the scanned one-kernel cycle trajectory
+    bit-for-bit (same in-kernel math; only the metric reductions reorder),
+    including a non-multiple remainder chunk."""
+    from pypic_tpu.constants import (
+        E_CHARGE, EPSILON_0, K_BOLTZMANN, M_ELECTRON,
+    )
+    from pypic_tpu.grid import GridSpec
+    from pypic_tpu import initialize as init
+    from pypic_tpu.engines import explicit
+    from pypic_tpu.runner import run
+
+    density, te = 1e10, 0.1 * 11600.0
+    debye = np.sqrt(K_BOLTZMANN * te * EPSILON_0 / E_CHARGE**2 / density)
+    grid = GridSpec(200, 15.0 * debye, "periodic")
+    x, v, params = init.initialize_periodic(
+        "two-stream", 4097, density, 1, 0.05, grid, te, te, seed=2)
+    cfg = explicit.ExplicitConfig(grid, 0.1 / params.wp, params.p2c,
+                                  backend="fused")
+    st = explicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
+    fin1, m1 = run(explicit.make_step(cfg), st, 37)
+    fin2, m2 = explicit.run_resident(cfg, st, 37, steps_per_call=16)
+    np.testing.assert_array_equal(np.asarray(fin2.p), np.asarray(fin1.p))
+    np.testing.assert_array_equal(np.asarray(fin2.v), np.asarray(fin1.v))
+    np.testing.assert_array_equal(np.asarray(fin2.rho), np.asarray(fin1.rho))
+    np.testing.assert_array_equal(np.asarray(fin2.e), np.asarray(fin1.e))
+    assert int(fin2.step) == 37
+    fe1 = np.asarray(m1.field_energy, np.float64)
+    np.testing.assert_allclose(np.asarray(m2.field_energy, np.float64), fe1,
+                               rtol=1e-6)
+    ke1 = np.asarray(m1.kinetic_energy, np.float64)
+    np.testing.assert_allclose(np.asarray(m2.kinetic_energy, np.float64),
+                               ke1, rtol=1e-5)
+    with pytest.raises(ValueError, match="scalar q/m"):
+        st_bad = st.replace(q=jnp.full(4097, float(st.q)))
+        explicit.run_resident(cfg, st_bad, 4)
