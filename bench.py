@@ -220,11 +220,24 @@ def bench_landau(args):
     n, steps = 100_000, 500
     grid, x, v, cfg = _landau_problem(n, 1e-6)
     state = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
-    step = implicit.make_step(cfg)
 
-    def go():
-        _, m = run(step, state, steps)
-        np.asarray(m.field_energy)
+    # VMEM-resident multi-step path (64 full CN-Picard steps per kernel
+    # invocation): the scanned path at 1e5 is dominated by per-step XLA
+    # dispatch. Falls back to the scanned step for configs the resident
+    # kernel doesn't cover (e.g. --picard-accel anderson2).
+    try:
+        implicit.run_resident(cfg, state, 1)
+
+        def go():
+            _, m = implicit.run_resident(cfg, state, steps,
+                                         steps_per_call=64)
+            np.asarray(m.field_energy)
+    except ValueError:
+        step = implicit.make_step(cfg)
+
+        def go():
+            _, m = run(step, state, steps)
+            np.asarray(m.field_energy)
 
     _emit("landau", n, steps, _time(go))
 

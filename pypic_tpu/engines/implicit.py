@@ -482,3 +482,95 @@ def make_step(cfg: ImplicitConfig):
         return new_state, metrics
 
     return step
+
+
+def run_resident(cfg: ImplicitConfig, state: ImplicitState, steps: int,
+                 steps_per_call: int = 64):
+    """Run ``steps`` implicit CN-Picard steps with the population
+    VMEM-resident: ``steps_per_call`` full steps (Picard while_loop
+    included) per kernel invocation (ops.pallas_cic.
+    implicit_resident_pallas). At small n the scanned fused path is
+    dominated by per-step XLA dispatch (~0.15 ms at 1e5 particles on v5e
+    across ~50 small ops + 4 kernel launches); the resident path keeps
+    particles, fields, and the Picard loop inside one kernel.
+
+    Same math as the fused step with finalize='converged',
+    finalize_field='last', separate windows (the supported configuration
+    space — picard_init 'field'/'extrapolate', picard_accel
+    'none'/'anderson', smooth on/off; other options raise). The smoothing
+    / window-view / fold operators are baked HIGHEST-precision
+    contractions, so trajectories agree with the scanned path to f32
+    contraction rounding (equivalence-tested), not bit-for-bit.
+
+    Returns (final_state, StepMetrics) with every metric stacked over all
+    ``steps`` exactly as runner.run stacks them.
+    """
+    from ..ops.pallas_cic import (
+        implicit_resident_matrices,
+        implicit_resident_pallas,
+    )
+
+    grid = cfg.grid
+    ng, dx = grid.ng, grid.dx
+    if jnp.ndim(state.q) != 0 or jnp.ndim(state.m) != 0:
+        raise ValueError("run_resident requires scalar q/m")
+    if ng > 1024:
+        raise ValueError("run_resident requires ng <= 1024 (VMEM operators)")
+    if cfg.axis_name is not None:
+        raise ValueError("run_resident is single-device (axis_name=None)")
+    if cfg.picard_init not in ("field", "extrapolate"):
+        raise ValueError("run_resident supports picard_init "
+                         "'field'/'extrapolate'")
+    if cfg.picard_accel not in ("none", "anderson"):
+        raise ValueError("run_resident supports picard_accel "
+                         "'none'/'anderson'")
+    if cfg.finalize != "converged" or cfg.finalize_field != "last":
+        raise ValueError("run_resident supports finalize='converged', "
+                         "finalize_field='last'")
+    fold, sels, sm = implicit_resident_matrices(ng, cfg.smooth)
+    spc = min(int(steps_per_call), int(steps))
+    full, rem = divmod(int(steps), spc)
+
+    def chunk(st: ImplicitState, n_steps: int):
+        p1, v1, e1, eprev, jh, rows = implicit_resident_pallas(
+            st.e, st.e_prev, st.j, st.p, st.v, ng, n_steps,
+            qm=st.q / st.m, w=st.q * (cfg.p2c / dx),
+            ke_c=0.5 * cfg.p2c * st.m,
+            dt=cfg.dt, dx=dx, tol=cfg.tol, maxiter=cfg.maxiter,
+            extrapolate=cfg.picard_init == "extrapolate",
+            anderson=cfg.picard_accel == "anderson",
+            fe_c=0.5 * EPSILON_0 * dx, tracer=cfg.tracer,
+            fold_mat=fold, sels_mat=sels, sm_mat=sm,
+        )
+        st1 = st.replace(p=p1, v=v1, e=e1, j=jh, e_prev=eprev,
+                         e_prev2=st.e_prev, step=st.step + n_steps)
+        return st1, rows
+
+    @jax.jit
+    def scan_full(st):
+        def body(st, _):
+            return chunk(st, spc)
+
+        return lax.scan(body, st, None, length=full)
+
+    parts = []
+    if full:
+        state, rows = scan_full(state)
+        parts.append({k: v.reshape(-1) for k, v in rows.items()})
+    if rem:
+        import functools
+
+        state, rows = jax.jit(functools.partial(chunk, n_steps=rem))(state)
+        parts.append(rows)
+    cat = {k: jnp.concatenate([p[k] for p in parts]) for k in parts[0]}
+    metrics = StepMetrics(
+        field_energy=cat["fe"],
+        kinetic_energy=cat["ke"],
+        current_bias=cat["jb"],
+        picard_iters=cat["iters"],
+        picard_residual=cat["resid"],
+        tracer_x=cat["tracer_x"],
+        tracer_v=cat["tracer_v"],
+        picard_clamped=jnp.zeros_like(cat["iters"]),
+    )
+    return state, metrics

@@ -1061,6 +1061,248 @@ def explicit_cycle_resident_pallas(
             e1.reshape(-1), fe[0, :s], ke[0, :s], jb[0, :s])
 
 
+def implicit_resident_matrices(ng: int, smooth: bool):
+    """(fold, sels, sm) for the resident implicit step. fold: the
+    (width, K, ng) window-fold rows; sels[ell]: (ng, K) with
+    sels[ell, j, k] = S[(stride k + ell) % ng, j] so that
+    fwin[ell] = smooth(es) @ window-view == es @ sels[ell] (the binomial
+    smoother is linear and symmetric — it rides the baked selection);
+    sm: (ng, ng) with smooth(j) == j @ sm. smooth=False bakes identity."""
+    import numpy as np
+
+    stride, width = _choose_window(ng)
+    num_k = _num_windows(ng, stride)
+    fold = np.zeros((width, num_k, ng), np.float64)
+    for ell in range(width):
+        for k in range(num_k):
+            fold[ell, k, (k * stride + ell) % ng] = 1.0
+    s_mat = np.eye(ng)
+    if smooth:
+        s_mat = np.zeros((ng, ng))
+        for g in range(ng):
+            s_mat[g, (g - 1) % ng] = 0.25
+            s_mat[g, g] = 0.5
+            s_mat[g, (g + 1) % ng] = 0.25
+    sels = np.zeros((width, ng, num_k), np.float64)
+    for ell in range(width):
+        for k in range(num_k):
+            sels[ell, :, k] = s_mat[(k * stride + ell) % ng, :]
+    return (jnp.asarray(fold, jnp.float32), jnp.asarray(sels, jnp.float32),
+            jnp.asarray(s_mat.T, jnp.float32))
+
+
+_RESIDENT_MAX_N_IMPLICIT = 131072
+
+
+def _implicit_resident_kernel(
+    scal_ref, e0_ref, ep_ref, j0_ref, fold_ref, sels_ref, sm_ref,
+    p_ref, v_ref,
+    p1_ref, v1_ref, e_ref, eprev_ref, j_ref,
+    fe_ref, ke_ref, jb_ref, it_ref, res_ref, tx_ref, tv_ref,
+    *, num_k, ng, block, chunk, n_valid, stride, width, steps, spad,
+    dt_eps, tol, maxiter, extrapolate, anderson, fe_c, tracer,
+):
+    from .accel import anderson_mix
+
+    qm_dt = scal_ref[0, 0]
+    qm_dt2_half = scal_ref[1, 0]
+    dt_dx = scal_ref[2, 0]
+    w = scal_ref[3, 0]
+    ke_c = scal_ref[4, 0]
+    nch = block // chunk
+    lane_s = lax.broadcasted_iota(jnp.int32, (1, spad), 1)
+    zrow = jnp.zeros((1, spad), jnp.float32)
+    gid = lax.broadcasted_iota(jnp.int32, (1, block), 1)[0]
+    mask_all = (gid < n_valid).astype(jnp.float32)
+    tr_mask = (gid == tracer).astype(jnp.float32)
+
+    def fwin_of(es):
+        """(1, ng) field -> smoothed transposed window view (width, K):
+        exact/near-exact selection dots (HIGHEST — Mosaic's default f32
+        matmul lowering loses mantissa, which broke a tol-1e-9 residual
+        in the round-2c trial; see _fold_acc_rows)."""
+        return jnp.concatenate([
+            lax.dot_general(
+                es, sels_ref[ell], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            )
+            for ell in range(width)
+        ], axis=0)
+
+    def step_body(s, carry):
+        (p0, v0, e0, eprev, jh_c, fe_row, ke_row, jb_row, it_row, res_row,
+         tx_row, tv_row) = carry
+        es0 = e0 + 0.5 * (e0 - eprev) if extrapolate else e0
+
+        def cond(c):
+            return (c[4] > tol) & (c[5] < maxiter)
+
+        def body(c):
+            es, ps, _, _, _, k, g_prev, f_prev = c
+            fwin = fwin_of(es)
+            acc = jnp.zeros((width, num_k), jnp.float32)
+            ph_parts = []
+            for ci in range(nch):
+                sl = slice(ci * chunk, (ci + 1) * chunk)
+                e_p = _gather_at(fwin, ps[sl], num_k, chunk, stride, width)
+                p1c = p0[sl] + dt_dx * v0[sl] + qm_dt2_half * e_p
+                v1c = v0[sl] + qm_dt * e_p
+                phc = 0.5 * (p0[sl] + p1c)
+                phc = phc - jnp.floor(phc * (1.0 / ng)) * ng
+                vhc = 0.5 * (v0[sl] + v1c)
+                acc = acc + _deposit_acc(
+                    phc, (w * vhc) * mask_all[sl], num_k, chunk, stride,
+                    width)
+                ph_parts.append(phc)
+            ps1 = jnp.concatenate(ph_parts)
+            jh = _fold_acc_rows(acc, fold_ref, width)  # (1, ng)
+            sm_jh = lax.dot_general(
+                jh, sm_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            )
+            e1 = e0 + dt_eps * (jnp.sum(jh) * (1.0 / ng) - sm_jh)
+            eh = 0.5 * (e1 + e0)
+            r = jnp.sum((es - eh) ** 2)
+            if anderson:
+                es_next, (g_prev, f_prev) = anderson_mix(
+                    es, eh, k, (g_prev, f_prev))
+            else:
+                es_next = eh
+            return es_next, ps1, e1, jh, r, k + 1, g_prev, f_prev
+
+        z = jnp.zeros_like(e0)
+        es, ps, e1, jh, r, k, _, _ = lax.while_loop(
+            cond, body,
+            (es0, p0, e0, jh_c, jnp.asarray(jnp.inf, jnp.float32),
+             jnp.asarray(0, jnp.int32), z, z),
+        )
+
+        # finalize='converged': deposit-free sweep from the converged field
+        fwin = fwin_of(es)
+        p1_parts, v1_parts = [], []
+        for ci in range(nch):
+            sl = slice(ci * chunk, (ci + 1) * chunk)
+            e_p = _gather_at(fwin, ps[sl], num_k, chunk, stride, width)
+            p1c = p0[sl] + dt_dx * v0[sl] + qm_dt2_half * e_p
+            p1c = p1c - jnp.floor(p1c * (1.0 / ng)) * ng
+            v1_parts.append(v0[sl] + qm_dt * e_p)
+            p1_parts.append(p1c)
+        p1 = jnp.concatenate(p1_parts)
+        v1 = jnp.concatenate(v1_parts)
+
+        at = lane_s == s
+        fe_row = fe_row + jnp.where(at, fe_c * jnp.sum(e1 * e1), zrow)
+        ke_row = ke_row + jnp.where(
+            at, ke_c * jnp.sum(v1 * v1 * mask_all), zrow)
+        jb_row = jb_row + jnp.where(
+            at, (w / ng) * jnp.sum(v1 * mask_all), zrow)
+        it_row = it_row + jnp.where(at, k.astype(jnp.float32), zrow)
+        res_row = res_row + jnp.where(at, r, zrow)
+        tx_row = tx_row + jnp.where(at, jnp.sum(p1 * tr_mask), zrow)
+        tv_row = tv_row + jnp.where(at, jnp.sum(v1 * tr_mask), zrow)
+        return (p1, v1, e1, e0, jh, fe_row, ke_row, jb_row, it_row,
+                res_row, tx_row, tv_row)
+
+    (p1, v1, e1, eprev, jh, fe_row, ke_row, jb_row, it_row, res_row,
+     tx_row, tv_row) = lax.fori_loop(
+        0, steps, step_body,
+        (p_ref[0, 0, :], v_ref[0, 0, :], e0_ref[:], ep_ref[:], j0_ref[:],
+         zrow, zrow, zrow, zrow, zrow, zrow, zrow),
+    )
+    p1_ref[0, 0, :] = p1
+    v1_ref[0, 0, :] = v1
+    e_ref[:] = e1
+    eprev_ref[:] = eprev
+    j_ref[:] = jh
+    fe_ref[:] = fe_row
+    ke_ref[:] = ke_row
+    jb_ref[:] = jb_row
+    it_ref[:] = it_row
+    res_ref[:] = res_row
+    tx_ref[:] = tx_row
+    tv_ref[:] = tv_row
+
+
+def implicit_resident_pallas(
+    e0, e_prev, j0, p, v, ng: int, steps: int, *, qm, w, ke_c,
+    dt: float, dx: float, tol: float, maxiter: int, extrapolate: bool,
+    anderson: bool, fe_c: float, tracer: int, fold_mat, sels_mat, sm_mat,
+    chunk: int = 8192,
+):
+    """``steps`` full implicit CN-Picard steps in ONE kernel invocation
+    (the engines.implicit fused path with finalize='converged',
+    finalize_field='last', separate windows): particles and fields stay
+    VMEM-resident; the Picard loop is an in-kernel while_loop; the
+    smoothing, window-view and fold operators are baked HIGHEST-precision
+    contractions (implicit_resident_matrices). Particle sweeps run in
+    ``chunk``-lane slices so the tent/selector intermediates fit VMEM at
+    any resident n.
+
+    Per-step metrics (field/kinetic energy, current bias, Picard
+    iterations + residual, tracer trajectory) accumulate into (steps,)
+    rows. Returns (p1, v1, e1, e_prev_out, jh, metrics dict of rows).
+    """
+    n = p.shape[0]
+    if n > _RESIDENT_MAX_N_IMPLICIT:
+        raise ValueError(
+            f"resident implicit requires n <= {_RESIDENT_MAX_N_IMPLICIT}")
+    stride, width = _choose_window(ng)
+    num_k = _num_windows(ng, stride)
+    block = -(-n // chunk) * chunk if n > chunk else -(-n // LANE) * LANE
+    ch = min(chunk, block)
+    pad = block - n
+    p_b = jnp.pad(p, (0, pad))[None, None, :]
+    v_b = jnp.pad(v, (0, pad))[None, None, :]
+    spad = -(-int(steps) // LANE) * LANE
+    zero = jnp.zeros_like(qm * dt)
+    scal = jnp.stack([
+        qm * dt, 0.5 * qm * dt * (dt / dx), zero + dt / dx, w + zero,
+        ke_c + zero, zero, zero, zero,
+    ]).reshape(8, 1).astype(p.dtype)
+    kern = functools.partial(
+        _implicit_resident_kernel, num_k=num_k, ng=ng, block=block,
+        chunk=ch, n_valid=n, stride=stride, width=width, steps=int(steps),
+        spad=spad, dt_eps=float(dt_eps_const(dt)), tol=float(tol),
+        maxiter=int(maxiter), extrapolate=bool(extrapolate),
+        anderson=bool(anderson), fe_c=float(fe_c), tracer=int(tracer),
+    )
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    row = jax.ShapeDtypeStruct((1, spad), jnp.float32)
+    grid_row = jax.ShapeDtypeStruct((1, ng), jnp.float32)
+    outs = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec((8, 1), memory_space=pltpu.SMEM)]
+        + [full] * 8,
+        out_specs=(full,) * 12,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, 1, block), p.dtype),
+            jax.ShapeDtypeStruct((1, 1, block), v.dtype),
+            grid_row, grid_row, grid_row,
+            row, row, row, row, row, row, row,
+        ),
+        interpret=_interpret(),
+    )(scal, e0[None, :].astype(jnp.float32),
+      e_prev[None, :].astype(jnp.float32), j0[None, :].astype(jnp.float32),
+      fold_mat, sels_mat, sm_mat, p_b, v_b)
+    (p1, v1, e1, eprev, jh, fe, ke, jb, it, res, tx, tv) = outs
+    s = int(steps)
+    rows = dict(
+        fe=fe[0, :s], ke=ke[0, :s], jb=jb[0, :s],
+        iters=it[0, :s].astype(jnp.int32), resid=res[0, :s],
+        tracer_x=tx[0, :s], tracer_v=tv[0, :s],
+    )
+    return (p1.reshape(-1)[:n], v1.reshape(-1)[:n], e1.reshape(-1),
+            eprev.reshape(-1), jh.reshape(-1), rows)
+
+
+def dt_eps_const(dt: float) -> float:
+    from ..constants import EPSILON_0
+
+    return float(dt) / EPSILON_0
+
+
 def _deposit_into(out_ref, pos, values, num_k, block, stride, width):
     k, d = _window_decompose(pos, num_k, stride)
     m_t = _tent_t(d, block, width) * values[None, :]

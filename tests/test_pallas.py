@@ -426,3 +426,49 @@ def test_explicit_resident_matches_scanned():
     with pytest.raises(ValueError, match="scalar q/m"):
         st_bad = st.replace(q=jnp.full(4097, float(st.q)))
         explicit.run_resident(cfg, st_bad, 4)
+
+
+def test_implicit_resident_matches_scanned():
+    """implicit.run_resident (full CN-Picard steps in one kernel, baked
+    smoothing/window/fold contractions) tracks the scanned fused path:
+    identical Picard iteration counts, energies to f32 contraction
+    rounding — for both the plain and the conserving
+    (extrapolate+anderson fixed-4) configurations."""
+    from pypic_tpu.constants import (
+        E_CHARGE, EPSILON_0, K_BOLTZMANN, M_ELECTRON,
+    )
+    from pypic_tpu.grid import GridSpec
+    from pypic_tpu import initialize as init
+    from pypic_tpu.engines import implicit
+    from pypic_tpu.runner import run
+
+    density, te, ti = 1e5, 100.0 * 11600.0, 0.1 * 11600.0
+    debye = np.sqrt(K_BOLTZMANN * te * EPSILON_0 / E_CHARGE**2 / density)
+    grid = GridSpec(200, 22.0 * debye, "periodic")
+    x, v, params = init.initialize_periodic(
+        "landau-damping", 9001, density, 1, 0.8, grid, te, ti, seed=1)
+    for accel, mode, tol, maxi in (
+        ("none", "field", 1e-9, 50),
+        ("anderson", "extrapolate", 1e-30, 4),
+    ):
+        cfg = implicit.ImplicitConfig(
+            grid, 1e-5, params.p2c, tol=tol, maxiter=maxi, backend="fused",
+            picard_init=mode, picard_accel=accel)
+        st = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
+        fin1, m1 = run(implicit.make_step(cfg), st, 25)
+        fin2, m2 = implicit.run_resident(cfg, st, 25, steps_per_call=8)
+        np.testing.assert_array_equal(np.asarray(m2.picard_iters),
+                                      np.asarray(m1.picard_iters))
+        np.testing.assert_allclose(
+            np.asarray(m2.field_energy, np.float64),
+            np.asarray(m1.field_energy, np.float64), rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(m2.kinetic_energy, np.float64),
+            np.asarray(m1.kinetic_energy, np.float64), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(fin2.p), np.asarray(fin1.p),
+                                   atol=5e-3)
+        assert int(fin2.step) == 25
+    with pytest.raises(ValueError, match="finalize"):
+        bad = implicit.ImplicitConfig(grid, 1e-5, params.p2c,
+                                      finalize="iterate")
+        implicit.run_resident(bad, st, 2)
