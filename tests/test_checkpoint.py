@@ -334,3 +334,29 @@ def test_checkpoint_resume_data_parallel_magnetized_bitexact(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(final_a),
                     jax.tree_util.tree_leaves(final_b)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_resume_domain_magnetized_bitexact(tmp_path):
+    """Slab-sharded magnetized state (distributed Newton, rank-keyed
+    re-activation, owner migration): save/restore/re-shard on the
+    8-device mesh reproduces the uninterrupted trajectory bit-exactly."""
+    import jax
+
+    from pypic_tpu.presets import pic_iead_dd
+
+    pre = pic_iead_dd(n_per_species=200, ng=104, shards=8)
+    step = pre.make_step()
+    mid, _ = run(step, pre.state, 3)
+    path = str(tmp_path / "dmag.npz")
+    checkpoint.save(path, mid, step=3)
+    final_a, _ = run(step, mid, 3)
+
+    template = pic_iead_dd(n_per_species=200, ng=104, shards=8,
+                           seed=5).state
+    restored, manifest = checkpoint.load(path, template)
+    assert manifest["step"] == 3
+    restored = pre.meta["reshard"](restored)
+    final_b, _ = run(step, restored, 3)
+    for a, b in zip(jax.tree_util.tree_leaves(final_a),
+                    jax.tree_util.tree_leaves(final_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
