@@ -1,0 +1,30 @@
+#!/bin/bash
+# Round-3 pending TPU measurements, priority-ordered so a flaky tunnel
+# window still captures the most important numbers first. Run from
+# /root/repo; logs to scratch/tpu_session.log.
+set -x
+cd /root/repo
+LOG=scratch/tpu_session.log
+{
+date
+# 0. device sanity
+timeout 300 python -c "import jax; print(jax.devices())" || exit 1
+
+# 1. magnetized fast-path A/B (validates the in-kernel while_loop compiles:
+#    pallas Newton, react_batch, iead_pack) — the 1e9-at-1e6 target
+timeout 2400 python scratch/bench_mag_round3b.py
+
+# 2. shared-window Picard A/B (expected ~15% on the conserving headline)
+timeout 2400 python scratch/bench_window_share.py
+
+# 3. resident small-n rows
+timeout 1800 python bench.py --only two_stream
+timeout 1800 python bench.py --only landau
+
+# 4. the rest of the matrix
+timeout 2400 python bench.py --only sheath
+timeout 2400 python bench.py --only magnetized
+timeout 3600 python bench.py
+timeout 3600 python bench.py --only domain
+date
+} 2>&1 | tee -a "$LOG"
