@@ -1006,3 +1006,45 @@ def test_magnetized_iead_pack_matches_full_pass():
     dropped = np.asarray(m1.iead_dropped).astype(int)
     assert (dropped <= np.maximum(hits - 1, 0)).all()
     assert float(np.asarray(st1.iead).sum()) <= float(np.asarray(st0.iead).sum())
+
+
+def test_magnetized_dp_pallas_newton_runs():
+    """newton_backend='pallas' composes with data-parallel sharding (the
+    kernel runs replicated on the psum'd densities inside shard_map)."""
+    import dataclasses as dc
+
+    from pypic_tpu.presets import pic_iead
+    from pypic_tpu.parallel import make_mesh, make_data_parallel_step
+    from pypic_tpu.parallel.dataparallel import shard_state
+
+    pre = pic_iead(n_per_species=400)
+    cfg8 = dc.replace(pre.config, axis_name="particles",
+                      source_sampler="hash", newton_backend="pallas")
+    mesh = make_mesh(8)
+    step8 = make_data_parallel_step(
+        magnetized.make_step, cfg8, mesh, example_state=pre.state)
+    st8, m8 = jax.jit(step8)(shard_state(pre.state, mesh))
+    assert np.isfinite(float(m8.phi_max))
+    assert int(m8.newton_iters) < cfg8.newton_maxiter
+
+
+def test_magnetized_react_batch_capped_source_deficit():
+    """react_batch composes with the 'capped-source' deficit: the take
+    count is min(deficit, react_batch, n_inactive)."""
+    import dataclasses as dc
+    from pypic_tpu.presets import pic_bca_aps
+
+    pre = pic_bca_aps(ppc=4)
+    cfg = pre.config
+    assert cfg.reactivate == "capped-source"
+    n = pre.state.p.shape[0]
+    active = np.asarray(pre.state.active).copy()
+    # free 50 source-species slots so the deficit binds
+    src_rows = np.where((np.asarray(pre.state.species_idx)
+                         == cfg.source.species_idx) & (active == 1))[0]
+    active[src_rows[:50]] = 0
+    st = pre.state.replace(active=jnp.asarray(active))
+    cfgb = dc.replace(cfg, source_sampler="threefry", react_batch=16,
+                      ionization=False)
+    _, m = magnetized.make_step(cfgb)(st)
+    assert int(m.n_reactivated) <= 16

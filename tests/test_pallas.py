@@ -472,3 +472,18 @@ def test_implicit_resident_matches_scanned():
         bad = implicit.ImplicitConfig(grid, 1e-5, params.p2c,
                                       finalize="iterate")
         implicit.run_resident(bad, st, 2)
+
+
+def test_newton_pallas_maxiter_cap():
+    """The in-kernel while_loop respects the maxiter envelope and reports
+    the unconverged residual honestly."""
+    from pypic_tpu.constants import E_CHARGE
+    from pypic_tpu.ops.pallas_newton import boltzmann_dirichlet_pallas
+
+    rng = np.random.default_rng(3)
+    dens = (1e17 * (1.0 + 0.3 * rng.standard_normal(301))).clip(1e15)
+    rho = jnp.asarray((E_CHARGE * dens).astype(np.float32))
+    res = boltzmann_dirichlet_pallas(rho, np.float32(1e17), 11600.0 * 10.0,
+                                     2e-5, tol=1e-30, maxiter=2)
+    assert int(res.iterations) == 2
+    assert float(res.residual) > 1e-30
