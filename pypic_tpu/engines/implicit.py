@@ -504,6 +504,12 @@ def run_resident(cfg: ImplicitConfig, state: ImplicitState, steps: int,
 
     Returns (final_state, StepMetrics) with every metric stacked over all
     ``steps`` exactly as runner.run stacks them.
+
+    State-fidelity note: the returned e_prev is exact (the last step's
+    pre-advance field), but e_prev2 is set to the previous CHUNK's e_prev
+    (exact only at steps_per_call=1). It only feeds
+    picard_init='extrapolate2', which this path rejects anyway — a
+    follow-on extrapolate2 run should take one scanned step first.
     """
     from ..ops.pallas_cic import (
         implicit_resident_matrices,
