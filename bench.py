@@ -263,15 +263,24 @@ def bench_sheath(args):
         grid, dt, length * density / n,
         kbte=K_BOLTZMANN * te, kbti=K_BOLTZMANN * ti,
         picard_init="extrapolate", picard_accel="anderson",
+        # rank-keyed capped re-injection draw (round 3b; deferred-free
+        # asserted below — --mag-exact restores the full-capacity draw)
+        reinject_batch=0 if args.mag_exact else 16384,
     )
     st = sheath.init_state(d["x"], d["v"], d["q"], d["m"], d["species"], cfg)
     step = sheath.make_step(cfg)
 
+    deferred = []
+
     def go():
         _, m = run(step, st, steps)
         np.asarray(m.field_energy)
+        deferred.append(int(np.asarray(m.n_reinject_deferred).sum()))
 
     _emit("sheath", n, steps, _time(go))
+    if deferred and max(deferred) > 0:
+        print(f"# WARNING: reinject_batch deferred {max(deferred)} "
+              "re-injections", file=sys.stderr)
 
 
 def bench_magnetized(args):

@@ -118,13 +118,34 @@ class SheathConfig:
     # engine's shard-invariant sampler). All samplers: same distributions,
     # different draws.
     rng_sampler: str = "auto"
+    # Capped rank-keyed re-injection draw (engines.magnetized.react_batch
+    # analog): 0 = full-capacity draws (the reference semantics — every
+    # absorbed particle re-injects at step start, PIC_L_DD.py:429-450;
+    # the (3, n) threefry chain is ~0.2 ms of the 1e6 step on v5e for
+    # ~0.1% absorbed slots). > 0 = draw only this many samples keyed on
+    # the slot's re-injection RANK and gather batch[rank] into the
+    # absorbed slots. NOT drop-free when losses/step exceed the cap: the
+    # surplus stays absorbed one more step and RE-DEPOSITS its wall
+    # surface charge (the reference never defers) — size the cap so the
+    # n_reinject_deferred metric stays 0 (bench asserts it). Single-device
+    # only (rank-keyed draws need global ranks under sharding; the hash
+    # sampler path keeps slot-keyed full draws for that).
+    reinject_batch: int = 0
 
     def __post_init__(self):
         for f in ("dt", "p2c", "kbte", "kbti", "tol", "tol_floor", "gamma",
                   "exit_hist_vmax"):
             object.__setattr__(self, f, float(getattr(self, f)))
-        for f in ("maxiter", "exit_hist_bins", "record_exit_after_step"):
+        for f in ("maxiter", "exit_hist_bins", "record_exit_after_step",
+                  "reinject_batch"):
             object.__setattr__(self, f, int(getattr(self, f)))
+        if self.reinject_batch < 0:
+            raise ValueError("reinject_batch must be >= 0")
+        if self.reinject_batch and self.rng_sampler in ("hash", "pallas"):
+            raise ValueError(
+                "reinject_batch > 0 supports the threefry sampler only "
+                "(the hash/pallas paths are slot-keyed full-capacity draws)"
+            )
         if self.picard_init not in ("field", "extrapolate"):
             raise ValueError(f"unknown picard_init {self.picard_init!r}")
         if self.picard_accel not in ("none", "anderson", "anderson2"):
@@ -181,6 +202,9 @@ class StepMetrics(NamedTuple):
     n_lost_left: jax.Array
     n_lost_right: jax.Array
     phi: jax.Array  # (ng,) potential from integrated E (PIC_L_DD.py:522-523)
+    # absorbed slots whose re-injection deferred to the next step
+    # (reinject_batch overflow only; always 0 on the full-draw paths)
+    n_reinject_deferred: jax.Array = 0
 
 
 def init_state(
@@ -253,6 +277,7 @@ def make_step(cfg: SheathConfig):
         if use_hash:
             from ..sources import hash_normals, hash_uniforms, seed_from_key
 
+        n_deferred = jnp.asarray(0, jnp.int32)
         p0, active = state.p, state.active
         u0, vy0, vz0 = state.u, state.vy, state.vz
         q, m, species = state.q, state.m, state.species
@@ -307,21 +332,41 @@ def make_step(cfg: SheathConfig):
             # get a fresh uniform position and species-temperature
             # Maxwellian.
             lost = active != ACTIVE
-            if use_hash:
-                x_new = (
-                    hash_uniforms(seed_from_key(k_reinj_x), n_slots, 1,
-                                  p0.dtype.type)[0] * p0.dtype.type(cells)
-                )
+            nb_re = cfg.reinject_batch
+            if nb_re and not use_hash:
+                # rank-keyed capped draw: batch tables of nb_re samples,
+                # slot i takes row rank(i); surplus absorbed slots defer
+                # one step (counted — see SheathConfig.reinject_batch)
+                rank = jnp.cumsum(lost.astype(jnp.int32)) - 1
+                take = lost & (rank < nb_re)
+                n_deferred = jnp.sum(lost.astype(jnp.int32)) - jnp.sum(
+                    take.astype(jnp.int32))
+                idx = jnp.clip(rank, 0, nb_re - 1)
+                x_b = jax.random.uniform(k_reinj_x, (nb_re,), p0.dtype,
+                                         0.0, cells)
+                z_b = jax.random.normal(k_reinj_v, (3, nb_re), p0.dtype)
+                x_new = jnp.take(x_b, idx)
+                z0 = jnp.take(z_b[0], idx)
+                z1 = jnp.take(z_b[1], idx)
+                z2 = jnp.take(z_b[2], idx)
+                lost = take
             else:
-                x_new = jax.random.uniform(k_reinj_x, p0.shape, p0.dtype,
-                                           0.0, cells)
+                if use_hash:
+                    x_new = (
+                        hash_uniforms(seed_from_key(k_reinj_x), n_slots, 1,
+                                      p0.dtype.type)[0]
+                        * p0.dtype.type(cells)
+                    )
+                else:
+                    x_new = jax.random.uniform(k_reinj_x, p0.shape,
+                                               p0.dtype, 0.0, cells)
+                z0, z1, z2 = _normals3(k_reinj_v)
             sig_re = jnp.sqrt(kbt_per / m)
-            z0, z1, z2 = _normals3(k_reinj_v)
             p0 = jnp.where(lost, x_new, p0)
             u0 = jnp.where(lost, z0 * sig_re, u0)
             vy0 = jnp.where(lost, z1 * sig_re, vy0)
             vz0 = jnp.where(lost, z2 * sig_re, vz0)
-            active = jnp.full_like(active, ACTIVE)
+            active = jnp.where(lost, ACTIVE, active)
 
         qm = q / m
 
@@ -521,6 +566,7 @@ def make_step(cfg: SheathConfig):
             n_lost_left=jnp.sum((active == LOST_LEFT).astype(jnp.int32)),
             n_lost_right=jnp.sum((active == LOST_RIGHT).astype(jnp.int32)),
             phi=phi,
+            n_reinject_deferred=n_deferred,
         )
         new_state = state.replace(
             p=x1, u=u1s, vy=vy1, vz=vz1, active=active, e=e1, j=j1,

@@ -23,6 +23,7 @@ timeout 1800 python bench.py --only landau
 
 # 4. the rest of the matrix
 timeout 2400 python bench.py --only sheath
+timeout 2400 python bench.py --only sheath --mag-exact
 timeout 2400 python bench.py --only magnetized
 timeout 3600 python bench.py
 timeout 3600 python bench.py --only domain

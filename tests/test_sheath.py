@@ -216,3 +216,31 @@ def test_sheath_fused_backend_matches_composed():
     )
     np.testing.assert_array_equal(np.asarray(st_f.active),
                                   np.asarray(st_c.active))
+
+
+def test_sheath_reinject_batch_matches_full_draw_semantics():
+    """reinject_batch > 0: same set of slots re-injects when the cap is
+    not binding (rank-keyed values, identical distribution); a binding cap
+    defers the surplus and says so."""
+    import dataclasses as dc
+
+    cfg, st, _ = _setup(n=20_000)
+    cfgb = dc.replace(cfg, reinject_batch=4096)
+    st0, m0 = run(sheath.make_step(cfg), st, 30)
+    stb, mb = run(sheath.make_step(cfgb), st, 30)
+    assert int(np.asarray(mb.n_reinject_deferred).sum()) == 0
+    # every absorbed slot re-injects both ways; the drawn VALUES differ
+    # (rank- vs slot-keyed), so absorption fluctuates — statistical match
+    a0 = np.asarray(m0.n_active, np.float64)
+    ab = np.asarray(mb.n_active, np.float64)
+    assert abs(a0.mean() - ab.mean()) < 10
+    assert np.abs(a0 - ab).max() < 30
+    # binding cap defers and counts
+    cfg1 = dc.replace(cfg, reinject_batch=1)
+    st1, m1 = run(sheath.make_step(cfg1), st, 30)
+    defer = np.asarray(m1.n_reinject_deferred)
+    assert (defer >= 0).all()
+    # population still eventually refills one per step at most
+    assert np.asarray(m1.n_active)[-1] <= 20_000
+    with pytest.raises(ValueError, match="threefry"):
+        dc.replace(cfg, reinject_batch=8, rng_sampler="hash")
