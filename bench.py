@@ -43,6 +43,7 @@ _PICARD_INIT = "field"
 _FINALIZE = "converged"
 _ACCEL = "none"
 _FINALIZE_FIELD = "last"
+_WINDOW_SHARE = "auto"
 
 
 def _emit(name, n, steps, elapsed, extra=""):
@@ -136,7 +137,8 @@ def _landau_problem(n, tol, maxiter=50):
     cfg = implicit.ImplicitConfig(grid, dt, p2c, tol=tol, maxiter=maxiter,
                                   picard_init=_PICARD_INIT,
                                   finalize=_FINALIZE, picard_accel=_ACCEL,
-                                  finalize_field=_FINALIZE_FIELD)
+                                  finalize_field=_FINALIZE_FIELD,
+                                  window_share=_WINDOW_SHARE)
     return grid, x, v, cfg
 
 
@@ -418,6 +420,12 @@ def main():
                     help="Picard iterate mixing (see ImplicitConfig; "
                          "default anderson [conserving] / none "
                          "[--throughput])")
+    ap.add_argument("--window-share", default="auto",
+                    choices=("auto", "shared", "separate"),
+                    help="fused Picard pass window mode for the implicit "
+                         "rows (see ImplicitConfig.window_share; 'shared' "
+                         "reuses one decomposition+selector for gather AND "
+                         "deposit)")
     ap.add_argument("--mag-exact", action="store_true",
                     help="magnetized row: reference-exact full-capacity "
                          "re-activation draws + full-pass IEAD histograms "
@@ -430,6 +438,8 @@ def main():
                          "the last two Picard map outputs to cancel the "
                          "spiral alternation bias)")
     args = ap.parse_args()
+    global _WINDOW_SHARE
+    _WINDOW_SHARE = args.window_share
     # Resolve the headline/domain configuration: conserving by default
     # (both north-star clauses at once), throughput on request.
     if args.tol is None:

@@ -533,6 +533,10 @@ def run_resident(cfg: ImplicitConfig, state: ImplicitState, steps: int,
     if cfg.finalize != "converged" or cfg.finalize_field != "last":
         raise ValueError("run_resident supports finalize='converged', "
                          "finalize_field='last'")
+    if cfg.window_share == "shared":
+        raise ValueError("run_resident implements the separate-window pass "
+                         "only (use the scanned step for window_share="
+                         "'shared')")
     fold, sels, sm = implicit_resident_matrices(ng, cfg.smooth)
     spc = min(int(steps_per_call), int(steps))
     full, rem = divmod(int(steps), spc)
