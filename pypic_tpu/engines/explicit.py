@@ -237,20 +237,38 @@ def run_resident(cfg: ExplicitConfig, state: ExplicitState, steps: int,
     (final_state, ResidentMetrics) with the metrics stacked over all
     ``steps`` exactly as runner.run stacks StepMetrics scalars.
     """
+    ng = cfg.grid.ng
+    if jnp.ndim(state.q) != 0 or jnp.ndim(state.m) != 0:
+        raise ValueError("run_resident requires scalar q/m")
+    if ng > 1024:
+        raise ValueError("run_resident requires ng <= 1024 (VMEM operators)")
+    spc = min(int(steps_per_call), int(steps))
+    full, rem = divmod(int(steps), spc)
+    scan_full, rem_fn = _resident_fns(cfg, spc, full, rem)
+
+    parts = []
+    if full:
+        state, (fe, ke, jb) = scan_full(state)
+        parts.append((fe.reshape(-1), ke.reshape(-1), jb.reshape(-1)))
+    if rem:
+        state, (fe, ke, jb) = rem_fn(state)
+        parts.append((fe, ke, jb))
+    fe, ke, jb = (jnp.concatenate([p[i] for p in parts]) for i in range(3))
+    return state, ResidentMetrics(fe, ke, jb)
+
+
+@functools.lru_cache(maxsize=16)
+def _resident_fns(cfg: ExplicitConfig, spc: int, full: int, rem: int):
+    """Jitted chunk runners, cached per (config, chunking) so repeated
+    run_resident calls reuse the compiled executables (a fresh closure per
+    call would retrace+recompile every time)."""
     from ..ops.pallas_cic import (
         explicit_cycle_resident_pallas,
         explicit_resident_matrices,
     )
 
-    grid = cfg.grid
-    ng, dx = grid.ng, grid.dx
-    if jnp.ndim(state.q) != 0 or jnp.ndim(state.m) != 0:
-        raise ValueError("run_resident requires scalar q/m")
-    if ng > 1024:
-        raise ValueError("run_resident requires ng <= 1024 (VMEM operators)")
+    ng, dx = cfg.grid.ng, cfg.grid.dx
     fold, me, sel = explicit_resident_matrices(ng, dx)
-    spc = min(int(steps_per_call), int(steps))
-    full, rem = divmod(int(steps), spc)
 
     def chunk(st: ExplicitState, n_steps: int):
         qm = st.q / st.m
@@ -273,13 +291,5 @@ def run_resident(cfg: ExplicitConfig, state: ExplicitState, steps: int,
 
         return lax.scan(body, st, None, length=full)
 
-    parts = []
-    if full:
-        state, (fe, ke, jb) = scan_full(state)
-        parts.append((fe.reshape(-1), ke.reshape(-1), jb.reshape(-1)))
-    if rem:
-        state, (fe, ke, jb) = jax.jit(
-            functools.partial(chunk, n_steps=rem))(state)
-        parts.append((fe, ke, jb))
-    fe, ke, jb = (jnp.concatenate([p[i] for p in parts]) for i in range(3))
-    return state, ResidentMetrics(fe, ke, jb)
+    rem_fn = jax.jit(functools.partial(chunk, n_steps=rem)) if rem else None
+    return (scan_full if full else None), rem_fn

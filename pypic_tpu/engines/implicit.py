@@ -511,13 +511,7 @@ def run_resident(cfg: ImplicitConfig, state: ImplicitState, steps: int,
     picard_init='extrapolate2', which this path rejects anyway — a
     follow-on extrapolate2 run should take one scanned step first.
     """
-    from ..ops.pallas_cic import (
-        implicit_resident_matrices,
-        implicit_resident_pallas,
-    )
-
-    grid = cfg.grid
-    ng, dx = grid.ng, grid.dx
+    ng = cfg.grid.ng
     if jnp.ndim(state.q) != 0 or jnp.ndim(state.m) != 0:
         raise ValueError("run_resident requires scalar q/m")
     if ng > 1024:
@@ -537,9 +531,46 @@ def run_resident(cfg: ImplicitConfig, state: ImplicitState, steps: int,
         raise ValueError("run_resident implements the separate-window pass "
                          "only (use the scanned step for window_share="
                          "'shared')")
-    fold, sels, sm = implicit_resident_matrices(ng, cfg.smooth)
     spc = min(int(steps_per_call), int(steps))
     full, rem = divmod(int(steps), spc)
+    scan_full, rem_fn = _resident_fns(cfg, spc, full, rem)
+
+    parts = []
+    if full:
+        state, rows = scan_full(state)
+        parts.append({k: v.reshape(-1) for k, v in rows.items()})
+    if rem:
+        state, rows = rem_fn(state)
+        parts.append(rows)
+    cat = {k: jnp.concatenate([p[k] for p in parts]) for k in parts[0]}
+    metrics = StepMetrics(
+        field_energy=cat["fe"],
+        kinetic_energy=cat["ke"],
+        current_bias=cat["jb"],
+        picard_iters=cat["iters"],
+        picard_residual=cat["resid"],
+        tracer_x=cat["tracer_x"],
+        tracer_v=cat["tracer_v"],
+        picard_clamped=jnp.zeros_like(cat["iters"]),
+    )
+    return state, metrics
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=16)
+def _resident_fns(cfg: ImplicitConfig, spc: int, full: int, rem: int):
+    """Jitted chunk runners, cached per (config, chunking) so repeated
+    run_resident calls reuse the compiled executables (a fresh closure per
+    call would retrace+recompile every time)."""
+    from ..ops.pallas_cic import (
+        implicit_resident_matrices,
+        implicit_resident_pallas,
+    )
+
+    ng, dx = cfg.grid.ng, cfg.grid.dx
+    fold, sels, sm = implicit_resident_matrices(ng, cfg.smooth)
 
     def chunk(st: ImplicitState, n_steps: int):
         p1, v1, e1, eprev, jh, rows = implicit_resident_pallas(
@@ -563,24 +594,6 @@ def run_resident(cfg: ImplicitConfig, state: ImplicitState, steps: int,
 
         return lax.scan(body, st, None, length=full)
 
-    parts = []
-    if full:
-        state, rows = scan_full(state)
-        parts.append({k: v.reshape(-1) for k, v in rows.items()})
-    if rem:
-        import functools
-
-        state, rows = jax.jit(functools.partial(chunk, n_steps=rem))(state)
-        parts.append(rows)
-    cat = {k: jnp.concatenate([p[k] for p in parts]) for k in parts[0]}
-    metrics = StepMetrics(
-        field_energy=cat["fe"],
-        kinetic_energy=cat["ke"],
-        current_bias=cat["jb"],
-        picard_iters=cat["iters"],
-        picard_residual=cat["resid"],
-        tracer_x=cat["tracer_x"],
-        tracer_v=cat["tracer_v"],
-        picard_clamped=jnp.zeros_like(cat["iters"]),
-    )
-    return state, metrics
+    rem_fn = (jax.jit(_functools.partial(chunk, n_steps=rem))
+              if rem else None)
+    return (scan_full if full else None), rem_fn
