@@ -228,7 +228,7 @@ def bench_landau(args):
     # dispatch. Falls back to the scanned step for configs the resident
     # kernel doesn't cover (e.g. --picard-accel anderson2).
     try:
-        implicit.run_resident(cfg, state, 1)
+        implicit.check_resident_supported(cfg, state)
 
         def go():
             _, m = implicit.run_resident(cfg, state, steps,

@@ -484,6 +484,36 @@ def make_step(cfg: ImplicitConfig):
     return step
 
 
+def check_resident_supported(cfg: ImplicitConfig,
+                             state: ImplicitState) -> None:
+    """Raise ValueError when (cfg, state) is outside run_resident's
+    supported space — callers probe this WITHOUT compiling a kernel."""
+    from ..ops.pallas_cic import _RESIDENT_MAX_N_IMPLICIT
+
+    if jnp.ndim(state.q) != 0 or jnp.ndim(state.m) != 0:
+        raise ValueError("run_resident requires scalar q/m")
+    if cfg.grid.ng > 1024:
+        raise ValueError("run_resident requires ng <= 1024 (VMEM operators)")
+    if state.p.shape[0] > _RESIDENT_MAX_N_IMPLICIT:
+        raise ValueError(
+            f"run_resident requires n <= {_RESIDENT_MAX_N_IMPLICIT}")
+    if cfg.axis_name is not None:
+        raise ValueError("run_resident is single-device (axis_name=None)")
+    if cfg.picard_init not in ("field", "extrapolate"):
+        raise ValueError("run_resident supports picard_init "
+                         "'field'/'extrapolate'")
+    if cfg.picard_accel not in ("none", "anderson"):
+        raise ValueError("run_resident supports picard_accel "
+                         "'none'/'anderson'")
+    if cfg.finalize != "converged" or cfg.finalize_field != "last":
+        raise ValueError("run_resident supports finalize='converged', "
+                         "finalize_field='last'")
+    if cfg.window_share == "shared":
+        raise ValueError("run_resident implements the separate-window pass "
+                         "only (use the scanned step for window_share="
+                         "'shared')")
+
+
 def run_resident(cfg: ImplicitConfig, state: ImplicitState, steps: int,
                  steps_per_call: int = 64):
     """Run ``steps`` implicit CN-Picard steps with the population
@@ -511,26 +541,7 @@ def run_resident(cfg: ImplicitConfig, state: ImplicitState, steps: int,
     picard_init='extrapolate2', which this path rejects anyway — a
     follow-on extrapolate2 run should take one scanned step first.
     """
-    ng = cfg.grid.ng
-    if jnp.ndim(state.q) != 0 or jnp.ndim(state.m) != 0:
-        raise ValueError("run_resident requires scalar q/m")
-    if ng > 1024:
-        raise ValueError("run_resident requires ng <= 1024 (VMEM operators)")
-    if cfg.axis_name is not None:
-        raise ValueError("run_resident is single-device (axis_name=None)")
-    if cfg.picard_init not in ("field", "extrapolate"):
-        raise ValueError("run_resident supports picard_init "
-                         "'field'/'extrapolate'")
-    if cfg.picard_accel not in ("none", "anderson"):
-        raise ValueError("run_resident supports picard_accel "
-                         "'none'/'anderson'")
-    if cfg.finalize != "converged" or cfg.finalize_field != "last":
-        raise ValueError("run_resident supports finalize='converged', "
-                         "finalize_field='last'")
-    if cfg.window_share == "shared":
-        raise ValueError("run_resident implements the separate-window pass "
-                         "only (use the scanned step for window_share="
-                         "'shared')")
+    check_resident_supported(cfg, state)
     spc = min(int(steps_per_call), int(steps))
     full, rem = divmod(int(steps), spc)
     scan_full, rem_fn = _resident_fns(cfg, spc, full, rem)
