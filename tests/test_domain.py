@@ -676,3 +676,29 @@ def test_distributed_tridiag_chain_matches_thomas():
                             jnp.asarray(du, jnp.float32), jnp.asarray(f)))
         err = np.abs(out - ref).max() / np.abs(ref).max()
         assert err < 1e-4, (kind, err)
+
+
+def test_domain_magnetized_ionization_and_capped_source():
+    """Shard-local MCC ionization + the globally-capped 'capped-source'
+    policy on the slab engine: ionization happens, the source population
+    respects the global cap, ledgers stay finite."""
+    import dataclasses as dc
+    from pypic_tpu.presets import pic_iead
+    from pypic_tpu.parallel import make_mesh, domain_magnetized as dm
+    from pypic_tpu.runner import run
+
+    pre = pic_iead(n_per_species=400)
+    c1 = dc.replace(pre.config, ionization=True)
+    cfg = _iead_like_domain_cfg(
+        c1, ionization=True, reactivate="capped-source",
+        source_n=500, react_batch=256)
+    mesh = make_mesh(8, axis="slabs")
+    st = _domain_mag_state(pre, cfg, mesh)
+    stf, m = run(dm.make_step(cfg, mesh), st, 40)
+    n_ion = np.asarray(m.n_ionized).astype(int)
+    assert n_ion.sum() > 10  # boron neutrals ionize in the early steps
+    # capped refill: active source-species population never exceeds the
+    # cap by more than one step's re-activations
+    assert int(np.asarray(m.n_reactivated).max()) <= 256
+    assert np.isfinite(np.asarray(m.added)).all()
+    assert int(np.asarray(m.n_dropped).sum()) == 0
