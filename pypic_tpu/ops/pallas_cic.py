@@ -47,6 +47,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..constants import EPSILON_0 as _EPSILON_0
+
 LANE = 128
 
 _DEFAULT_BLOCK = 16384
@@ -1295,12 +1297,6 @@ def implicit_resident_pallas(
     )
     return (p1.reshape(-1)[:n], v1.reshape(-1)[:n], e1.reshape(-1),
             eprev.reshape(-1), jh.reshape(-1), rows)
-
-
-def dt_eps_const(dt: float) -> float:
-    from ..constants import EPSILON_0
-
-    return float(dt) / EPSILON_0
 
 
 def _deposit_into(out_ref, pos, values, num_k, block, stride, width):
