@@ -1266,7 +1266,7 @@ def implicit_resident_pallas(
     kern = functools.partial(
         _implicit_resident_kernel, num_k=num_k, ng=ng, block=block,
         chunk=ch, n_valid=n, stride=stride, width=width, steps=int(steps),
-        spad=spad, dt_eps=float(dt_eps_const(dt)), tol=float(tol),
+        spad=spad, dt_eps=float(dt) / _EPSILON_0, tol=float(tol),
         maxiter=int(maxiter), extrapolate=bool(extrapolate),
         anderson=bool(anderson), fe_c=float(fe_c), tracer=int(tracer),
     )
