@@ -304,19 +304,41 @@ def bench_magnetized(args):
         import dataclasses as _dc
 
         cfg = _dc.replace(cfg, react_batch=16384, iead_pack=16384)
+    if args.carried:
+        # round-3c A/B lead: the rho/n deposit rides the previous step's
+        # push kernel (MagnetizedConfig.carried_deposit; exactness
+        # asserted below via the clamp/suppression metrics)
+        import dataclasses as _dc
+
+        if args.mag_exact:
+            raise SystemExit("--carried needs the react_batch fast path "
+                             "(incompatible with --mag-exact)")
+        cfg = _dc.replace(cfg, carried_deposit="on")
+    state0 = pre.state
+    if args.carried:
+        state0 = magnetized.prime_carry(state0, cfg)
     step = magnetized.make_step(cfg)
 
     dropped = []
+    carried_bad = []
 
     def go():
-        _, m = run(step, pre.state, steps)
+        _, m = run(step, state0, steps)
         np.asarray(m.phi_max)
         dropped.append(int(np.asarray(m.iead_dropped).sum()))
+        if args.carried:
+            carried_bad.append(
+                int(np.asarray(m.carry_clamped).sum())
+                + int(np.asarray(m.n_ion_suppressed).sum()))
 
     _emit("magnetized", n, steps, _time(go))
     if dropped and max(dropped) > 0:
         print(f"# WARNING: iead_pack dropped {max(dropped)} impacts",
               file=sys.stderr)
+    if carried_bad and max(carried_bad) > 0:
+        print(f"# WARNING: carried deposit clamped/suppressed "
+              f"{max(carried_bad)} events — the carry is inexact at this "
+              "configuration", file=sys.stderr)
 
 
 def bench_domain(args):
@@ -431,6 +453,10 @@ def main():
                          "re-activation draws + full-pass IEAD histograms "
                          "(default uses the round-3 rank-keyed capped draw "
                          "and packed IEAD fast paths)")
+    ap.add_argument("--carried", action="store_true",
+                    help="magnetized row: carried-deposit step (the rho/n "
+                         "deposit rides the previous step's push kernel — "
+                         "MagnetizedConfig.carried_deposit round-3c A/B)")
     ap.add_argument("--finalize-field", default="last",
                     choices=("last", "mean2"),
                     help="field the finalize sweep gathers with (see "

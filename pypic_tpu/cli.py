@@ -90,6 +90,16 @@ def _cmd_run(args):
                 state = state.replace(**refresh)
                 print(f"seeded {sorted(refresh)} from the restored field "
                       "(pre-history checkpoint)", file=sys.stderr)
+            # carried-deposit magnetized configs: the carry leaves must
+            # match the restored particles (a pre-carry checkpoint restores
+            # template zeros; a post-carry one is already consistent, but
+            # re-priming is cheap and unconditionally safe)
+            if getattr(preset.config, "carried_deposit", "off") == "on":
+                from .engines import magnetized as _magnetized
+
+                state = _magnetized.prime_carry(state, preset.config)
+                print("re-primed carried rho/n from restored particles",
+                      file=sys.stderr)
             # sharded presets (domain_implicit) restore to host arrays;
             # re-place them on the device mesh before stepping
             reshard = preset.meta.get("reshard")

@@ -135,6 +135,30 @@ class MagnetizedConfig:
     # Not bit-compatible with react_batch=0 (a slot's draw is keyed on rank
     # instead of slot id — identical distribution, equivalence-tested).
     react_batch: int = 0
+    # Carried-deposit step (PERF.md round-4 lead, built round 3c): the
+    # step-opening rho/n deposit over the active particles
+    # (pygcpic.py:841-905) rides the PREVIOUS step's push kernel — the
+    # fused gather+Boris sweep deposits each surviving particle's tent at
+    # its new position inside the gather's window (widened by
+    # ``carried_pad`` cells), and the post-push mutations patch the carry:
+    # wall hits are zeroed in-kernel, ionization charge deltas and
+    # re-activated slots land as small packed deposits. Saves the whole
+    # deposit2 pass minus the relocated tent work (~0.3-0.35 ms of the
+    # ~1 ms step at 1e6 on v5e, projected). 'on' | 'off' | 'auto'
+    # (auto = off until the TPU A/B + physics re-verification land).
+    # Dynamics match the recomputed deposit up to f32 summation order
+    # PROVIDED the carry_clamped and n_ion_suppressed metrics stay 0
+    # (both are hard guarantees of charge bookkeeping, not silent drops:
+    # clamped tents misplace charge by <= carried_pad cells and are
+    # counted; over-cap ionization events are reverted entirely).
+    # Requires pusher='boris', bca_escape=False, and react_batch > 0
+    # whenever reactivate != 'none' (the re-activation patch capacity).
+    carried_deposit: str = "auto"
+    # ionization patch rows/step: events beyond this revert (charge_state
+    # unchanged) and count into n_ion_suppressed — size it far above the
+    # physical rate (reference workloads ionize O(10)/step at 1e6)
+    carried_ion_cap: int = 16384
+    carried_pad: int = 2  # deposit window widening [cells]
     flux_limit: int = 0  # max re-activations/step on the 'flux' policy
     flux_gamma: float = 0.0  # perturbed-beam fraction (pygcpic.py:2008)
     flux_vx_pert: float = 0.0
@@ -235,6 +259,22 @@ class MagnetizedConfig:
             raise ValueError("pusher='gc' requires a nonzero magnetic field")
         if self.react_batch < 0:
             raise ValueError("react_batch must be >= 0")
+        if self.carried_deposit not in ("auto", "on", "off"):
+            raise ValueError(
+                f"unknown carried_deposit {self.carried_deposit!r}")
+        if self.carried_deposit == "on":
+            if self.pusher != "boris":
+                raise ValueError("carried_deposit requires pusher='boris' "
+                                 "(the GC path composes per-particle modes)")
+            if self.bca_escape:
+                raise ValueError(
+                    "carried_deposit does not support bca_escape (escape "
+                    "rows would need deposit patches; use 'off')")
+            if self.reactivate != "none" and self.react_batch <= 0:
+                raise ValueError(
+                    "carried_deposit needs react_batch > 0 with "
+                    "re-activation — the batch table bounds the "
+                    "re-activation patch exactly")
         if self.axis_name is not None:
             if (self.react_batch == 0 and self.reactivate != "none"
                     and self.source_sampler in ("threefry", "pallas")):
@@ -282,6 +322,12 @@ class MagnetizedState(struct.PyTreeNode):
     mode: jax.Array  # (n,) int32 {0: 6D, 1: guiding-center} (pygcpic.py:101)
     phi: jax.Array  # (ng,) potential [V]
     phi_prev: jax.Array  # (ng,) previous-step potential (Newton warm start)
+    # carried GLOBAL deposits (cfg.carried_deposit='on' only; zeros
+    # otherwise): the rho / number density that open the next step,
+    # maintained by the push kernel + mutation patches. Global (psum'd)
+    # so the leaves stay replicated under data-parallel sharding.
+    rho: jax.Array  # (ng,)
+    n: jax.Array  # (ng,)
     n0: jax.Array  # () Boltzmann electron reference density
     p_old: jax.Array  # () previous trapz(exp(phi/Te)) (pygcpic.py:891)
     added: jax.Array  # () particle-creation ledger (pygcpic.py:1111-1117)
@@ -329,6 +375,10 @@ class StepMetrics(NamedTuple):
     # impacts dropped from the IEAD histograms this step (iead_pack > 0
     # overflow only; always 0 on the exact full-pass path)
     iead_dropped: jax.Array = 0
+    # carried-deposit bookkeeping (carried_deposit='on' only; the carry is
+    # exact while BOTH stay 0 — see MagnetizedConfig.carried_deposit)
+    carry_clamped: jax.Array = 0
+    n_ion_suppressed: jax.Array = 0
 
 
 def _gc_pack(p, yz, v, charge_state, m, cfg: MagnetizedConfig):
@@ -364,6 +414,25 @@ def _gc_unpack_v(key, p, yz, v_packed, charge_state, m, cfg: MagnetizedConfig):
         jnp.asarray(cfg.b, v_packed.dtype), cs_safe, m,
     )
     return v6
+
+
+def prime_carry(state: MagnetizedState, cfg: MagnetizedConfig):
+    """(Re)compute the carried GLOBAL rho/n deposit leaves from the current
+    particles — the entry point for carried_deposit='on' at initialization
+    and checkpoint resume (the step keeps them current afterwards). Safe on
+    a fully-replicated state (runs OUTSIDE shard_map under data-parallel —
+    the leaves are global by contract)."""
+    dx = cfg.grid.dx
+    is_active = state.active == 1
+    w_rho = jnp.where(
+        is_active, state.charge_state * E_CHARGE * state.p2c / dx, 0.0)
+    w_n = jnp.where(is_active, state.p2c / dx, 0.0)
+    rho = deposit(state.p, w_rho, cfg.grid.ng, periodic=False,
+                  method=cfg.deposit_method)
+    n = deposit(state.p, w_n, cfg.grid.ng, periodic=False,
+                method=cfg.deposit_method)
+    return state.replace(rho=rho.astype(state.phi.dtype),
+                         n=n.astype(state.phi.dtype))
 
 
 def init_state(
@@ -424,6 +493,8 @@ def init_state(
         mode=jnp.zeros((n,), jnp.int32),
         phi=jnp.zeros((grid.ng,), dtype),
         phi_prev=jnp.zeros((grid.ng,), dtype),
+        rho=jnp.zeros((grid.ng,), dtype),
+        n=jnp.zeros((grid.ng,), dtype),
         n0=jnp.asarray(0.0, dtype),
         p_old=jnp.asarray(0.0, dtype),
         added=jnp.asarray(0.0, dtype),
@@ -448,6 +519,8 @@ def init_state(
             vz=jnp.where(is_gc, v_g[:, 2], state.vz),
             mode=is_gc.astype(jnp.int32),
         )
+    if cfg.carried_deposit == "on":
+        state = prime_carry(state, cfg)
     return state
 
 
@@ -500,6 +573,28 @@ def make_inject(cfg: MagnetizedConfig):
             # engine pusher (mode 1 requires charge; ionization promotes)
             mode=jnp.where(take, 0, state.mode),
         )
+        if cfg.carried_deposit == "on":
+            # patch the carried deposits for the injected rows (their next
+            # deposit happens in the push kernel AFTER the next step's
+            # field solve consumed the carry): the i-th valid new row
+            # landed in the i-th free slot, so the patch is the valid new
+            # rows themselves, capped at the placed count
+            placed = (jnp.cumsum(valid.astype(jnp.int32)) - 1 < n_injected) \
+                & valid
+            wf = placed.astype(new_state.rho.dtype)
+            pos_new = jnp.clip(jnp.asarray(x) / dx, 0.0,
+                               float(grid.num_cells))
+            wr_new = wf * jnp.asarray(charge_state) * E_CHARGE \
+                * jnp.asarray(p2c) / dx
+            wn_new = wf * jnp.asarray(p2c) / dx
+            new_state = new_state.replace(
+                rho=new_state.rho + deposit(
+                    pos_new, wr_new, grid.ng, periodic=False,
+                    method=cfg.deposit_method),
+                n=new_state.n + deposit(
+                    pos_new, wn_new, grid.ng, periodic=False,
+                    method=cfg.deposit_method),
+            )
         return new_state, n_injected, n_new - n_injected
 
     return inject
@@ -608,6 +703,9 @@ def make_step(cfg: MagnetizedConfig):
         return jax.default_backend() == "tpu" and n >= 8192
 
     ax = cfg.axis_name
+    # 'auto' stays off until the TPU A/B + physics re-verification land
+    # (flip here when they do — PERF.md round 3c)
+    carried = cfg.carried_deposit == "on"
 
     def _allreduce(x):
         """Sum partial deposits / counters across particle shards (no-op
@@ -624,23 +722,31 @@ def make_step(cfg: MagnetizedConfig):
             k_ion = jax.random.fold_in(k_ion, lax.axis_index(ax))
             k_gyro = jax.random.fold_in(k_gyro, lax.axis_index(ax))
         fused = _use_fused(state.p.shape[0])
+        carry_clamped = jnp.asarray(0, jnp.int32)
+        n_ion_suppressed = jnp.asarray(0, jnp.int32)
         is_active = state.active == 1
         w_rho = jnp.where(
             is_active, state.charge_state * E_CHARGE * state.p2c / dx, 0.0
         )
         w_n = jnp.where(is_active, state.p2c / dx, 0.0)
-        if fused:
+        if carried:
+            # the previous step's push kernel + patches maintained the
+            # GLOBAL deposits in state (prime_carry seeds step 0)
+            rho, n_dens = state.rho, state.n
+        elif fused:
             from ..ops.pallas_cic import deposit2_pallas
 
             rho, n_dens = deposit2_pallas(state.p, w_rho, w_n, ng,
                                           periodic=False)
+            rho = _allreduce(rho)
+            n_dens = _allreduce(n_dens)
         else:
             rho = deposit(state.p, w_rho, ng, periodic=False,
                           method=cfg.deposit_method)
             n_dens = deposit(state.p, w_n, ng, periodic=False,
                              method=cfg.deposit_method)
-        rho = _allreduce(rho)
-        n_dens = _allreduce(n_dens)
+            rho = _allreduce(rho)
+            n_dens = _allreduce(n_dens)
         n0, p_old = _boltzmann_weight(state, rho, n_dens)
         added = jnp.zeros_like(state.added)  # reset (pygcpic.py:1215,1492)
 
@@ -739,6 +845,22 @@ def make_step(cfg: MagnetizedConfig):
                             jnp.where(is_active, v1_b[:, 1], state.vy))
             vz1 = jnp.where(is_gc, jnp.zeros_like(vpar1),
                             jnp.where(is_active, v1_b[:, 2], state.vz))
+        elif carried:
+            # fused push + next-step deposit (one sweep; wall hits zeroed
+            # in-kernel, post-push mutations patched below)
+            from ..ops.pallas_cic import boris_gather_push_deposit_pallas
+
+            const = (0.5 * dt * E_CHARGE) * state.charge_state / state.m
+            act_f = is_active.astype(state.p.dtype)
+            (p1, vx1, vy1, vz1, rho_carry, n_carry,
+             carry_clamped) = boris_gather_push_deposit_pallas(
+                e_field, state.p,
+                state.vx, state.vy, state.vz,
+                const, act_f, w_rho, w_n,
+                b=cfg.b, dt=dt, dt_dx=dt / dx, pad=cfg.carried_pad,
+            )
+            y1 = jnp.where(is_active, state.y + dt * vy1, state.y)
+            z1 = jnp.where(is_active, state.z + dt * vz1, state.z)
         elif fused:
             from ..ops.pallas_cic import boris_gather_push_pallas
 
@@ -848,6 +970,24 @@ def make_step(cfg: MagnetizedConfig):
                 rates, dx, dt, still_active,
                 max_charge_state=cfg.max_charge_state,
             )
+            if carried:
+                # the carry patches at most carried_ion_cap charge deltas
+                # per step; events beyond it revert entirely (no silent
+                # charge misplacement) and are counted — size the cap so
+                # this never binds (it's ~1000x the reference rates)
+                from ..utils import compact_rows, pack_rows
+
+                rank_i = compact_rows(ionized)
+                keep = ionized & (rank_i < cfg.carried_ion_cap)
+                suppressed = ionized & ~keep
+                n_ion_suppressed = jnp.sum(suppressed.astype(jnp.int32))
+                charge_state = jnp.where(
+                    suppressed, charge_state - 1.0, charge_state)
+                added_ion = added_ion - 2.0 * jnp.sum(
+                    jnp.where(suppressed, state.p2c, 0.0)).astype(added.dtype)
+                ionized = keep
+                (ion_pos, ion_p2c), _, _ = pack_rows(
+                    keep, [p1, state.p2c], cfg.carried_ion_cap)
             added = added + added_ion
             n_ionized = jnp.sum(ionized.astype(jnp.int32))
             if cfg.pusher == "gc":
@@ -994,6 +1134,26 @@ def make_step(cfg: MagnetizedConfig):
                 # (react_batch,)-sized table; cap the take set at the table
                 # size — surplus inactive slots wait for the next step
                 take = take & (rank < cfg.react_batch)
+                if carried:
+                    # re-activation patch: taken global ranks are contiguous
+                    # [start, start + n_take), so the patch is the table's
+                    # rows in that range — no pack pass needed (under dp
+                    # each shard patches its own slice; the psum over the
+                    # disjoint slices reconstructs the global patch)
+                    n_take = jnp.sum(take.astype(jnp.int32))
+                    start = before if ax else 0
+                    ridx = jnp.arange(n_draw, dtype=jnp.int32)
+                    pmask = (ridx >= start) & (ridx < start + n_take)
+                    react_pos = bx
+                    react_wr = jnp.where(
+                        pmask,
+                        float(src.charge_state) * E_CHARGE * float(src.p2c)
+                        / dx,
+                        0.0,
+                    ).astype(p1.dtype)
+                    react_wn = jnp.where(
+                        pmask, float(src.p2c) / dx, 0.0
+                    ).astype(p1.dtype)
                 idx = jnp.clip(rank, 0, cfg.react_batch - 1)
                 bx, by, bz, bvx, bvy, bvz = (
                     jnp.take(b_, idx) for b_ in (bx, by, bz, bvx, bvy, bvz)
@@ -1016,6 +1176,31 @@ def make_step(cfg: MagnetizedConfig):
             n_react = jnp.sum(take.astype(jnp.int32))
             added = added + (2.0 * src.p2c) * jnp.sum(take.astype(added.dtype))
 
+        # carried-deposit patches: ionization charge deltas + re-activated
+        # slots land on the kernel's carry; psum makes the leaves GLOBAL
+        # (replicated under dp — prime_carry/state contract)
+        if carried:
+            patch_pos, patch_wr = [], []
+            if cfg.ionization:
+                patch_pos.append(ion_pos)
+                patch_wr.append((E_CHARGE / dx) * ion_p2c)
+            n_patch = None
+            if cfg.reactivate != "none":
+                patch_pos.append(react_pos)
+                patch_wr.append(react_wr)
+                n_patch = deposit(react_pos, react_wn, ng, periodic=False,
+                                  method=cfg.deposit_method)
+            if patch_pos:
+                rho_carry = rho_carry + deposit(
+                    jnp.concatenate(patch_pos), jnp.concatenate(patch_wr),
+                    ng, periodic=False, method=cfg.deposit_method)
+            if n_patch is not None:
+                n_carry = n_carry + n_patch
+            rho_carry = _allreduce(rho_carry)
+            n_carry = _allreduce(n_carry)
+        else:
+            rho_carry, n_carry = state.rho, state.n
+
         # global ledgers/counters under dp (the n0 particle-balance update
         # next step needs the GLOBAL added-particle rate, pygcpic.py:889-904)
         added = _allreduce(added)
@@ -1035,13 +1220,15 @@ def make_step(cfg: MagnetizedConfig):
             n_impacts=n_impacts,
             n_escaped=_allreduce(n_escaped),
             iead_dropped=_allreduce(iead_dropped),
+            carry_clamped=_allreduce(carry_clamped),
+            n_ion_suppressed=_allreduce(n_ion_suppressed),
         )
         new_state = state.replace(
             p=p1, y=y1, z=z1, vx=vx1, vy=vy1, vz=vz1, m=m_arr,
             charge_state=charge_state,
             p2c=p2c_arr, species_idx=sp_arr, t=t1, active=active,
             at_wall=at_wall, from_wall=fw, mode=mode, phi=phi,
-            phi_prev=state.phi,
+            phi_prev=state.phi, rho=rho_carry, n=n_carry,
             n0=n0, p_old=p_old, added=added, rng=key, iead=iead,
             iead_out=iead_out, step=state.step + 1,
         )

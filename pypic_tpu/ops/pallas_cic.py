@@ -382,6 +382,163 @@ def boris_gather_push_pallas(
     return tuple(o.reshape(-1)[:n] for o in outs)
 
 
+def _boris_deposit_kernel(
+    fwin_ref, p_ref, vx_ref, vy_ref, vz_ref, c_ref, act_ref, wr_ref, wn_ref,
+    p1_ref, vx1_ref, vy1_ref, vz1_ref, rho_ref, n_ref,
+    *, num_k, block, stride, width, pad, bx, by, bz, dt, dt_dx, hi,
+):
+    """Boris push + carried dual deposit sharing ONE window decomposition.
+
+    The deposit that opens the NEXT magnetized step (rho + number density
+    over the next step's active particles at their new positions,
+    pygcpic.py:841-905) rides this step's push sweep: the kernel deposits
+    each surviving particle's tent at p1 inside the window selected for the
+    GATHER at p, widened by ``pad`` rows on each side (the per-step ion
+    displacement is a fraction of a cell — PERF.md round-4 lead). Rows
+    whose p1 leaves [0, hi] (this step's wall hits — they deactivate and
+    must not weight next step's grid) deposit nothing; the engine patches
+    the post-push mutations (ionization charge deltas, re-activated slots)
+    with small packed deposits. Deposits clamped at the widened window edge
+    are counted into rho's extra accumulator row so a silent charge
+    misplacement is impossible (same contract as _picard_iter_sw_kernel).
+    """
+    wp = width + 2 * pad
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        rho_ref[:] = jnp.zeros_like(rho_ref)
+        n_ref[:] = jnp.zeros_like(n_ref)
+
+    p = p_ref[0, 0, :]
+    vx0 = vx_ref[0, 0, :]
+    vy0 = vy_ref[0, 0, :]
+    vz0 = vz_ref[0, 0, :]
+    const = c_ref[0, 0, :]
+    act = act_ref[0, 0, :]
+
+    # one decomposition + selector for the gather AND the deposit
+    pc = jnp.clip(p, 0.0, hi)
+    k, d_s = _window_decompose(pc, num_k, stride)
+    sel_t = _sel_t(k, num_k, p.dtype)  # (K, B)
+    tent_s = _tent_t(d_s, block, width)
+    frows_t = lax.dot_general(
+        fwin_ref[:], sel_t, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(p.dtype)  # (width, B)
+    ones = jnp.ones((1, width), p.dtype)
+    ex = lax.dot_general(
+        ones, tent_s * frows_t, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(p.dtype)[0]
+
+    # Boris-Buneman (pygcpic.py:460-507) — identical to _boris_kernel
+    vx = vx0 + const * ex
+    tx = const * bx
+    ty = const * by
+    tz = const * bz
+    t2 = tx * tx + ty * ty + tz * tz
+    inv = 2.0 / (1.0 + t2)
+    sx = tx * inv
+    sy = ty * inv
+    sz = tz * inv
+    vfx = vx + vy0 * tz - vz0 * ty
+    vfy = vy0 + vz0 * tx - vx * tz
+    vfz = vz0 + vx * ty - vy0 * tx
+    vx = vx + (vfy * sz - vfz * sy)
+    vy = vy0 + (vfz * sx - vfx * sz)
+    vz = vz0 + (vfx * sy - vfy * sx)
+    vx = vx + const * ex
+
+    p1 = jnp.where(act > 0, p + vx * dt_dx, p)
+    p1_ref[0, 0, :] = p1
+    vx1_ref[0, 0, :] = jnp.where(act > 0, vx, vx0)
+    vy1_ref[0, 0, :] = jnp.where(act > 0, vy, vy0)
+    vz1_ref[0, 0, :] = jnp.where(act > 0, vz, vz0)
+
+    # carried deposit: rows surviving this step's wall check weight the
+    # next step's grid at p1 (weights arrive pre-masked: zero for inactive
+    # slots; ``live`` additionally zeroes this step's wall hits)
+    live = ((p1 >= 0.0) & (p1 <= hi)).astype(p.dtype)
+    wr = wr_ref[0, 0, :] * live
+    wn = wn_ref[0, 0, :] * live
+    d_h = d_s + (p1 - pc) + pad
+    oob = (((d_h < 0.0) | (d_h > wp - 1.0)) & (wn > 0.0)).astype(p.dtype)
+    d_h = jnp.clip(d_h, 0.0, wp - 1.0)
+    tent_h = _tent_t(d_h, block, wp)  # (wp, B)
+    contrib_r = lax.dot_general(
+        tent_h * wr[None, :], sel_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    clamp_row = lax.dot_general(
+        oob[None, :], sel_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    rho_ref[:] += jnp.concatenate([contrib_r, clamp_row], axis=0).astype(
+        rho_ref.dtype
+    )
+    n_ref[:] += lax.dot_general(
+        tent_h * wn[None, :], sel_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(n_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("b", "dt", "dt_dx", "block", "pad")
+)
+def boris_gather_push_deposit_pallas(
+    field, p, vx, vy, vz, const, act, wr, wn, *, b, dt: float, dt_dx: float,
+    block: int = _DEFAULT_BLOCK, pad: int = 2,
+):
+    """Fused bounded gather + Boris push + carried dual deposit.
+
+    Same contract as boris_gather_push_pallas plus: ``wr``/``wn`` are the
+    per-particle rho / number-density deposit weights of the NEXT step
+    (zero for inactive slots); the kernel deposits them at p1 for rows
+    that survive the wall check, sharing the gather's window decomposition
+    (deposit offsets beyond ``pad`` cells clamp at the widened window edge
+    and are counted — assert the count stays 0).
+
+    Returns (p1, vx1, vy1, vz1, rho, n_dens, n_clamped).
+    """
+    ng = field.shape[0]
+    stride, width = _choose_window(ng)
+    num_k = _num_windows(ng, stride)
+    wp = width + 2 * pad
+    fwin_t = _window_field_t(field, num_k, False, stride, width)
+    (p_b, vx_b, vy_b, vz_b, c_b, a_b, wr_b, wn_b), nb = _pad_blocks(
+        [p, vx, vy, vz, const, act, wr, wn], block
+    )
+    kern = functools.partial(
+        _boris_deposit_kernel, num_k=num_k, block=block, stride=stride,
+        width=width, pad=pad, bx=float(b[0]), by=float(b[1]), bz=float(b[2]),
+        dt=dt, dt_dx=dt_dx, hi=float(ng - 1),
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[_acc_spec(num_k, width)] + [_particle_spec(block)] * 8,
+        out_specs=(_particle_spec(block),) * 4
+        + (_acc_spec(num_k, wp + 1), _acc_spec(num_k, wp)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((nb, 1, block), p.dtype) for _ in range(4)
+        ) + (
+            jax.ShapeDtypeStruct((wp + 1, num_k), jnp.float32),
+            jax.ShapeDtypeStruct((wp, num_k), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(fwin_t, p_b, vx_b, vy_b, vz_b, c_b, a_b, wr_b, wn_b)
+    n = p.shape[0]
+    parts = tuple(o.reshape(-1)[:n] for o in outs[:4])
+    acc_r, acc_n = outs[4], outs[5]
+    rho = _fold_windows(acc_r[:-1].T.astype(wr.dtype), ng, False, stride,
+                        row_offset=-pad)
+    n_clamped = jnp.sum(acc_r[-1]).astype(jnp.int32)
+    n_dens = _fold_windows(acc_n.T.astype(wn.dtype), ng, False, stride,
+                           row_offset=-pad)
+    return parts + (rho, n_dens, n_clamped)
+
+
 # ---------------------------------------------------------------------------
 # fused bounded sheath Picard iteration (PIC_L_DD.py:458-533): gather + CN
 # push of active particles + wall-absorption check + current deposit with

@@ -25,6 +25,9 @@ timeout 1800 python bench.py --only landau
 timeout 2400 python bench.py --only sheath
 timeout 2400 python bench.py --only sheath --mag-exact
 timeout 2400 python bench.py --only magnetized
+# 4b. carried-deposit A/B on the magnetized row (round 3c; exactness
+#     metrics asserted in-bench — watch for the WARNING line)
+timeout 2400 python bench.py --only magnetized --carried
 timeout 3600 python bench.py
 timeout 3600 python bench.py --only domain
 date

@@ -1048,3 +1048,184 @@ def test_magnetized_react_batch_capped_source_deficit():
                       ionization=False)
     _, m = magnetized.make_step(cfgb)(st)
     assert int(m.n_reactivated) <= 16
+
+
+# ---------------------------------------------------------------------------
+# carried-deposit step (round 3c): the step-opening rho/n deposit rides the
+# previous step's push kernel (PERF.md round-4 lead; pygcpic.py:841-905
+# deposit semantics preserved through in-kernel wall-hit zeroing + packed
+# mutation patches)
+# ---------------------------------------------------------------------------
+
+
+def _carried_setup(carried, seed=3, **overrides):
+    ng = 51
+    grid = GridSpec(51, 0.01, "dirichlet-dirichlet")
+    rng = np.random.default_rng(1)
+    n = 4000
+    x = rng.uniform(0, grid.length, n)
+    v = rng.normal(size=(n, 3)) * 5e4
+    m = np.full(n, 2 * M_PROTON)
+    cs = np.ones(n)
+    p2c = np.full(n, 5e15)
+    sp = np.zeros(n, np.int32)
+    src = magnetized.SourceSpec(
+        mass=2 * M_PROTON, charge_state=1.0, p2c=5e15, species_idx=0,
+        ti=10.0 * EV_TO_K,
+    )
+    base = dict(
+        grid=grid, dt=5e-9, te=10.0 * EV_TO_K, b=(0.5, 0.5, 1.0),
+        species_z=(5,), ionization=True, reactivate="capped-source",
+        source=src, source_n=4200, react_batch=512,
+        iead_energy_max=100.0, source_sampler="threefry",
+        carried_deposit=carried,
+    )
+    base.update(overrides)
+    cfg = magnetized.MagnetizedConfig(**base)
+    st = magnetized.init_state(x, v, m, cs, p2c, sp, cfg, seed=seed,
+                               capacity=4800)
+    return cfg, st
+
+
+def _carry_residual(state, cfg):
+    """Max relative deviation of the carried rho/n leaves from a fresh
+    deposit over the current particles."""
+    from pypic_tpu.ops import deposit
+
+    dx = cfg.grid.dx
+    ia = state.active == 1
+    wr = jnp.where(ia, state.charge_state * E_CHARGE * state.p2c / dx, 0.0)
+    wn = jnp.where(ia, state.p2c / dx, 0.0)
+    rho_f = deposit(state.p, wr, cfg.grid.ng, periodic=False,
+                    method="scatter")
+    n_f = deposit(state.p, wn, cfg.grid.ng, periodic=False, method="scatter")
+    dr = jnp.max(jnp.abs(state.rho - rho_f)) / (jnp.max(jnp.abs(rho_f)) + 1e-30)
+    dn = jnp.max(jnp.abs(state.n - n_f)) / (jnp.max(jnp.abs(n_f)) + 1e-30)
+    return float(dr), float(dn)
+
+
+def test_carried_deposit_invariant_and_equivalence():
+    """carried_deposit='on': (a) the carried rho/n leaves equal a fresh
+    deposit over the current particles to f32 summation-order rounding at
+    EVERY step (wall hits zeroed in-kernel, ionization + re-activation
+    patched); (b) the dynamics match the recomputed-deposit engine; (c)
+    the exactness metrics stay zero. carried_pad=8 bounds the 5-sigma
+    displacement tails of this deliberately hot workload."""
+    cfg_on, s_on = _carried_setup("on", carried_pad=8)
+    cfg_off, s_off = _carried_setup("off")
+    step_on = jax.jit(magnetized.make_step(cfg_on))
+    step_off = jax.jit(magnetized.make_step(cfg_off))
+    events = np.zeros(3, int)
+    for i in range(25):
+        s_on, m_on = step_on(s_on)
+        s_off, m_off = step_off(s_off)
+        assert int(m_on.carry_clamped) == 0
+        assert int(m_on.n_ion_suppressed) == 0
+        dr, dn = _carry_residual(s_on, cfg_on)
+        assert dr < 5e-5 and dn < 5e-5, (i, dr, dn)
+        events += [int(m_on.n_reactivated), int(m_on.n_ionized),
+                   int(m_on.n_hit_wall)]
+    assert (events > 0).all(), f"patch paths unexercised: {events}"
+    assert int(m_on.n_active) == int(m_off.n_active)
+    np.testing.assert_allclose(np.asarray(s_on.phi), np.asarray(s_off.phi),
+                               rtol=0, atol=5e-5 * float(jnp.max(jnp.abs(s_off.phi))))
+    np.testing.assert_allclose(float(jnp.sum(s_on.iead)),
+                               float(jnp.sum(s_off.iead)), rtol=1e-6)
+
+
+def test_carried_deposit_clamp_is_counted_not_silent():
+    """Deposit offsets beyond carried_pad clamp at the widened window edge
+    and are COUNTED (charge misplacement is bounded by pad cells and
+    surfaced as a metric, never silent)."""
+    cfg, st = _carried_setup("on", carried_pad=2)
+    _, m = jax.jit(magnetized.make_step(cfg))(st)
+    # this workload's 5-sigma displacement tails exceed 2 cells
+    assert int(m.carry_clamped) > 0
+    # total deposited mass is still conserved: clamped tents stay in-grid
+    dr, dn = _carry_residual(st.replace(), cfg)  # smoke: callable pre-step
+
+
+def test_carried_ion_cap_reverts_and_counts():
+    """Ionization events beyond carried_ion_cap revert entirely (charge
+    unchanged, ledger uncredited) and count into n_ion_suppressed — the
+    carry invariant holds regardless."""
+    cfg, st = _carried_setup("on", carried_pad=8, carried_ion_cap=4)
+    step = jax.jit(magnetized.make_step(cfg))
+    s1, m1 = step(st)
+    assert int(m1.n_ionized) <= 4
+    assert int(m1.n_ion_suppressed) > 0
+    dr, dn = _carry_residual(s1, cfg)
+    assert dr < 5e-5 and dn < 5e-5
+    # charge bookkeeping: total charge == carry integral
+    ia = s1.active == 1
+    q_tot = float(jnp.sum(jnp.where(ia, s1.charge_state * s1.p2c, 0.0)))
+    q_carry = float(jnp.sum(s1.rho) * cfg.grid.dx / E_CHARGE)
+    np.testing.assert_allclose(q_carry, q_tot, rtol=1e-5)
+
+
+def test_carried_deposit_config_validation():
+    with pytest.raises(ValueError, match="pusher"):
+        _carried_setup("on", pusher="gc")
+    with pytest.raises(ValueError, match="react_batch"):
+        _carried_setup("on", react_batch=0)
+    with pytest.raises(ValueError, match="bca_escape"):
+        _carried_setup("on", bca_escape=True)
+
+
+def test_carried_deposit_data_parallel_matches_single_device():
+    """carried_deposit under 8-shard data-parallel: the carry leaves are
+    GLOBAL (psum'd) so they ride the replicated out-spec; the rank-keyed
+    re-activation patch slices the shared table disjointly per shard. The
+    sharded run matches the single-device carried run."""
+    import dataclasses as dc
+
+    from pypic_tpu.parallel import make_mesh, make_data_parallel_step
+    from pypic_tpu.parallel.dataparallel import shard_state
+
+    cfg, st = _carried_setup("on", carried_pad=8, source_sampler="hash",
+                             ionization=False)
+    step1 = jax.jit(magnetized.make_step(cfg))
+    mesh = make_mesh(8)
+    cfg8 = dc.replace(cfg, axis_name="particles")
+    step8 = make_data_parallel_step(
+        magnetized.make_step, cfg8, mesh, example_state=st)
+    s1, s8 = st, shard_state(st, mesh)
+    for i in range(10):
+        s1, m1 = step1(s1)
+        s8, m8 = step8(s8)
+        assert int(m8.carry_clamped) == 0
+        assert int(m1.n_reactivated) == int(m8.n_reactivated), i
+        assert int(m1.n_active) == int(m8.n_active), i
+    np.testing.assert_allclose(np.asarray(s8.rho), np.asarray(s1.rho),
+                               rtol=0,
+                               atol=2e-5 * float(jnp.max(jnp.abs(s1.rho))))
+    np.testing.assert_allclose(np.asarray(s8.phi), np.asarray(s1.phi),
+                               rtol=0,
+                               atol=5e-5 * float(jnp.max(jnp.abs(s1.phi))))
+
+
+def test_carried_deposit_inject_patches_carry():
+    """make_inject under carried_deposit='on' patches the carry for the
+    injected rows (the BCA seam's dynamic creation, pygcpic.py:1599-1625),
+    including dropped-overflow rows (no patch for rows that found no
+    slot)."""
+    cfg, st = _carried_setup("on", carried_pad=8, ionization=False)
+    inject = magnetized.make_inject(cfg)
+    free = int(jnp.sum(st.active != 1))
+    k = free + 5  # force 5 overflow drops
+    x_new = np.linspace(0.2, 0.8, k) * cfg.grid.length
+    st2, n_inj, n_drop = inject(
+        st,
+        jnp.asarray(x_new, jnp.float32),
+        jnp.zeros((k, 2), jnp.float32),
+        jnp.ones((k, 3), jnp.float32) * 1e4,
+        jnp.full(k, 2 * M_PROTON, jnp.float32),
+        jnp.zeros(k, jnp.float32),
+        jnp.full(k, 1e10, jnp.float32),
+        jnp.zeros(k, jnp.int32),
+        jnp.zeros(k, jnp.float32),
+        jnp.ones(k, bool),
+    )
+    assert int(n_inj) == free and int(n_drop) == 5
+    dr, dn = _carry_residual(st2, cfg)
+    assert dr < 5e-5 and dn < 5e-5, (dr, dn)
