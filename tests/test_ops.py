@@ -314,3 +314,60 @@ def test_anderson_m_accelerates_linear_map():
     r5 = iterate("anderson5", lambda es, eh, k, aux:
                  anderson_m_mix(es, eh, k, aux, 5))
     assert r5 < r1 * 1e-2, (r5, r1)
+
+
+@pytest.mark.parametrize("ng", [33, 51, 200, 800])
+def test_boris_gather_push_deposit_matches_composed(ng):
+    """The carried-deposit push kernel (one window decomposition shared by
+    gather and deposit) matches the plain push kernel bit-exactly on
+    (p1, v1) and the composed deposit to f32 rounding on (rho, n), with
+    zero clamps at sub-pad displacements, across window geometries."""
+    from pypic_tpu.ops.pallas_cic import (
+        boris_gather_push_pallas,
+        boris_gather_push_deposit_pallas,
+    )
+    from pypic_tpu.ops import deposit
+
+    rng = np.random.default_rng(ng)
+    n = 3000
+    cells = float(ng - 1)
+    field = (rng.normal(size=ng) * 1e3).astype(np.float32)
+    p = rng.uniform(0, cells, n).astype(np.float32)
+    vx = (rng.normal(size=n) * 1e4).astype(np.float32)
+    vy = (rng.normal(size=n) * 1e4).astype(np.float32)
+    vz = (rng.normal(size=n) * 1e4).astype(np.float32)
+    const = (rng.uniform(0.5, 2.0, n) * 1e-3).astype(np.float32)
+    act = (rng.uniform(size=n) < 0.9).astype(np.float32)
+    wr = (rng.uniform(size=n) * act).astype(np.float32)
+    wn = (rng.uniform(0.5, 1.0, n) * act).astype(np.float32)
+    b = (0.3, 0.7, 1.0)
+    dt, dt_dx = 1e-7, 5e-5  # max displacement ~0.5 cell < pad
+    p1a, vxa, vya, vza = boris_gather_push_pallas(
+        jnp.asarray(field), p, vx, vy, vz, const, act, b=b, dt=dt,
+        dt_dx=dt_dx)
+    p1b, vxb, vyb, vzb, rho, nd, ncl = boris_gather_push_deposit_pallas(
+        jnp.asarray(field), p, vx, vy, vz, const, act, wr, wn, b=b, dt=dt,
+        dt_dx=dt_dx, pad=2)
+    assert bool(jnp.all(p1a == p1b))
+    assert bool(jnp.all(vxa == vxb) and jnp.all(vya == vyb)
+                and jnp.all(vza == vzb))
+    assert int(ncl) == 0
+    live = np.asarray((p1a >= 0) & (p1a <= cells))
+    rho_ref = deposit(jnp.clip(p1a, 0, cells), jnp.asarray(wr) * live, ng,
+                      periodic=False, method="scatter")
+    nd_ref = deposit(jnp.clip(p1a, 0, cells), jnp.asarray(wn) * live, ng,
+                     periodic=False, method="scatter")
+    scale = float(jnp.max(jnp.abs(rho_ref)))
+    np.testing.assert_allclose(np.asarray(rho), np.asarray(rho_ref),
+                               rtol=0, atol=3e-5 * scale)
+    scale_n = float(jnp.max(jnp.abs(nd_ref)))
+    np.testing.assert_allclose(np.asarray(nd), np.asarray(nd_ref),
+                               rtol=0, atol=3e-5 * scale_n)
+    # edge particles deposit correctly: one exactly at each wall node
+    p_edge = jnp.asarray([0.0, cells], jnp.float32)
+    ones2 = jnp.ones(2, jnp.float32)
+    outs = boris_gather_push_deposit_pallas(
+        jnp.asarray(field), p_edge, ones2 * 0, ones2 * 0, ones2 * 0,
+        ones2 * 0, ones2, ones2, ones2, b=b, dt=dt, dt_dx=dt_dx, pad=2)
+    rho_e = outs[4]
+    assert float(rho_e[0]) == 1.0 and float(rho_e[-1]) == 1.0
