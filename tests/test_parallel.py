@@ -138,7 +138,8 @@ def test_maybe_initialize_distributed_noop_without_env():
 def test_maybe_initialize_distributed_single_process():
     """Env-gated jax.distributed bootstrap actually initializes a (1-process)
     distributed runtime in a fresh subprocess — the multi-host entry point
-    (SURVEY.md §5); true multi-host needs hardware this machine lacks."""
+    (SURVEY.md §5). Real cross-process collectives are exercised by the
+    two test_multiprocess_* tests below (2 OS processes, Gloo)."""
     import os
     import subprocess
     import sys
@@ -159,3 +160,157 @@ def test_maybe_initialize_distributed_single_process():
                          text=True, env=env, cwd=repo, timeout=300)
     assert res.returncode == 0, res.stderr[-2000:]
     assert "DIST OK" in res.stdout
+
+
+def test_multiprocess_data_parallel_two_processes():
+    """REAL multi-process validation (round 3c; closes the round-2 'multi-
+    host unproven' flag as far as one machine allows): two OS processes,
+    each contributing 4 virtual CPU devices, bootstrap through
+    maybe_initialize_distributed into one 8-device global mesh and run the
+    data-parallel implicit engine with cross-process Gloo collectives. Each
+    process asserts the sharded metrics match its own single-device run."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prog = textwrap.dedent("""
+        import os, sys
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        pid = int(sys.argv[1])
+        os.environ["PYPIC_COORDINATOR"] = "localhost:%PORT%"
+        os.environ["PYPIC_NUM_PROCESSES"] = "2"
+        os.environ["PYPIC_PROCESS_ID"] = str(pid)
+        from pypic_tpu.parallel.mesh import (
+            maybe_initialize_distributed, make_mesh)
+        assert maybe_initialize_distributed() is True
+        assert jax.process_count() == 2, jax.process_count()
+        assert len(jax.devices()) == 8 and len(jax.local_devices()) == 4
+
+        import dataclasses as dc
+        import numpy as np
+        import jax.numpy as jnp
+        from pypic_tpu import GridSpec, constants as c, initialize
+        from pypic_tpu.engines import implicit
+        from pypic_tpu.parallel import make_data_parallel_step
+        from pypic_tpu.parallel.dataparallel import shard_state
+        from pypic_tpu.runner import run
+
+        density, te = 1e10, 0.1 * 11600.0
+        debye = np.sqrt(c.K_BOLTZMANN * te * c.EPSILON_0
+                        / c.E_CHARGE**2 / density)
+        grid = GridSpec(32, 15.0 * debye, "periodic")
+        x, v, p = initialize.initialize_periodic(
+            "two-stream", 4096, density, 1, 0.05, grid, te, te, seed=2)
+        cfg = implicit.ImplicitConfig(grid, 0.1 / p.wp, p.p2c,
+                                      tol=1e-8, maxiter=20,
+                                      backend="composed")
+        st = implicit.init_state(x, v, -c.E_CHARGE, c.M_ELECTRON, cfg)
+        # single-device truth, computed independently in this process
+        _, m1 = run(implicit.make_step(cfg), st, 5)
+
+        mesh = make_mesh(8)  # global: 2 processes x 4 local devices
+        cfg8 = dc.replace(cfg, axis_name="particles")
+        step8 = make_data_parallel_step(
+            implicit.make_step, cfg8, mesh, example_state=st)
+        st8 = shard_state(st, mesh)
+        _, m8 = run(step8, st8, 5)
+        f1 = np.asarray(m1.field_energy, np.float64)
+        f8 = np.asarray(jax.device_get(
+            m8.field_energy.addressable_data(0)), np.float64)
+        np.testing.assert_allclose(f8, f1, rtol=1e-4)
+        k1 = np.asarray(m1.kinetic_energy, np.float64)
+        k8 = np.asarray(jax.device_get(
+            m8.kinetic_energy.addressable_data(0)), np.float64)
+        np.testing.assert_allclose(k8, k1, rtol=1e-4)
+        print(pid, "MULTIPROC OK", flush=True)
+    """).replace("%PORT%", "19473")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    ps = [subprocess.Popen([sys.executable, "-c", prog, str(i)],
+                           cwd=repo, env=env, stdout=subprocess.PIPE,
+                           stderr=subprocess.STDOUT) for i in range(2)]
+    outs = []
+    for i, p in enumerate(ps):
+        out, _ = p.communicate(timeout=600)
+        outs.append(out.decode())
+        assert p.returncode == 0, f"proc {i}:\n{outs[-1][-3000:]}"
+    assert all("MULTIPROC OK" in o for o in outs)
+
+
+def test_multiprocess_domain_decomposed_two_processes():
+    """Two-process spatial domain decomposition: slab halo exchange
+    (ppermute) and particle migration (gathered buckets) cross the PROCESS
+    boundary over Gloo — the strongest multi-host validation one machine
+    supports. Metrics must match a single-device run computed
+    independently in each process, with migration active and drop-free."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prog = textwrap.dedent("""
+        import os, sys
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        pid = int(sys.argv[1])
+        os.environ["PYPIC_COORDINATOR"] = "localhost:%PORT%"
+        os.environ["PYPIC_NUM_PROCESSES"] = "2"
+        os.environ["PYPIC_PROCESS_ID"] = str(pid)
+        from pypic_tpu.parallel.mesh import (
+            maybe_initialize_distributed, make_mesh)
+        assert maybe_initialize_distributed() is True
+        assert len(jax.devices()) == 8 and len(jax.local_devices()) == 4
+
+        import numpy as np
+        from pypic_tpu import GridSpec, constants as c, initialize
+        from pypic_tpu.engines import explicit
+        from pypic_tpu.parallel import domain
+        from pypic_tpu.runner import run
+
+        density, te = 1e10, 0.1 * 11600.0
+        debye = np.sqrt(c.K_BOLTZMANN * te * c.EPSILON_0
+                        / c.E_CHARGE**2 / density)
+        grid = GridSpec(64, 15.0 * debye, "periodic")
+        x, v, params = initialize.initialize_periodic(
+            "two-stream", 8000, density, 1, 0.05, grid, te, te, seed=2)
+        dt = 0.1 / params.wp
+        ecfg = explicit.ExplicitConfig(grid, dt, params.p2c)
+        est = explicit.init_state(x, v, -c.E_CHARGE, c.M_ELECTRON, ecfg)
+        _, m1 = run(explicit.make_step(ecfg), est, 30)
+
+        mesh = make_mesh(8, axis="slabs")
+        dcfg = domain.DomainConfig(grid, dt, params.p2c, num_shards=8,
+                                   migrate_cap=1024)
+        dst = domain.shard_state(
+            domain.init_state(x, v, -c.E_CHARGE, M := c.M_ELECTRON, dcfg),
+            mesh, dcfg)
+        _, m8 = run(domain.make_step(dcfg, mesh), dst, 30)
+
+        def fetch(a):
+            return np.asarray(jax.device_get(a.addressable_data(0)),
+                              np.float64)
+
+        np.testing.assert_allclose(fetch(m8.field_energy),
+                                   np.asarray(m1.field_energy, np.float64),
+                                   rtol=1e-4)
+        alive = fetch(m8.n_alive)
+        assert (alive == 8000).all(), alive
+        assert fetch(m8.n_migrated).sum() > 0
+        assert fetch(m8.n_dropped).sum() == 0
+        print(pid, "DOMAIN MULTIPROC OK", flush=True)
+    """).replace("%PORT%", "19477")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    ps = [subprocess.Popen([sys.executable, "-c", prog, str(i)],
+                           cwd=repo, env=env, stdout=subprocess.PIPE,
+                           stderr=subprocess.STDOUT) for i in range(2)]
+    outs = []
+    for i, p in enumerate(ps):
+        out, _ = p.communicate(timeout=600)
+        outs.append(out.decode())
+        assert p.returncode == 0, f"proc {i}:\n{outs[-1][-3000:]}"
+    assert all("DOMAIN MULTIPROC OK" in o for o in outs)
