@@ -35,7 +35,16 @@ def _cmd_run(args):
     import jax
 
     from . import checkpoint, diagnostics, presets, viz
+    from .parallel.mesh import maybe_initialize_distributed
     from .runner import run, run_thinned
+
+    # env-gated multi-host bootstrap (PYPIC_COORDINATOR /
+    # PYPIC_DISTRIBUTED=1): must run before any backend use so sharded
+    # presets see the GLOBAL device list; a no-op single-host
+    if maybe_initialize_distributed():
+        print(f"distributed: process {jax.process_index()} of "
+              f"{jax.process_count()}, {len(jax.devices())} global devices",
+              file=sys.stderr)
 
     pkw = {}
     if args.particles:

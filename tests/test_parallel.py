@@ -314,3 +314,45 @@ def test_multiprocess_domain_decomposed_two_processes():
         outs.append(out.decode())
         assert p.returncode == 0, f"proc {i}:\n{outs[-1][-3000:]}"
     assert all("DOMAIN MULTIPROC OK" in o for o in outs)
+
+
+def test_multiprocess_cli_domain_preset():
+    """The CLI's env-gated multi-host bootstrap drives the slab-sharded
+    flagship preset across 2 OS processes end-to-end (global 8-device mesh,
+    metrics written per process) — the run_pypic_dd.py driver surface at
+    multi-host scale."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prog = textwrap.dedent("""
+        import os, sys
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        pid = int(sys.argv[1])
+        os.environ["PYPIC_COORDINATOR"] = "localhost:%PORT%"
+        os.environ["PYPIC_NUM_PROCESSES"] = "2"
+        os.environ["PYPIC_PROCESS_ID"] = str(pid)
+        sys.argv = ["cli", "run", "domain_implicit", "--particles", "20000",
+                    "--steps", "3", "--outdir", f"/tmp/mp_cli_test_{pid}",
+                    "--clean"]
+        from pypic_tpu.cli import main
+        main()
+        import numpy as np
+        m = np.load(f"/tmp/mp_cli_test_{pid}/metrics.npz")
+        assert np.isfinite(m["field_energy"]).all()
+        print(pid, "CLI MULTIPROC OK", flush=True)
+    """).replace("%PORT%", "19485")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    ps = [subprocess.Popen([sys.executable, "-c", prog, str(i)],
+                           cwd=repo, env=env, stdout=subprocess.PIPE,
+                           stderr=subprocess.STDOUT) for i in range(2)]
+    outs = []
+    for i, p in enumerate(ps):
+        out, _ = p.communicate(timeout=600)
+        outs.append(out.decode())
+        assert p.returncode == 0, f"proc {i}:\n{outs[-1][-3000:]}"
+    assert all("CLI MULTIPROC OK" in o for o in outs)
