@@ -41,7 +41,7 @@ PIC_L_DD.py:549).
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -127,10 +127,28 @@ class SheathConfig:
     # absorbed slots. NOT drop-free when losses/step exceed the cap: the
     # surplus stays absorbed one more step and RE-DEPOSITS its wall
     # surface charge (the reference never defers) — size the cap so the
-    # n_reinject_deferred metric stays 0 (bench asserts it). Single-device
-    # only (rank-keyed draws need global ranks under sharding; the hash
-    # sampler path keeps slot-keyed full draws for that).
+    # n_reinject_deferred metric stays 0 (bench asserts it). Under
+    # data-parallel sharding the ranks are GLOBAL (exclusive prefix of
+    # per-shard lost counts), so the capped draw is shard-invariant.
     reinject_batch: int = 0
+    # Data-parallel particle sharding over a 1D mesh axis (the magnetized
+    # engine's pattern — wrap make_step with parallel.make_data_parallel_
+    # step): per-shard current deposits INCLUDING the wall surface-charge
+    # terms are psum-reduced before the edge fold and Ampere advance, so
+    # the Picard loop iterates on the replicated global field with
+    # identical trip counts on every shard; exit histograms and particle
+    # counters psum. Randomness is shard-count-INVARIANT on the 'hash'
+    # sampler (slot counters offset by the shard's global position —
+    # thermostat, re-injection positions and velocities all reproduce the
+    # single-device draws bit-for-bit; 'auto' resolves to hash under dp)
+    # and on reinject_batch > 0 rank-keyed draws (global slot ranks over
+    # the replicated threefry table); with reinject_batch > 0 and
+    # gamma > 0 the thermostat folds the axis index into its threefry key
+    # instead — valid independent streams, not shard-invariant. For the
+    # sheath's reference-sized grids (ng ~ 51-200) dp is the natural
+    # scaling axis: the slab-sharded variant (parallel.domain_sheath)
+    # caps at ng shards.
+    axis_name: Optional[str] = None
 
     def __post_init__(self):
         for f in ("dt", "p2c", "kbte", "kbti", "tol", "tol_floor", "gamma",
@@ -157,6 +175,22 @@ class SheathConfig:
                 )
         if self.rng_sampler not in ("auto", "pallas", "hash", "threefry"):
             raise ValueError(f"unknown rng_sampler {self.rng_sampler!r}")
+        if self.axis_name is not None:
+            if self.rng_sampler == "pallas":
+                raise ValueError(
+                    "rng_sampler='pallas' is not supported under "
+                    "data-parallel sharding (hardware-PRNG draws are not "
+                    "shard-invariant); use 'hash' or 'auto'"
+                )
+            if self.reinject_batch == 0 and self.rng_sampler == "threefry":
+                raise ValueError(
+                    "data-parallel full-capacity re-injection needs "
+                    "rng_sampler='hash' (slot-offset counters give "
+                    "shard-invariant draws; a replicated threefry key "
+                    "would draw the SAME randoms on every shard) — 'auto' "
+                    "resolves to hash here, or set reinject_batch > 0 "
+                    "(rank-keyed draws from the replicated table)"
+                )
 
 
 class SheathState(struct.PyTreeNode):
@@ -246,10 +280,18 @@ def make_step(cfg: SheathConfig):
     dt = cfg.dt
     dt_dx = dt / dx
     cells = float(grid.num_cells)  # L in grid coordinates
+    ax = cfg.axis_name
+
+    def _allreduce(x):
+        """Sum per-shard partials across particle shards (no-op
+        single-device)."""
+        return lax.psum(x, ax) if ax else x
 
     def _deposit_currents(p, u, q, active):
         """CIC deposit of active particles' current + wall surface-charge
-        terms + edge fold (PIC_L_DD.py:41-67)."""
+        terms + edge fold (PIC_L_DD.py:41-67). The psum sits between the
+        (local-particle) deposit + wall terms and the (grid-level) edge
+        fold."""
         is_active = active == ACTIVE
         w = jnp.where(is_active, q * (cfg.p2c / dx), 0.0)
         j = deposit(p, w * u, ng, periodic=False, method=cfg.deposit_method)
@@ -257,6 +299,7 @@ def make_step(cfg: SheathConfig):
         j_left = wall * jnp.sum(jnp.where(active == LOST_LEFT, q, 0.0))
         j_right = -wall * jnp.sum(jnp.where(active == LOST_RIGHT, q, 0.0))
         j = j.at[0].add(j_left).at[-1].add(j_right)
+        j = _allreduce(j)
         j = j.at[0].add(j[1]).at[-1].add(j[-2])
         return j
 
@@ -271,11 +314,20 @@ def make_step(cfg: SheathConfig):
             # PRNG sweep saves the (3, n) threefry chain but pays a
             # similar amount in kernel transcendentals + operand
             # materialization at the pallas_call boundary; threefry wins
-            # on both backends
-            sampler = "threefry"
+            # on both backends. Under dp the full-capacity draws must be
+            # shard-invariant -> hash with slot offsets (config contract).
+            sampler = "hash" if (ax and not cfg.reinject_batch) \
+                else "threefry"
         use_hash = sampler == "hash"
         if use_hash:
             from ..sources import hash_normals, hash_uniforms, seed_from_key
+        if ax and not use_hash:
+            # per-shard threefry streams (a replicated key would draw the
+            # SAME randoms on every shard); the reinject_batch table draw
+            # below intentionally keeps the replicated k_reinj_* keys —
+            # rank-keyed gathers from the shared table are shard-invariant
+            k_therm_u = jax.random.fold_in(k_therm_u, lax.axis_index(ax))
+            k_therm_v = jax.random.fold_in(k_therm_v, lax.axis_index(ax))
 
         n_deferred = jnp.asarray(0, jnp.int32)
         p0, active = state.p, state.active
@@ -283,6 +335,9 @@ def make_step(cfg: SheathConfig):
         q, m, species = state.q, state.m, state.species
         e0 = state.e
         n_slots = p0.shape[0]
+        # hash slot-counter offset: shard r draws the values the
+        # single-device run draws for its slots (shard-count invariance)
+        slot_off = lax.axis_index(ax) * n_slots if ax else 0
         kbt_per = jnp.where(species == 1, cfg.kbte, cfg.kbti)
 
         if sampler == "pallas":
@@ -308,7 +363,7 @@ def make_step(cfg: SheathConfig):
                 (n, 3) relayout)."""
                 if use_hash:
                     z = hash_normals(seed_from_key(k), n_slots, 2,
-                                     p0.dtype.type)
+                                     p0.dtype.type, offset=slot_off)
                     return z[0], z[1], z[2]
                 z = jax.random.normal(k, (3, n_slots), p0.dtype)
                 return z[0], z[1], z[2]
@@ -318,7 +373,7 @@ def make_step(cfg: SheathConfig):
             if cfg.gamma > 0.0:
                 u_th = (
                     hash_uniforms(seed_from_key(k_therm_u), n_slots, 1,
-                                  p0.dtype.type)[0]
+                                  p0.dtype.type, offset=slot_off)[0]
                     if use_hash else jax.random.uniform(k_therm_u, p0.shape)
                 )
                 hit = (active == ACTIVE) & (u_th < cfg.gamma)
@@ -338,9 +393,20 @@ def make_step(cfg: SheathConfig):
                 # slot i takes row rank(i); surplus absorbed slots defer
                 # one step (counted — see SheathConfig.reinject_batch)
                 rank = jnp.cumsum(lost.astype(jnp.int32)) - 1
+                if ax:
+                    # global slot ranks: shard r's lost slots rank after
+                    # every lost slot of shards 0..r-1 — the capped take
+                    # set and table rows match the single-device run
+                    n_lost_loc = jnp.sum(lost.astype(jnp.int32))
+                    counts = lax.all_gather(n_lost_loc, ax)
+                    rank = rank + jnp.sum(jnp.where(
+                        jnp.arange(counts.shape[0]) < lax.axis_index(ax),
+                        counts, 0,
+                    ))
                 take = lost & (rank < nb_re)
-                n_deferred = jnp.sum(lost.astype(jnp.int32)) - jnp.sum(
-                    take.astype(jnp.int32))
+                n_deferred = _allreduce(
+                    jnp.sum(lost.astype(jnp.int32))
+                    - jnp.sum(take.astype(jnp.int32)))
                 idx = jnp.clip(rank, 0, nb_re - 1)
                 x_b = jax.random.uniform(k_reinj_x, (nb_re,), p0.dtype,
                                          0.0, cells)
@@ -354,7 +420,7 @@ def make_step(cfg: SheathConfig):
                 if use_hash:
                     x_new = (
                         hash_uniforms(seed_from_key(k_reinj_x), n_slots, 1,
-                                      p0.dtype.type)[0]
+                                      p0.dtype.type, offset=slot_off)[0]
                         * p0.dtype.type(cells)
                     )
                 else:
@@ -410,7 +476,8 @@ def make_step(cfg: SheathConfig):
                 flat, jnp.where(rec, 1.0, 0.0).astype(hist.dtype),
                 2 * bins, method=cfg.deposit_method,
             )
-            return hist + upd.reshape(2, bins)
+            # replicated histogram state += psum'd per-shard exits under dp
+            return hist + _allreduce(upd.reshape(2, bins))
 
         # --- Picard loop (PIC_L_DD.py:458-533).
         from ..ops.accel import (
@@ -509,6 +576,7 @@ def make_step(cfg: SheathConfig):
                     es, ps, p0_b, u0_b, qm_b, w_b, act_f,
                     dt=dt, dx=dx, wall_ratio=wall_ratio, n_valid=n,
                 )
+                jh = _allreduce(jh)
                 jh = jh.at[0].add(jh[1]).at[-1].add(jh[-2])
                 hist = _hist_update(hist, act_f.reshape(-1),
                                     act1.reshape(-1), u0_pad, spec_pad)
@@ -530,6 +598,7 @@ def make_step(cfg: SheathConfig):
                 es, ps, p0_b, u0_b, qm_b, w_b, act_f,
                 dt=dt, dx=dx, wall_ratio=wall_ratio, n_valid=n,
             )
+            j1 = _allreduce(j1)
             j1 = j1.at[0].add(j1[1]).at[-1].add(j1[-2])
             exit_hist = _hist_update(exit_hist, act_f.reshape(-1),
                                      act1_b.reshape(-1), u0_pad, spec_pad)
@@ -558,13 +627,15 @@ def make_step(cfg: SheathConfig):
 
         metrics = StepMetrics(
             field_energy=0.5 * EPSILON_0 * dx * jnp.sum(e1 * e1),
-            kinetic_energy=cfg.p2c * 0.5 * jnp.sum(m * u1 * u1),
+            kinetic_energy=_allreduce(cfg.p2c * 0.5 * jnp.sum(m * u1 * u1)),
             current_bias=jnp.mean(j1),
             picard_iters=k,
             picard_residual=r,
-            n_active=jnp.sum(is_active.astype(jnp.int32)),
-            n_lost_left=jnp.sum((active == LOST_LEFT).astype(jnp.int32)),
-            n_lost_right=jnp.sum((active == LOST_RIGHT).astype(jnp.int32)),
+            n_active=_allreduce(jnp.sum(is_active.astype(jnp.int32))),
+            n_lost_left=_allreduce(
+                jnp.sum((active == LOST_LEFT).astype(jnp.int32))),
+            n_lost_right=_allreduce(
+                jnp.sum((active == LOST_RIGHT).astype(jnp.int32))),
             phi=phi,
             n_reinject_deferred=n_deferred,
         )

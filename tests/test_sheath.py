@@ -244,3 +244,81 @@ def test_sheath_reinject_batch_matches_full_draw_semantics():
     assert np.asarray(m1.n_active)[-1] <= 20_000
     with pytest.raises(ValueError, match="threefry"):
         dc.replace(cfg, reinject_batch=8, rng_sampler="hash")
+
+
+@pytest.mark.parametrize("backend,steps", [("composed", 60), ("fused", 25)])
+def test_sheath_data_parallel_matches_single_device(backend, steps):
+    """Data-parallel sheath (round 3c): per-shard current deposits incl.
+    the wall surface-charge terms psum before the edge fold (on both the
+    composed and the fused-kernel Picard paths), exit histograms and
+    counters psum, and the hash sampler's slot-offset counters make
+    thermostat + re-injection draws shard-count-INVARIANT — the 8-shard
+    run reproduces the single-device hash run's dynamics."""
+    import dataclasses as dc
+
+    from pypic_tpu.parallel import make_mesh, make_data_parallel_step
+    from pypic_tpu.parallel.dataparallel import shard_state
+
+    cfg, st, te = _setup(n=8192, gamma=0.05)
+    cfg1 = dc.replace(cfg, rng_sampler="hash", backend=backend)
+    _, m1 = run(sheath.make_step(cfg1), st, steps)
+
+    mesh = make_mesh(8)
+    cfg8 = dc.replace(cfg1, axis_name="particles")
+    step8 = make_data_parallel_step(
+        sheath.make_step, cfg8, mesh, example_state=st)
+    _, m8 = run(step8, shard_state(st, mesh), steps)
+
+    # identical RNG draws -> identical absorption/re-injection counts;
+    # field trajectories agree to f32 psum-reordering tolerance
+    np.testing.assert_array_equal(np.asarray(m8.n_active),
+                                  np.asarray(m1.n_active))
+    np.testing.assert_array_equal(
+        np.asarray(m8.n_lost_left) + np.asarray(m8.n_lost_right),
+        np.asarray(m1.n_lost_left) + np.asarray(m1.n_lost_right))
+    f1 = np.asarray(m1.field_energy, np.float64)
+    f8 = np.asarray(m8.field_energy, np.float64)
+    np.testing.assert_allclose(f8, f1, rtol=1e-3)
+    k1 = np.asarray(m1.kinetic_energy, np.float64)
+    k8 = np.asarray(m8.kinetic_energy, np.float64)
+    np.testing.assert_allclose(k8, k1, rtol=1e-4)
+
+
+def test_sheath_dp_reinject_batch_global_rank():
+    """reinject_batch under dp: the cap allocates by GLOBAL slot rank over
+    the replicated table — take counts match the single-device capped run
+    and the deferred metric is global."""
+    import dataclasses as dc
+
+    from pypic_tpu.parallel import make_mesh, make_data_parallel_step
+    from pypic_tpu.parallel.dataparallel import shard_state
+
+    cfg, st, te = _setup(n=8192)
+    cfg1 = dc.replace(cfg, rng_sampler="threefry", backend="composed",
+                      reinject_batch=16)
+    _, m1 = run(sheath.make_step(cfg1), st, 40)
+
+    mesh = make_mesh(8)
+    cfg8 = dc.replace(cfg1, axis_name="particles")
+    step8 = make_data_parallel_step(
+        sheath.make_step, cfg8, mesh, example_state=st)
+    _, m8 = run(step8, shard_state(st, mesh), 40)
+
+    d1 = np.asarray(m1.n_reinject_deferred).astype(int)
+    d8 = np.asarray(m8.n_reinject_deferred).astype(int)
+    # same table, same global ranks -> identical capped take/defer counts
+    np.testing.assert_array_equal(d8, d1)
+    assert d1.max() >= 0
+    a1 = np.asarray(m1.n_active).astype(int)
+    a8 = np.asarray(m8.n_active).astype(int)
+    np.testing.assert_array_equal(a8, a1)
+
+
+def test_sheath_dp_config_validation():
+    import dataclasses as dc
+
+    cfg, st, te = _setup(n=64)
+    with pytest.raises(ValueError, match="shard-invariant"):
+        dc.replace(cfg, axis_name="particles", rng_sampler="threefry")
+    with pytest.raises(ValueError, match="pallas"):
+        dc.replace(cfg, axis_name="particles", rng_sampler="pallas")
