@@ -35,27 +35,34 @@ def _flatten_with_paths(state):
     return paths, leaves, treedef
 
 
-def save(path: str, state, step: int | None = None, extra: dict | None = None):
-    """Atomically save a state pytree to ``path`` (an .npz file)."""
-    paths, leaves, _ = _flatten_with_paths(state)
-    arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+def _write_npz(path: str, paths, arrays, step, extra):
+    """Atomic tmp+rename npz write of already-host-resident leaf arrays
+    (the filesystem half of ``save`` — runs on the async writer thread)."""
     manifest = {
         "format_version": _FORMAT_VERSION,
-        "num_leaves": len(leaves),
+        "num_leaves": len(arrays),
         "leaf_paths": paths,
         "step": int(step) if step is not None else None,
         "extra": extra or {},
     }
+    named = {f"leaf_{i}": a for i, a in enumerate(arrays)}
     d = os.path.dirname(os.path.abspath(path)) or "."
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
     try:
         with os.fdopen(fd, "wb") as f:
-            np.savez(f, __manifest__=json.dumps(manifest), **arrays)
+            np.savez(f, __manifest__=json.dumps(manifest), **named)
         os.replace(tmp, path)
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
+
+
+def save(path: str, state, step: int | None = None, extra: dict | None = None):
+    """Atomically save a state pytree to ``path`` (an .npz file)."""
+    paths, leaves, _ = _flatten_with_paths(state)
+    _write_npz(path, paths, [np.asarray(leaf) for leaf in leaves], step,
+               extra)
 
 
 def load(path: str, template, migrate: dict | None = None):
@@ -134,12 +141,30 @@ class CheckpointManager:
     (``checkpoint_saving=100``, pygcpic.py:1336)."""
 
     def __init__(self, directory: str, every: int = 100, keep: int = 3,
-                 prefix: str = "state"):
+                 prefix: str = "state", async_write: bool = False):
+        """``async_write=True`` moves the npz compression + filesystem write
+        to a single background thread: ``maybe_save`` fetches the leaves to
+        host (the only device-synchronous part — D2H copy) and returns, so
+        the step loop resumes while the previous checkpoint is still being
+        compressed. At most one write is in flight (the next save waits,
+        preserving order and bounding the extra host memory to one state
+        copy); writer errors surface on the NEXT save / ``wait()`` /
+        ``restore``, never silently. Atomicity (tmp + rename) is unchanged,
+        so a crash mid-write still never corrupts the previous checkpoint.
+        The reference blocks its loop on a synchronous pickle instead
+        (pygcpic.py:1627-1632)."""
         self.directory = directory
         self.every = int(every)
         self.keep = int(keep)
         self.prefix = prefix
         self._last_saved = 0
+        self._executor = None
+        self._pending = None
+        if async_write:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._executor = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="pypic-ckpt")
         os.makedirs(directory, exist_ok=True)
 
     def _path(self, step: int) -> str:
@@ -152,10 +177,38 @@ class CheckpointManager:
         where exact multiples may never be hit)."""
         if step // self.every <= self._last_saved // self.every:
             return False
-        save(self._path(step), state, step=step)
+        if self._executor is None:
+            save(self._path(step), state, step=step)
+            self._last_saved = step
+            self._gc()
+            return True
+        # async: complete (and error-check) the previous write, snapshot the
+        # leaves to host, hand compression + write + gc to the worker
+        self.wait()
+        paths, leaves, _ = _flatten_with_paths(state)
+        arrays = [np.asarray(leaf) for leaf in leaves]
+        path = self._path(step)
+
+        def _task():
+            _write_npz(path, paths, arrays, step, None)
+            self._gc()
+
+        self._pending = self._executor.submit(_task)
         self._last_saved = step
-        self._gc()
         return True
+
+    def wait(self):
+        """Block until the in-flight async write (if any) completes;
+        re-raises any writer error."""
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            pending.result()
+
+    def close(self):
+        """Drain the writer and shut it down (call at end of run)."""
+        self.wait()
+        if self._executor is not None:
+            self._executor.shutdown(wait=True)
 
     def _gc(self):
         ckpts = sorted(self.steps())
@@ -175,6 +228,7 @@ class CheckpointManager:
 
     def restore(self, template, step: int | None = None,
                 migrate: dict | None = None):
+        self.wait()  # a pending async write may be the checkpoint requested
         if step is None:
             step = self.latest()
         if step is None:

@@ -62,7 +62,8 @@ def _cmd_run(args):
     mgr = None
     if args.checkpoint_every:
         mgr = checkpoint.CheckpointManager(
-            os.path.join(outdir, "checkpoints"), every=args.checkpoint_every
+            os.path.join(outdir, "checkpoints"), every=args.checkpoint_every,
+            async_write=args.async_checkpoint,
         )
         if args.resume:
             state, manifest = mgr.restore(
@@ -189,6 +190,8 @@ def _cmd_run(args):
         final, metrics = _run_span(state, args.steps, thin)
         _dump_frame(final)
     jax.block_until_ready(jax.tree.leaves(metrics)[0])
+    if mgr is not None:
+        mgr.close()  # drain any in-flight async checkpoint write
     if args.profile:
         jax.profiler.stop_trace()
     elapsed = time.time() - t0
@@ -307,6 +310,10 @@ def main(argv=None):
                     help="thin metrics to every k steps (reference nplot)")
     rp.add_argument("--plot", action="store_true", help="write summary.png")
     rp.add_argument("--checkpoint-every", type=int, default=0)
+    rp.add_argument("--async-checkpoint", action="store_true",
+                    help="write checkpoints on a background thread (the "
+                         "step loop only pays the device-to-host copy; "
+                         "atomicity and bit-exact resume unchanged)")
     rp.add_argument("--resume", action="store_true")
     rp.add_argument("--clean", action="store_true",
                     help="clear outdir first (run_pypic.py:8-10)")

@@ -1,6 +1,7 @@
 """Checkpoint/resume: bit-exact restart (vs the reference's unversioned
 whole-object pickling, pygcpic.py:1627-1632)."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -360,3 +361,68 @@ def test_checkpoint_resume_domain_magnetized_bitexact(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(final_a),
                     jax.tree_util.tree_leaves(final_b)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_async_checkpoint_bit_exact_and_ordered(tmp_path):
+    """async_write=True: saves land on a background thread, bit-exact with
+    the sync writer, ordered, gc'd, and drained by wait()/close()."""
+    import dataclasses as dc
+
+    from pypic_tpu import checkpoint
+    from pypic_tpu.engines import implicit
+
+    cfg, st = _implicit_setup()
+    step = jax.jit(implicit.make_step(cfg))
+    mgr_a = checkpoint.CheckpointManager(str(tmp_path / "async"), every=2,
+                                         keep=2, async_write=True)
+    mgr_s = checkpoint.CheckpointManager(str(tmp_path / "sync"), every=2,
+                                         keep=2)
+    s = st
+    for i in range(1, 7):
+        s, _ = step(s)
+        a = mgr_a.maybe_save(s, i)
+        b = mgr_s.maybe_save(s, i)
+        assert a == b
+    mgr_a.close()
+    assert mgr_a.steps() == mgr_s.steps()  # ordering + gc identical
+    ra, _ = mgr_a.restore(st)
+    rs, _ = mgr_s.restore(st)
+    for la, ls in zip(jax.tree.leaves(ra), jax.tree.leaves(rs)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(ls))
+
+
+def test_async_checkpoint_restore_waits_for_pending(tmp_path):
+    """restore() of a checkpoint whose async write is still in flight
+    drains the writer first (no FileNotFoundError race)."""
+    from pypic_tpu import checkpoint
+    from pypic_tpu.engines import implicit
+
+    cfg, st = _implicit_setup()
+    mgr = checkpoint.CheckpointManager(str(tmp_path), every=1,
+                                       async_write=True)
+    assert mgr.maybe_save(st, 1)
+    restored, manifest = mgr.restore(st)  # no explicit wait()
+    assert manifest["step"] == 1
+    for l1, l2 in zip(jax.tree.leaves(restored), jax.tree.leaves(st)):
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    mgr.close()
+
+
+def test_async_checkpoint_writer_error_surfaces(tmp_path, monkeypatch):
+    """A writer-thread failure is raised on the NEXT save — never silent."""
+    from pypic_tpu import checkpoint
+    from pypic_tpu.engines import implicit
+
+    cfg, st = _implicit_setup()
+    mgr = checkpoint.CheckpointManager(str(tmp_path), every=1,
+                                       async_write=True)
+
+    def boom(*a, **k):
+        raise OSError("disk on fire")
+
+    monkeypatch.setattr(checkpoint, "_write_npz", boom)
+    assert mgr.maybe_save(st, 1)
+    with pytest.raises(OSError, match="disk on fire"):
+        mgr.maybe_save(st, 2)
+    mgr._pending = None
+    mgr.close()
