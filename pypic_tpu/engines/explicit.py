@@ -49,6 +49,15 @@ class ExplicitConfig:
     # field's HBM round-trip); 'composed' assembles from individual ops
     # (per-particle q/m capable); 'auto' = fused when q/m are scalars.
     backend: str = "auto"
+    # Data-parallel particle sharding over a 1D mesh axis (wrap make_step
+    # with parallel.make_data_parallel_step): per-shard rho deposits psum
+    # before the replicated Poisson solve, so the carried rho/e leaves
+    # stay GLOBAL and the dp wrapper's replicated grid spec holds. The
+    # ONE-kernel cycle (in-kernel epilogue field solve) cannot host the
+    # psum between its deposit and solve, so dp uses the two-stage fused
+    # sweep (gather+push+deposit kernel, then solve) or the composed ops.
+    # Spatial scaling is parallel.domain; dp is the particle-count axis.
+    axis_name: str | None = None
 
     def __post_init__(self):
         # numpy scalars are not weakly typed and would promote float32 state.
@@ -137,7 +146,13 @@ def make_step(cfg: ExplicitConfig):
     # always in-kernel there. Built lazily on first (traced) use so a
     # composed-backend step never pays the ng-column solve or pins the
     # arrays.
-    one_kernel = ng <= 1024
+    ax = cfg.axis_name
+
+    def _allreduce(x):
+        return lax.psum(x, ax) if ax else x
+
+    # the in-kernel epilogue solve would see only the local shard's deposit
+    one_kernel = ng <= 1024 and not ax
     _mats: list = []
 
     def _cycle_mats():
@@ -180,6 +195,7 @@ def make_step(cfg: ExplicitConfig):
                 e, state.p, state.v, qm=qm,
                 w=state.q * (cfg.p2c * inv_dx), dt=dt, dx=dx,
             )
+            rho1 = _allreduce(rho1)
             phi1 = solve_periodic_neutralized(rho1, dx)
             e1 = -grad_periodic(phi1, dx)
         else:
@@ -191,18 +207,20 @@ def make_step(cfg: ExplicitConfig):
                 p1, jnp.broadcast_to(w_rho, p1.shape), ng,
                 periodic=True, method=cfg.deposit_method,
             )
+            rho1 = _allreduce(rho1)
             phi1 = solve_periodic_neutralized(rho1, dx)
             e1 = -grad_periodic(phi1, dx)
 
         # Exact grid mean of the current deposit (pypic.py:716): periodic
         # CIC tents sum to 1, so mean(deposit(p, q w v)) == sum(q w v)/ng —
         # the second full deposit sweep this metric used to cost is waste.
-        current_bias = jnp.sum(
+        current_bias = _allreduce(jnp.sum(
             jnp.broadcast_to(state.q, state.p.shape) * state.v
-        ) * (cfg.p2c * inv_dx / ng)
+        ) * (cfg.p2c * inv_dx / ng))
         metrics = StepMetrics(
             field_energy=0.5 * EPSILON_0 * dx * jnp.sum(e * e),
-            kinetic_energy=0.5 * cfg.p2c * jnp.sum(state.m * state.v * state.v),
+            kinetic_energy=_allreduce(
+                0.5 * cfg.p2c * jnp.sum(state.m * state.v * state.v)),
             current_bias=current_bias,
             rho=rho,
             e_field=e,

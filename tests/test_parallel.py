@@ -356,3 +356,34 @@ def test_multiprocess_cli_domain_preset():
         outs.append(out.decode())
         assert p.returncode == 0, f"proc {i}:\n{outs[-1][-3000:]}"
     assert all("CLI MULTIPROC OK" in o for o in outs)
+
+
+@pytest.mark.parametrize("backend", ["composed", "fused"])
+def test_explicit_data_parallel_matches_single_device(problem, backend):
+    """Data-parallel explicit engine (round 3c, completing the dp x engine
+    matrix): per-shard rho deposits psum before the replicated Poisson
+    solve so the carried rho/e stay global; under dp the one-kernel cycle
+    (in-kernel epilogue solve) yields to the two-stage fused sweep."""
+    import dataclasses as dc
+
+    from pypic_tpu.constants import E_CHARGE, M_ELECTRON
+    from pypic_tpu.engines import explicit
+
+    grid, x, v, params = problem
+    dt = 0.1 / params.wp
+    cfg1 = explicit.ExplicitConfig(grid, dt, params.p2c, backend=backend)
+    st = explicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg1)
+    _, m1 = run(explicit.make_step(cfg1), st, 50)
+
+    mesh = make_mesh(8)
+    cfg8 = dc.replace(cfg1, axis_name="particles")
+    step8 = make_data_parallel_step(
+        explicit.make_step, cfg8, mesh, example_state=st)
+    _, m8 = run(step8, shard_state(st, mesh), 50)
+
+    ee1 = np.asarray(m1.field_energy, np.float64)
+    ee8 = np.asarray(m8.field_energy, np.float64)
+    np.testing.assert_allclose(ee8, ee1, rtol=1e-4)
+    ke1 = np.asarray(m1.kinetic_energy, np.float64)
+    ke8 = np.asarray(m8.kinetic_energy, np.float64)
+    np.testing.assert_allclose(ke8, ke1, rtol=1e-5)
