@@ -329,7 +329,8 @@ def bench_magnetized(args):
         if args.carried:
             carried_bad.append(
                 int(np.asarray(m.carry_clamped).sum())
-                + int(np.asarray(m.n_ion_suppressed).sum()))
+                + int(np.asarray(m.n_ion_suppressed).sum())
+                + int(np.asarray(m.n_escape_deferred).sum()))
 
     _emit("magnetized", n, steps, _time(go))
     if dropped and max(dropped) > 0:

@@ -141,18 +141,19 @@ class MagnetizedConfig:
     # fused gather+Boris sweep deposits each surviving particle's tent at
     # its new position inside the gather's window (widened by
     # ``carried_pad`` cells), and the post-push mutations patch the carry:
-    # wall hits are zeroed in-kernel, ionization charge deltas and
-    # re-activated slots land as small packed deposits. Saves the whole
-    # deposit2 pass minus the relocated tent work (~0.3-0.35 ms of the
-    # ~1 ms step at 1e6 on v5e, projected). 'on' | 'off' | 'auto'
-    # (auto = off until the TPU A/B + physics re-verification land).
-    # Dynamics match the recomputed deposit up to f32 summation order
-    # PROVIDED the carry_clamped and n_ion_suppressed metrics stay 0
-    # (both are hard guarantees of charge bookkeeping, not silent drops:
-    # clamped tents misplace charge by <= carried_pad cells and are
-    # counted; over-cap ionization events are reverted entirely).
-    # Requires pusher='boris', bca_escape=False, and react_batch > 0
-    # whenever reactivate != 'none' (the re-activation patch capacity).
+    # wall hits are zeroed in-kernel; ionization charge deltas,
+    # re-activated slots and bca_escape removals land as small packed
+    # deposits. Saves the whole deposit2 pass minus the relocated tent
+    # work (~0.3-0.35 ms of the ~1 ms step at 1e6 on v5e, projected).
+    # 'on' | 'off' | 'auto' (auto = off until the TPU A/B + physics
+    # re-verification land). Dynamics match the recomputed deposit up to
+    # f32 summation order PROVIDED the carry_clamped, n_ion_suppressed
+    # and n_escape_deferred metrics stay 0 (all are hard guarantees of
+    # charge bookkeeping, not silent drops: clamped tents misplace charge
+    # by <= carried_pad cells and are counted; over-cap ionization events
+    # revert entirely; over-cap escapes defer one step). Requires
+    # pusher='boris' and react_batch > 0 whenever reactivate != 'none'
+    # (the re-activation patch capacity).
     carried_deposit: str = "auto"
     # ionization patch rows/step: events beyond this revert (charge_state
     # unchanged) and count into n_ion_suppressed — size it far above the
@@ -266,10 +267,6 @@ class MagnetizedConfig:
             if self.pusher != "boris":
                 raise ValueError("carried_deposit requires pusher='boris' "
                                  "(the GC path composes per-particle modes)")
-            if self.bca_escape:
-                raise ValueError(
-                    "carried_deposit does not support bca_escape (escape "
-                    "rows would need deposit patches; use 'off')")
             if self.reactivate != "none" and self.react_batch <= 0:
                 raise ValueError(
                     "carried_deposit needs react_batch > 0 with "
@@ -376,9 +373,10 @@ class StepMetrics(NamedTuple):
     # overflow only; always 0 on the exact full-pass path)
     iead_dropped: jax.Array = 0
     # carried-deposit bookkeeping (carried_deposit='on' only; the carry is
-    # exact while BOTH stay 0 — see MagnetizedConfig.carried_deposit)
+    # exact while ALL three stay 0 — see MagnetizedConfig.carried_deposit)
     carry_clamped: jax.Array = 0
     n_ion_suppressed: jax.Array = 0
+    n_escape_deferred: jax.Array = 0
 
 
 def _gc_pack(p, yz, v, charge_state, m, cfg: MagnetizedConfig):
@@ -939,6 +937,7 @@ def make_step(cfg: MagnetizedConfig):
         # and recorded in the escape energy-angle histograms.
         iead_out = state.iead_out
         n_escaped = jnp.asarray(0, jnp.int32)
+        n_escape_deferred = jnp.asarray(0, jnp.int32)
         if cfg.bca_escape:
             mid_lo = cells / 2.0 - cells / 8.0
             mid_hi = cells / 2.0 + cells / 8.0
@@ -946,6 +945,21 @@ def make_step(cfg: MagnetizedConfig):
                 (active == 1) & (state.from_wall == 1)
                 & (p1 > mid_lo) & (p1 < mid_hi)
             )
+            if carried:
+                # escaped rows were live at push time (mid-domain), so the
+                # kernel deposited them — subtract their tents via a packed
+                # patch. Beyond the cap the removal DEFERS (the row stays
+                # active; still mid-domain, it escapes again next step) —
+                # counted, never a silent carry corruption.
+                from ..utils import compact_rows, pack_rows
+
+                rank_e = compact_rows(escaped)
+                keep_e = escaped & (rank_e < cfg.carried_ion_cap)
+                n_escape_deferred = jnp.sum(
+                    (escaped & ~keep_e).astype(jnp.int32))
+                escaped = keep_e
+                (esc_pos, esc_wr, esc_wn), _, _ = pack_rows(
+                    escaped, [p1, w_rho, w_n], cfg.carried_ion_cap)
             active = jnp.where(escaped, 0, active)
             if cfg.iead_energy_max > 0.0:
                 iead_out, out_dropped = _iead_accumulate(
@@ -1181,21 +1195,28 @@ def make_step(cfg: MagnetizedConfig):
         # (replicated under dp — prime_carry/state contract)
         if carried:
             patch_pos, patch_wr = [], []
+            npatch_pos, npatch_wn = [], []
+            if cfg.bca_escape:
+                patch_pos.append(esc_pos)
+                patch_wr.append(-esc_wr)
+                npatch_pos.append(esc_pos)
+                npatch_wn.append(-esc_wn)
             if cfg.ionization:
                 patch_pos.append(ion_pos)
                 patch_wr.append((E_CHARGE / dx) * ion_p2c)
-            n_patch = None
             if cfg.reactivate != "none":
                 patch_pos.append(react_pos)
                 patch_wr.append(react_wr)
-                n_patch = deposit(react_pos, react_wn, ng, periodic=False,
-                                  method=cfg.deposit_method)
+                npatch_pos.append(react_pos)
+                npatch_wn.append(react_wn)
             if patch_pos:
                 rho_carry = rho_carry + deposit(
                     jnp.concatenate(patch_pos), jnp.concatenate(patch_wr),
                     ng, periodic=False, method=cfg.deposit_method)
-            if n_patch is not None:
-                n_carry = n_carry + n_patch
+            if npatch_pos:
+                n_carry = n_carry + deposit(
+                    jnp.concatenate(npatch_pos), jnp.concatenate(npatch_wn),
+                    ng, periodic=False, method=cfg.deposit_method)
             rho_carry = _allreduce(rho_carry)
             n_carry = _allreduce(n_carry)
         else:
@@ -1222,6 +1243,7 @@ def make_step(cfg: MagnetizedConfig):
             iead_dropped=_allreduce(iead_dropped),
             carry_clamped=_allreduce(carry_clamped),
             n_ion_suppressed=_allreduce(n_ion_suppressed),
+            n_escape_deferred=_allreduce(n_escape_deferred),
         )
         new_state = state.replace(
             p=p1, y=y1, z=z1, vx=vx1, vy=vy1, vz=vz1, m=m_arr,

@@ -1168,8 +1168,6 @@ def test_carried_deposit_config_validation():
         _carried_setup("on", pusher="gc")
     with pytest.raises(ValueError, match="react_batch"):
         _carried_setup("on", react_batch=0)
-    with pytest.raises(ValueError, match="bca_escape"):
-        _carried_setup("on", bca_escape=True)
 
 
 def test_carried_deposit_data_parallel_matches_single_device():
