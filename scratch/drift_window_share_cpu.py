@@ -10,8 +10,11 @@ band as separate, the remaining TPU A/B is about SPEED only.
 
 Usage: python scratch/drift_window_share_cpu.py {separate|shared} SEED
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
