@@ -145,6 +145,7 @@ def migrate(
     cap: int,
     ax: str,
     periodic: bool = True,
+    count_axes=None,
 ):
     """Route alive particles to the shard owning their slab.
 
@@ -155,11 +156,20 @@ def migrate(
     crossing several slabs in one dt survives. Bucket-capacity overflow and
     full-destination overflow are dropped *with a count* (never silent).
 
-    Returns (fields, alive, n_migrated, n_dropped) with global counts.
+    ``count_axes``: axes the remaining-work count reduces over (default
+    ``ax``). On a composed mesh (slabs x replicas) this MUST include every
+    mesh axis — the while_loop's ppermutes compile as whole-mesh
+    collectives, so replicas disagreeing on the ROUND COUNT deadlock the
+    collective rendezvous (replicas with no work run no-op rounds instead).
+
+    Returns (fields, alive, n_migrated, n_dropped) with counts global over
+    ``ax`` (callers psum any replica axis themselves).
     """
     c = cells_per_shard
     d_tot = num_shards
     perm_r, perm_l = ring_perms(d_tot, periodic)
+    if count_axes is None:
+        count_axes = ax
 
     def dest_of(p):
         cell = jnp.clip(jnp.floor(p).astype(jnp.int32), 0, ng - 1)
@@ -169,7 +179,8 @@ def migrate(
         return alive & (dest_of(p) != d)
 
     def n_remaining(p, alive):
-        return lax.psum(jnp.sum(misrouted(p, alive).astype(jnp.int32)), ax)
+        return lax.psum(jnp.sum(misrouted(p, alive).astype(jnp.int32)),
+                        count_axes)
 
     def send(mask, fields, perm):
         """Pack up to cap masked rows per field and ppermute them."""

@@ -520,6 +520,9 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
             [p1, v1], alive, d,
             ng=ng, cells_per_shard=c, num_shards=d_tot,
             cap=cfg.migrate_cap, ax=ax,
+            # replicas must agree on the round count or the whole-mesh
+            # ppermute rendezvous deadlocks (see domain.migrate count_axes)
+            count_axes=axes_all,
         )
 
         metrics = StepMetrics(

@@ -101,6 +101,17 @@ class DomainMagnetizedConfig:
     # run ops.poisson.solve_boltzmann_dirichlet replicated, slice the slab
     # (cheaper comm trade for tiny ng; equivalence anchor in tests)
     solver: str = "distributed"
+    # Data-parallel axis composed WITH the slab axis on a 2D device mesh
+    # (slabs x replicas, parallel.make_mesh2 — the domain_implicit
+    # composition): each slab's particles split over num_replicas devices,
+    # fields slab-sharded and replicated across replicas, slab deposits /
+    # histograms / ledgers psum'd over the replica axis, the Newton solve
+    # replicated per replica on identical inputs, ionization streams
+    # folded per (slab, replica), and the rank-keyed re-activation cap
+    # allocated by GLOBAL slot rank over both axes (replicated table).
+    # Migration rides the slab axis within each replica.
+    dp_axis_name: str | None = None
+    num_replicas: int = 1
 
     def __post_init__(self):
         for f in ("dt", "te", "newton_tol", "flux_gamma", "flux_vx_pert",
@@ -137,6 +148,10 @@ class DomainMagnetizedConfig:
             )
         if self.solver not in ("distributed", "replicated"):
             raise ValueError(f"unknown solver {self.solver!r}")
+        object.__setattr__(self, "num_replicas", int(self.num_replicas))
+        if (self.num_replicas > 1) != (self.dp_axis_name is not None):
+            raise ValueError(
+                "num_replicas > 1 requires dp_axis_name (and vice versa)")
 
     @property
     def cells_per_shard(self) -> int:
@@ -207,6 +222,24 @@ def init_state(
         zeros,  # t
     ]
     blocks, filled, _ = distribute_by_slab(fields, x, cfg, capacity_factor)
+    if cfg.num_replicas > 1:
+        # round-robin split of each slab's population over the replica axis
+        # — layout (S, R, cap_r) so P((slabs, dp)) places replica r of slab
+        # s on device (s, r); lane-align the per-replica capacity
+        # (domain_implicit.init_state's composition)
+        r_tot = cfg.num_replicas
+        cap_r = -(-blocks[0].shape[1] // r_tot)
+        cap_r = -(-cap_r // 128) * 128
+
+        def split(a, fill):
+            out = np.full((a.shape[0], r_tot, cap_r), fill, a.dtype)
+            for r in range(r_tot):
+                cols = a[:, r::r_tot]
+                out[:, r, : cols.shape[1]] = cols
+            return out
+
+        blocks = [split(b, 0) for b in blocks]
+        filled = split(filled, False)
     n = filled.size
     flat = [jnp.asarray(b.reshape(n)) for b in blocks]
     ne, na = cfg.iead_bins
@@ -232,12 +265,12 @@ def init_state(
 
 def state_spec(cfg: DomainMagnetizedConfig):
     ax = cfg.axis_name
-    s = P(ax)
+    s = P((ax, cfg.dp_axis_name)) if cfg.dp_axis_name else P(ax)
     return DomainMagnetizedState(
         p=s, y=s, z=s, vx=s, vy=s, vz=s, m=s, charge_state=s, p2c=s,
         species_idx=s, t=s, active=s, at_wall=s, from_wall=s, filled=s,
-        phi=s, phi_prev=s, n0=P(), p_old=P(), added=P(), rng=P(), iead=P(),
-        step=P(),
+        phi=P(ax), phi_prev=P(ax), n0=P(), p_old=P(), added=P(), rng=P(),
+        iead=P(), step=P(),
     )
 
 
@@ -331,6 +364,13 @@ def make_step(cfg: DomainMagnetizedConfig, mesh: Mesh):
     perm_r, perm_l = ring_perms(d_tot, periodic=False)
     newton_dist = (_make_distributed_newton(cfg)
                    if cfg.solver == "distributed" else None)
+    dp = cfg.dp_axis_name
+    axes_all = (ax, dp) if dp else ax
+    r_tot = cfg.num_replicas
+
+    def dpsum(x):
+        """Merge per-replica partials (no-op on the 1D mesh)."""
+        return lax.psum(x, dp) if dp else x
 
     def clamp_loc(pl):
         return jnp.clip(pl, -float(h), float(c + h))
@@ -340,6 +380,8 @@ def make_step(cfg: DomainMagnetizedConfig, mesh: Mesh):
             fields, filled, d,
             ng=ng, cells_per_shard=c, num_shards=d_tot,
             cap=cfg.migrate_cap, ax=ax, periodic=False,
+            # replicas must agree on the round count (domain.migrate)
+            count_axes=axes_all,
         )
 
     def local_step(state: DomainMagnetizedState):
@@ -347,7 +389,9 @@ def make_step(cfg: DomainMagnetizedConfig, mesh: Mesh):
         lo = d.astype(state.p.dtype) * c
         filled = state.filled
         key, k_ion, k_src = jax.random.split(state.rng, 3)
-        k_ion = jax.random.fold_in(k_ion, d)  # per-shard ionization stream
+        # per-(slab, replica) ionization stream
+        dev_idx = d * r_tot + lax.axis_index(dp) if dp else d
+        k_ion = jax.random.fold_in(k_ion, dev_idx)
 
         is_active = filled & (state.active == 1)
         p_loc = jnp.where(filled, state.p - lo, 0.5)
@@ -362,8 +406,8 @@ def make_step(cfg: DomainMagnetizedConfig, mesh: Mesh):
                           method=cfg.deposit_method)
         n_ext = deposit(pc, w_n, ext_n, periodic=False,
                         method=cfg.deposit_method)
-        rho = halo_fold(rho_ext, c, hw, ax, perm_r, perm_l)
-        n_dens = halo_fold(n_ext, c, hw, ax, perm_r, perm_l)
+        rho = dpsum(halo_fold(rho_ext, c, hw, ax, perm_r, perm_l))
+        n_dens = dpsum(halo_fold(n_ext, c, hw, ax, perm_r, perm_l))
 
         # --- adaptive Boltzmann reference density (pygcpic.py:889-904):
         # global trapezoid/end terms via psums
@@ -479,7 +523,7 @@ def make_step(cfg: DomainMagnetizedConfig, mesh: Mesh):
                 flat, jnp.where(hit & in_range, 1.0, 0.0).astype(iead.dtype),
                 iead.size, method=cfg.deposit_method,
             )
-            iead = iead + lax.psum(upd.reshape(iead.shape), ax)
+            iead = iead + lax.psum(upd.reshape(iead.shape), axes_all)
 
         # --- MCC ionization (pygcpic.py:1510-1513), shard-local
         n_ionized = jnp.asarray(0, jnp.int32)
@@ -498,7 +542,8 @@ def make_step(cfg: DomainMagnetizedConfig, mesh: Mesh):
                 max_charge_state=cfg.max_charge_state,
             )
             added = added + added_ion
-            n_ionized = lax.psum(jnp.sum(ionized.astype(jnp.int32)), ax)
+            n_ionized = lax.psum(jnp.sum(ionized.astype(jnp.int32)),
+                                 axes_all)
 
         # --- rank-keyed re-activation from a replicated table
         n_react = jnp.asarray(0, jnp.int32)
@@ -510,10 +555,10 @@ def make_step(cfg: DomainMagnetizedConfig, mesh: Mesh):
             inactive = filled & (active != 1)
             rank = jnp.cumsum(inactive.astype(jnp.int32)) - 1
             n_inact = jnp.sum(inactive.astype(jnp.int32))
-            counts = lax.all_gather(n_inact, ax)
+            counts = lax.all_gather(n_inact, axes_all)
             before = jnp.sum(jnp.where(
-                jnp.arange(counts.shape[0]) < d, counts, 0))
-            rank = rank + before  # global rank (contiguous block order)
+                jnp.arange(counts.shape[0]) < dev_idx, counts, 0))
+            rank = rank + before  # global rank over (slab, replica) devices
             if cfg.reactivate == "flux":
                 batch = sources.sample_flux_6d(
                     k_src, nb, grid, src.ti, src.mass, vx=src.vx,
@@ -531,7 +576,7 @@ def make_step(cfg: DomainMagnetizedConfig, mesh: Mesh):
                     n_src_active = lax.psum(jnp.sum(
                         (filled & (active == 1)
                          & (state.species_idx == src.species_idx)
-                         & (charge_state > 0)).astype(jnp.int32)), ax)
+                         & (charge_state > 0)).astype(jnp.int32)), axes_all)
                     deficit = jnp.maximum(cfg.source_n - n_src_active, 0)
                     take = inactive & (rank < jnp.minimum(deficit, nb))
                 else:
@@ -558,7 +603,7 @@ def make_step(cfg: DomainMagnetizedConfig, mesh: Mesh):
             active = jnp.where(take, 1, active)
             at_wall = jnp.where(take, 0, at_wall)
             fw = jnp.where(take, 0, fw)
-            n_react = lax.psum(jnp.sum(take.astype(jnp.int32)), ax)
+            n_react = lax.psum(jnp.sum(take.astype(jnp.int32)), axes_all)
             added = added + (2.0 * src.p2c) * jnp.sum(take.astype(added.dtype))
         else:
             # park deactivated slots mid-slab so they never migrate
@@ -577,7 +622,7 @@ def make_step(cfg: DomainMagnetizedConfig, mesh: Mesh):
         )
         active2 = act2f.astype(jnp.int32)
 
-        added = lax.psum(added, ax)
+        added = lax.psum(added, axes_all)
         rho_full = lax.all_gather(rho, ax, tiled=True)
         phi_full = lax.all_gather(phi, ax, tiled=True)
         metrics = StepMetrics(
@@ -586,15 +631,16 @@ def make_step(cfg: DomainMagnetizedConfig, mesh: Mesh):
             newton_iters=n_it,
             newton_residual=resid,
             n_active=lax.psum(
-                jnp.sum((filled & (active2 == 1)).astype(jnp.int32)), ax),
-            n_hit_wall=lax.psum(jnp.sum(hit.astype(jnp.int32)), ax),
+                jnp.sum((filled & (active2 == 1)).astype(jnp.int32)),
+                axes_all),
+            n_hit_wall=lax.psum(jnp.sum(hit.astype(jnp.int32)), axes_all),
             n_ionized=n_ionized,
             n_reactivated=n_react,
             added=added,
             rho=rho_full,
             phi=phi_full,
-            n_migrated=n_mig,
-            n_dropped=n_drop,
+            n_migrated=dpsum(n_mig),
+            n_dropped=dpsum(n_drop),
         )
         new_state = state.replace(
             p=p2, y=y2, z=z2, vx=vx2, vy=vy2, vz=vz2, m=m2,

@@ -702,3 +702,44 @@ def test_domain_magnetized_ionization_and_capped_source():
     assert int(np.asarray(m.n_reactivated).max()) <= 256
     assert np.isfinite(np.asarray(m.added)).all()
     assert int(np.asarray(m.n_dropped).sum()) == 0
+
+
+def test_domain_magnetized_composed_2d_matches_1d():
+    """Slabs x data-parallel composition for the magnetized engine (round
+    3c, mirroring DomainImplicitConfig.dp_axis_name): 4 slabs x 2 replicas
+    reproduces the 8-slab (1-replica) run's aggregate dynamics — per-
+    replica deposits psum over dp, the Newton solve replicates per
+    replica, and the re-activation cap allocates by global (slab, replica)
+    slot rank."""
+    import dataclasses as dc
+    from pypic_tpu.presets import pic_iead
+    from pypic_tpu.parallel import make_mesh2, make_mesh
+    from pypic_tpu.parallel import domain_magnetized as dm
+    from pypic_tpu.runner import run
+
+    steps = 25
+    pre = pic_iead(n_per_species=400, ng=64)
+    c1 = dc.replace(pre.config, source_sampler="threefry", react_batch=512)
+
+    cfg1 = _iead_like_domain_cfg(c1, num_shards=8, halo=2)
+    mesh1 = make_mesh(8, axis="slabs")
+    st1 = _domain_mag_state(pre, cfg1, mesh1)
+    _, m1 = run(dm.make_step(cfg1, mesh1), st1, steps)
+
+    cfg2 = _iead_like_domain_cfg(c1, num_shards=4, halo=2,
+                                 dp_axis_name="dp", num_replicas=2)
+    mesh2 = make_mesh2(4, 2, axes=("slabs", "dp"))
+    st2 = _domain_mag_state(pre, cfg2, mesh2)
+    _, m2 = run(dm.make_step(cfg2, mesh2), st2, steps)
+
+    np.testing.assert_allclose(
+        np.asarray(m2.phi_max, np.float64)[:8],
+        np.asarray(m1.phi_max, np.float64)[:8], rtol=1e-3)
+    a1 = np.asarray(m1.n_active).astype(int)
+    a2 = np.asarray(m2.n_active).astype(int)
+    assert np.abs(a1 - a2).max() <= 6, (a1, a2)
+    assert int(np.asarray(m2.n_dropped).sum()) == 0
+    # wall-flux statistics agree
+    tot1 = float(np.asarray(m1.n_hit_wall).sum())
+    tot2 = float(np.asarray(m2.n_hit_wall).sum())
+    assert abs(tot1 - tot2) <= 0.2 * max(tot1, 1.0), (tot1, tot2)
