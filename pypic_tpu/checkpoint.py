@@ -194,15 +194,22 @@ class CheckpointManager:
             self._gc()
 
         self._pending = self._executor.submit(_task)
+        self._pending_prev_saved = self._last_saved
         self._last_saved = step
         return True
 
     def wait(self):
         """Block until the in-flight async write (if any) completes;
-        re-raises any writer error."""
+        re-raises any writer error. On failure the cadence rolls back so
+        the failed window is retried at the next boundary rather than
+        silently skipped."""
         if self._pending is not None:
             pending, self._pending = self._pending, None
-            pending.result()
+            try:
+                pending.result()
+            except BaseException:
+                self._last_saved = self._pending_prev_saved
+                raise
 
     def close(self):
         """Drain the writer and shut it down (call at end of run)."""

@@ -100,16 +100,18 @@ def _cmd_run(args):
                 state = state.replace(**refresh)
                 print(f"seeded {sorted(refresh)} from the restored field "
                       "(pre-history checkpoint)", file=sys.stderr)
-            # carried-deposit magnetized configs: the carry leaves must
-            # match the restored particles (a pre-carry checkpoint restores
-            # template zeros; a post-carry one is already consistent, but
-            # re-priming is cheap and unconditionally safe)
-            if getattr(preset.config, "carried_deposit", "off") == "on":
+            # carried-deposit magnetized configs: a PRE-carry checkpoint
+            # restores template zeros for the rho/n leaves — recompute them
+            # from the restored particles. A post-carry checkpoint restores
+            # the exact kernel-summed carry; leave it untouched so resume
+            # stays bit-exact (the same gate as the explicit refresh above).
+            if (getattr(preset.config, "carried_deposit", "off") == "on"
+                    and ".rho" not in manifest.get("leaf_paths", [])):
                 from .engines import magnetized as _magnetized
 
                 state = _magnetized.prime_carry(state, preset.config)
-                print("re-primed carried rho/n from restored particles",
-                      file=sys.stderr)
+                print("re-primed carried rho/n from restored positions "
+                      "(pre-carry checkpoint)", file=sys.stderr)
             # sharded presets (domain_implicit) restore to host arrays;
             # re-place them on the device mesh before stepping
             reshard = preset.meta.get("reshard")

@@ -149,15 +149,20 @@ class MagnetizedConfig:
     # re-verification land). Dynamics match the recomputed deposit up to
     # f32 summation order PROVIDED the carry_clamped, n_ion_suppressed
     # and n_escape_deferred metrics stay 0 (all are hard guarantees of
-    # charge bookkeeping, not silent drops: clamped tents misplace charge
-    # by <= carried_pad cells and are counted; over-cap ionization events
-    # revert entirely; over-cap escapes defer one step). Requires
+    # charge bookkeeping, not silent drops: a clamped tent stays in-grid
+    # at the widened window edge — misplaced by up to the particle's
+    # DISPLACEMENT that step, not by carried_pad — and is counted;
+    # over-cap ionization events revert entirely; over-cap escapes defer
+    # one step). Requires
     # pusher='boris' and react_batch > 0 whenever reactivate != 'none'
     # (the re-activation patch capacity).
     carried_deposit: str = "auto"
-    # ionization patch rows/step: events beyond this revert (charge_state
-    # unchanged) and count into n_ion_suppressed — size it far above the
-    # physical rate (reference workloads ionize O(10)/step at 1e6)
+    # mutation-patch row budget per event TYPE per step (per shard under
+    # dp): ionization events beyond it revert (charge_state unchanged,
+    # counted in n_ion_suppressed) and — when bca_escape is on — escape
+    # removals beyond it defer one step (counted in n_escape_deferred).
+    # Size it far above the physical rates (reference workloads ionize
+    # O(10)/step at 1e6).
     carried_ion_cap: int = 16384
     carried_pad: int = 2  # deposit window widening [cells]
     flux_limit: int = 0  # max re-activations/step on the 'flux' policy

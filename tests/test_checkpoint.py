@@ -420,9 +420,14 @@ def test_async_checkpoint_writer_error_surfaces(tmp_path, monkeypatch):
     def boom(*a, **k):
         raise OSError("disk on fire")
 
+    real_write = checkpoint._write_npz
     monkeypatch.setattr(checkpoint, "_write_npz", boom)
     assert mgr.maybe_save(st, 1)
     with pytest.raises(OSError, match="disk on fire"):
         mgr.maybe_save(st, 2)
-    mgr._pending = None
+    # the failed window's cadence rolled back: once the writer recovers,
+    # the next boundary retries rather than skipping the window forever
+    monkeypatch.setattr(checkpoint, "_write_npz", real_write)
+    assert mgr.maybe_save(st, 2)
     mgr.close()
+    assert mgr.steps() == [2]

@@ -1137,12 +1137,20 @@ def test_carried_deposit_clamp_is_counted_not_silent():
     """Deposit offsets beyond carried_pad clamp at the widened window edge
     and are COUNTED (charge misplacement is bounded by pad cells and
     surfaced as a metric, never silent)."""
-    cfg, st = _carried_setup("on", carried_pad=2)
-    _, m = jax.jit(magnetized.make_step(cfg))(st)
+    cfg, st = _carried_setup("on", carried_pad=2, ionization=False,
+                             reactivate="none")
+    s1, m = jax.jit(magnetized.make_step(cfg))(st)
     # this workload's 5-sigma displacement tails exceed 2 cells
     assert int(m.carry_clamped) > 0
-    # total deposited mass is still conserved: clamped tents stay in-grid
-    dr, dn = _carry_residual(st.replace(), cfg)  # smoke: callable pre-step
+    # total deposited mass is still conserved: clamped tents stay IN-GRID
+    # (misplaced by <= the particle's displacement, never dropped)
+    from pypic_tpu.ops import deposit as _dep
+
+    ia = s1.active == 1
+    wn = jnp.where(ia, s1.p2c / cfg.grid.dx, 0.0)
+    n_f = _dep(s1.p, wn, cfg.grid.ng, periodic=False, method="scatter")
+    np.testing.assert_allclose(float(jnp.sum(s1.n)), float(jnp.sum(n_f)),
+                               rtol=1e-6)
 
 
 def test_carried_ion_cap_reverts_and_counts():

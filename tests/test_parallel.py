@@ -162,6 +162,18 @@ def test_maybe_initialize_distributed_single_process():
     assert "DIST OK" in res.stdout
 
 
+def _free_port():
+    """OS-assigned free TCP port for a jax.distributed coordinator (the
+    hardcoded-port form collides across concurrent/stale suite runs)."""
+    import socket
+
+    sock = socket.socket()
+    sock.bind(("localhost", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    return port
+
+
 def test_multiprocess_data_parallel_two_processes():
     """REAL multi-process validation (round 3c; closes the round-2 'multi-
     host unproven' flag as far as one machine allows): two OS processes,
@@ -227,7 +239,7 @@ def test_multiprocess_data_parallel_two_processes():
             m8.kinetic_energy.addressable_data(0)), np.float64)
         np.testing.assert_allclose(k8, k1, rtol=1e-4)
         print(pid, "MULTIPROC OK", flush=True)
-    """).replace("%PORT%", "19473")
+    """).replace("%PORT%", str(_free_port()))
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     ps = [subprocess.Popen([sys.executable, "-c", prog, str(i)],
                            cwd=repo, env=env, stdout=subprocess.PIPE,
@@ -303,7 +315,7 @@ def test_multiprocess_domain_decomposed_two_processes():
         assert fetch(m8.n_migrated).sum() > 0
         assert fetch(m8.n_dropped).sum() == 0
         print(pid, "DOMAIN MULTIPROC OK", flush=True)
-    """).replace("%PORT%", "19477")
+    """).replace("%PORT%", str(_free_port()))
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     ps = [subprocess.Popen([sys.executable, "-c", prog, str(i)],
                            cwd=repo, env=env, stdout=subprocess.PIPE,
@@ -345,7 +357,7 @@ def test_multiprocess_cli_domain_preset():
         m = np.load(f"/tmp/mp_cli_test_{pid}/metrics.npz")
         assert np.isfinite(m["field_energy"]).all()
         print(pid, "CLI MULTIPROC OK", flush=True)
-    """).replace("%PORT%", "19485")
+    """).replace("%PORT%", str(_free_port()))
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     ps = [subprocess.Popen([sys.executable, "-c", prog, str(i)],
                            cwd=repo, env=env, stdout=subprocess.PIPE,
