@@ -51,6 +51,8 @@ def _cmd_run(args):
         pkw["n"] = args.particles
     if getattr(args, "shards", None):
         pkw["shards"] = args.shards
+    if getattr(args, "replicas", None):
+        pkw["replicas"] = args.replicas
     preset = presets.get(args.preset, **pkw)
     outdir = args.outdir
     if os.path.isdir(outdir) and args.clean:
@@ -306,7 +308,11 @@ def main(argv=None):
     rp.add_argument("--particles", type=int, default=None)
     rp.add_argument("--shards", type=int, default=None,
                     help="device-mesh shards for the domain-decomposed "
-                         "presets (default: all visible devices)")
+                         "presets (default: all visible devices / "
+                         "--replicas)")
+    rp.add_argument("--replicas", type=int, default=None,
+                    help="data-parallel replicas composed with the slab "
+                         "axis (2D slabs x dp mesh) for the domain presets")
     rp.add_argument("--outdir", default="plots")
     rp.add_argument("--plot-every", type=int, default=0,
                     help="thin metrics to every k steps (reference nplot)")

@@ -299,7 +299,8 @@ def dirichlet_neumann_test(n: int = 50_000, ng: int = 800, seed: int = 1) -> Pre
 
 
 def domain_implicit(n: int = 1_000_000, ng: int = 200, seed: int = 1,
-                    shards: int | None = None, **kw) -> Preset:
+                    shards: int | None = None,
+                    replicas: int | None = None, **kw) -> Preset:
     """BASELINE configs[4]: the canonical Landau workload (pypic.py:846-855)
     domain-decomposed over the device mesh — slab-sharded fields through the
     whole Picard loop, ppermute halo exchange, multi-hop particle migration
@@ -309,7 +310,7 @@ def domain_implicit(n: int = 1_000_000, ng: int = 200, seed: int = 1,
     (the reference's own tol 1e-3 does not conserve energy — PERF.md)."""
     import jax
 
-    from .parallel import domain_implicit as di, make_mesh
+    from .parallel import domain_implicit as di, make_mesh, make_mesh2
 
     density, te, ti = 1e5, 100.0 * EV_TO_K, 0.1 * EV_TO_K
     length = 22.0 * _debye(te, density)
@@ -317,7 +318,9 @@ def domain_implicit(n: int = 1_000_000, ng: int = 200, seed: int = 1,
     x, v, params = initialize.initialize_periodic(
         "landau-damping", n, density, 1, 0.8, grid, te, ti, seed=seed
     )
-    n_dev = int(shards) if shards else len(jax.devices())
+    r = int(replicas) if replicas else 1
+    n_dev = (int(shards) if shards
+             else max(1, len(jax.devices()) // r))
     dt = 1e-5
     # halo from physics: cover an 8-sigma Maxwellian intra-step excursion
     sigma_cells = float(np.asarray(v).std()) * dt / grid.dx
@@ -327,8 +330,10 @@ def domain_implicit(n: int = 1_000_000, ng: int = 200, seed: int = 1,
         tol=kw.get("tol", 1e-9), maxiter=kw.get("maxiter", 50),
         halo=halo, picard_init="extrapolate",
         migrate_cap=max(4096, 4 * (n // ng)),
+        dp_axis_name="dp" if r > 1 else None, num_replicas=r,
     )
-    mesh = make_mesh(n_dev, axis="slabs")
+    mesh = (make_mesh2(n_dev, r, axes=("slabs", "dp")) if r > 1
+            else make_mesh(n_dev, axis="slabs"))
     st = di.shard_state(
         di.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg), mesh, cfg
     )
@@ -343,7 +348,8 @@ def domain_implicit(n: int = 1_000_000, ng: int = 200, seed: int = 1,
 
 
 def pic_iead_dd(n_per_species: int = 1000, ng: int = 600, seed: int = 1,
-                shards: int | None = None, **kw) -> Preset:
+                shards: int | None = None,
+                replicas: int | None = None, **kw) -> Preset:
     """pic_iead domain-decomposed over the device mesh
     (parallel.domain_magnetized): slab-sharded deposits and a
     Newton-Boltzmann solve that stays slab-sharded through every iteration
@@ -352,11 +358,13 @@ def pic_iead_dd(n_per_species: int = 1000, ng: int = 600, seed: int = 1,
     every visible device; ng must divide by it."""
     import jax
 
-    from .parallel import domain_magnetized as dmag, make_mesh
+    from .parallel import domain_magnetized as dmag, make_mesh, make_mesh2
 
     pre = pic_iead(n_per_species=n_per_species, ng=ng, seed=seed)
     c1 = pre.config
-    n_dev = int(shards) if shards else len(jax.devices())
+    r = int(replicas) if replicas else 1
+    n_dev = (int(shards) if shards
+             else max(1, len(jax.devices()) // r))
     n_tot = pre.state.p.shape[0]
     cfg = dmag.DomainMagnetizedConfig(
         grid=c1.grid, dt=c1.dt, te=c1.te, b=c1.b, species_z=c1.species_z,
@@ -367,8 +375,10 @@ def pic_iead_dd(n_per_species: int = 1000, ng: int = 600, seed: int = 1,
         newton_tol=c1.newton_tol, newton_maxiter=c1.newton_maxiter,
         halo=kw.get("halo", 2),
         migrate_cap=kw.get("migrate_cap", max(1024, n_tot // 16)),
+        dp_axis_name="dp" if r > 1 else None, num_replicas=r,
     )
-    mesh = make_mesh(n_dev, axis="slabs")
+    mesh = (make_mesh2(n_dev, r, axes=("slabs", "dp")) if r > 1
+            else make_mesh(n_dev, axis="slabs"))
     st = dmag.shard_state(dmag.init_state(
         np.asarray(pre.state.p) * c1.grid.dx,
         np.stack([pre.state.vx, pre.state.vy, pre.state.vz], -1),

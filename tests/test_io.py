@@ -303,3 +303,23 @@ def test_cli_domain_preset_end_to_end(tmp_path):
     assert "resumed from step 20" in res2.stderr
     rows2 = [json.loads(l) for l in open(os.path.join(outdir, "metrics.jsonl"))]
     assert len(rows2) == 10 and np.isfinite(rows2[-1]["field_energy"])
+
+
+def test_cli_domain_preset_2d_replicas(tmp_path):
+    """--replicas composes the dp axis with the slab axis end-to-end from
+    the CLI (2D slabs x dp mesh on the virtual 8-device backend)."""
+    import sys
+
+    from pypic_tpu.cli import main
+
+    out = str(tmp_path / "cli2d")
+    argv_old = sys.argv
+    try:
+        sys.argv = ["cli", "run", "domain_implicit", "--particles", "16000",
+                    "--steps", "2", "--replicas", "2", "--outdir", out,
+                    "--clean"]
+        main()
+    finally:
+        sys.argv = argv_old
+    m = np.load(os.path.join(out, "metrics.npz"))
+    assert np.isfinite(m["field_energy"]).all()
