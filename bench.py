@@ -293,7 +293,7 @@ def bench_magnetized(args):
     from pypic_tpu.runner import run
 
     steps = 400
-    pre = pic_iead(n_per_species=1_000_000 // 6)
+    pre = pic_iead(n_per_species=(args.mag_n or 1_000_000) // 6)
     n = pre.state.p.shape[0]
     cfg = pre.config
     if not args.mag_exact:
@@ -458,6 +458,13 @@ def main():
                     help="magnetized row: carried-deposit step (the rho/n "
                          "deposit rides the previous step's push kernel — "
                          "MagnetizedConfig.carried_deposit round-3c A/B)")
+    ap.add_argument("--mag-n", type=int, default=0,
+                    help="magnetized row: total particle count override "
+                         "(default 1e6 — the BASELINE configs[3] scale; "
+                         "small values smoke the row off-TPU)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (wiring smoke tests; the "
+                         "axon env var override is ignored by design)")
     ap.add_argument("--finalize-field", default="last",
                     choices=("last", "mean2"),
                     help="field the finalize sweep gathers with (see "
@@ -465,6 +472,13 @@ def main():
                          "the last two Picard map outputs to cancel the "
                          "spiral alternation bias)")
     args = ap.parse_args()
+    if args.cpu:
+        # env JAX_PLATFORMS is force-set by the axon sitecustomize; this is
+        # the only reliable CPU override (CLAUDE.md gotchas). Small-n smoke
+        # runs only — the real rows are TPU measurements.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     global _WINDOW_SHARE
     _WINDOW_SHARE = args.window_share
     # Resolve the headline/domain configuration: conserving by default
