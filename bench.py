@@ -88,9 +88,12 @@ def _drift_loop(step, state, drift_steps):
     while done < drift_steps:
         chunk = min(1000, drift_steps - done)
         st, m2 = run(step, st, chunk)
-        tot = np.asarray(m2.field_energy, np.float64) + np.asarray(
-            m2.kinetic_energy, np.float64
-        )
+        # reshape: superstep metrics come back (chunk, k) — flatten to
+        # per-micro-step order either way
+        tot = (
+            np.asarray(m2.field_energy, np.float64)
+            + np.asarray(m2.kinetic_energy, np.float64)
+        ).reshape(-1)
         if tot0 is None:
             tot0 = tot[0]
         print(f"  drift chunk [{done}-{done + chunk}): "
@@ -368,6 +371,18 @@ def bench_domain(args):
         picard_init=_PICARD_INIT, finalize=_FINALIZE, picard_accel=_ACCEL,
         migrate_cap=max(4096, 4 * (n // max(1, grid.ng))),
     )
+    k_mig = max(1, args.migrate_every)
+    if k_mig > 1:
+        # halo must cover k steps of excursion (clamps are counted, and
+        # asserted zero below for the timed window)
+        cfg = di.DomainImplicitConfig(
+            grid, 1e-5, grid.length * 1e5 / n, num_shards=n_dev,
+            tol=args.tol, maxiter=args.maxiter,
+            halo=min(grid.ng // n_dev - 3, k_mig * halo),
+            picard_init=_PICARD_INIT, finalize=_FINALIZE,
+            picard_accel=_ACCEL,
+            migrate_cap=max(4096, 4 * k_mig * (n // max(1, grid.ng))),
+        )
     mesh = make_mesh(n_dev, axis="slabs")
     # Capacity headroom: every sweep processes capacity rows, so slack is a
     # direct throughput tax. One shard has no load imbalance (5% covers
@@ -378,7 +393,11 @@ def bench_domain(args):
         di.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg,
                       capacity_factor=1.05 if n_dev == 1 else 1.5),
         mesh, cfg)
-    step = di.make_step(cfg, mesh)
+    if k_mig > 1:
+        step = di.make_superstep(cfg, mesh, k_mig)
+        steps = max(1, steps // k_mig)
+    else:
+        step = di.make_step(cfg, mesh)
 
     holder = {}
 
@@ -389,8 +408,10 @@ def bench_domain(args):
 
     elapsed = _time(go)
     m = holder["m"]
+    steps *= k_mig  # micro-steps actually executed (pushes for _emit)
     _emit("domain", n, steps, elapsed,
-          f"(shards={n_dev}, dropped={int(np.asarray(m.n_dropped).sum())}, "
+          f"(shards={n_dev}, migrate_every={k_mig}, "
+          f"dropped={int(np.asarray(m.n_dropped).sum())}, "
           f"halo_clamped={int(np.asarray(m.n_halo_clamped).sum())})")
 
     if args.drift_steps:
@@ -449,6 +470,11 @@ def main():
                          "rows (see ImplicitConfig.window_share; 'shared' "
                          "reuses one decomposition+selector for gather AND "
                          "deposit)")
+    ap.add_argument("--migrate-every", type=int, default=1,
+                    help="domain row: amortize wrap+migration over this "
+                         "many CN-Picard micro-steps per superstep "
+                         "(make_superstep; halo scales by the same factor "
+                         "so k-step excursions stay covered)")
     ap.add_argument("--mag-exact", action="store_true",
                     help="magnetized row: reference-exact full-capacity "
                          "re-activation draws + full-pass IEAD histograms "

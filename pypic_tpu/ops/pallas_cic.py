@@ -1787,7 +1787,12 @@ def _finalize_epilogue(p1, v1, w, st_ref, p1_ref, scal_ref, i,
     row 1 = sum_{alive} v1^2 partials, row 2 = halo-clamp counts (block
     counts <= block stay integer-exact in f32; the engine sums row 2 in
     int32 so the total is exact past 2^24). Saves the engine's separate
-    full-array reduction passes (~5 ms/step at 1e8 on v5e)."""
+    full-array reduction passes (~5 ms/step at 1e8 on v5e).
+
+    ``ng == 0`` (static) skips the global wrap: positions come back raw in
+    the kernel's shifted-local coordinates (plus ``lo_shift``, normally 0
+    then) — the migration-amortized superstep's micro-steps carry local
+    positions across steps and only wrap + migrate on the last one."""
     lo_shift = scal_ref[3, 0]
 
     @pl.when(i == 0)
@@ -1801,7 +1806,8 @@ def _finalize_epilogue(p1, v1, w, st_ref, p1_ref, scal_ref, i,
     s_cl = jnp.sum(
         (alive & ((p1 < lo) | (p1 > hi))).astype(st_ref.dtype))
     pg = p1 + lo_shift
-    pg = pg - jnp.floor(pg * (1.0 / ng)) * ng
+    if ng > 0:
+        pg = pg - jnp.floor(pg * (1.0 / ng)) * ng
     p1_ref[0, 0, :] = pg
     rr = lax.broadcasted_iota(jnp.int32, (8, LANE), 0)
     cc = lax.broadcasted_iota(jnp.int32, (8, LANE), 1)
@@ -1883,15 +1889,17 @@ def picard_finalize_ext_nodep_pallas(
     """Post-convergence extended-slab pass without the j1 deposit:
     (p1_raw, v1). Accepts (n,) or pre-blocked particle inputs.
 
-    With ``w``/``lo_shift``/``ng`` given (stats mode), the kernel also
-    wraps positions to GLOBAL grid coordinates in-kernel and returns
+    With ``w``/``lo_shift`` given (stats mode), the kernel also wraps
+    positions to GLOBAL grid coordinates in-kernel (``ng > 0``) and returns
     (p1_global, v1, stats) where stats is an (8, 128) accumulator of
     per-lane partials — row 0 = sum w*v1, row 1 = sum_alive v1^2,
     row 2 = halo-clamp counts (reduce each row over lanes) — saving the
-    engine's separate wrap + reduction passes."""
+    engine's separate wrap + reduction passes. ``ng == 0`` keeps positions
+    raw in shifted-local coordinates (superstep micro-steps; pass
+    ``lo_shift=0.0``) while still accumulating the statistics."""
     stats = lo_shift is not None
-    if stats and (w is None or ng <= 0):
-        raise ValueError("stats mode requires w, lo_shift AND ng together")
+    if stats and (w is None or ng < 0):
+        raise ValueError("stats mode requires w AND lo_shift together")
     if w is not None and not stats:
         raise ValueError("w given without lo_shift/ng — stats mode needs "
                          "all three (w alone would be silently ignored)")
@@ -2021,12 +2029,13 @@ def picard_finalize_ext_pallas(
     lo_shift=None, ng: int = 0,
 ):
     """Post-convergence pass on the extended slab: (p1_raw, v1, j1_ext).
-    Accepts (n,) or pre-blocked particle inputs. With ``lo_shift``/``ng``
-    (stats mode) positions come back GLOBAL-wrapped and a stats
+    Accepts (n,) or pre-blocked particle inputs. With ``lo_shift``
+    (stats mode) positions come back GLOBAL-wrapped (``ng > 0``) or raw
+    shifted-local (``ng == 0``, superstep micro-steps) and a stats
     accumulator is appended — see picard_finalize_ext_nodep_pallas."""
     stats = lo_shift is not None
-    if stats and ng <= 0:
-        raise ValueError("stats mode requires ng > 0 with lo_shift")
+    if stats and ng < 0:
+        raise ValueError("stats mode requires ng >= 0 with lo_shift")
     stride, wdth = _choose_window(ext_n)
     num_k = _num_windows(ext_n, stride)
     fwin_t = _window_field_t(field_ext, num_k, False, stride, wdth)

@@ -167,6 +167,13 @@ def migrate(
     """
     c = cells_per_shard
     d_tot = num_shards
+    if d_tot == 1:
+        # dest_of is identically this shard: migration is a no-op by
+        # construction. Skip its full-array routing scans — they cost
+        # ~2.6 ms/step at 1e8 on v5e with nothing to route (PERF.md
+        # domain item 5) — and return exact zero counts.
+        zero = jnp.asarray(0, jnp.int32)
+        return list(fields), alive, zero, zero
     perm_r, perm_l = ring_perms(d_tot, periodic)
     if count_axes is None:
         count_axes = ax

@@ -246,6 +246,44 @@ def shard_state(state, mesh: Mesh, cfg) -> DomainImplicitState:
 
 
 def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
+    """Per-step-migration stepper: step(state) -> (state, scalar metrics)."""
+    return _make_stepper(cfg, mesh, None)
+
+
+def make_superstep(cfg: DomainImplicitConfig, mesh: Mesh, migrate_every: int):
+    """Migration-amortized superstep: run ``migrate_every`` CN-Picard
+    micro-steps back-to-back and wrap + migrate particles ONCE, on the last.
+
+    The extended-slab gathers/deposits already handle any excursion within
+    ``cfg.halo`` cells of the owning slab (halo contributions ride
+    ``ppermute`` back to their owners), so per-step migration is
+    bookkeeping, not physics — it only keeps excursions bounded. Measured
+    motivation: ~2.6 ms/step of migrate routing at 1e8 on v5e with nothing
+    to route (PERF.md domain items); amortizing it over k steps also keeps
+    the particle arrays in the kernels' blocked layout across micro-steps.
+
+    Size ``halo >= migrate_every * v_max * dt / dx``: particles that
+    outrun the halo mid-superstep are clamped for grid work and counted in
+    ``n_halo_clamped`` (per micro-step) — detected, never silent.
+
+    Contract: superstep(state) -> (state, metrics) where every StepMetrics
+    leaf gains a leading (migrate_every,) axis — one entry per micro-step.
+    ``n_migrated``/``n_dropped`` are nonzero only in the last slot and
+    ``n_alive`` reflects post-migration survivors there; ``state.step``
+    advances by ``migrate_every``. Trajectories equal the per-step-migrate
+    stepper's up to f32 reduction-order (deposit fold grouping differs for
+    off-slab particles).
+    """
+    migrate_every = int(migrate_every)
+    if migrate_every < 1:
+        raise ValueError(f"migrate_every must be >= 1, got {migrate_every}")
+    return _make_stepper(cfg, mesh, migrate_every)
+
+
+def _make_stepper(cfg: DomainImplicitConfig, mesh: Mesh, k_mig):
+    """Shared builder: ``k_mig=None`` -> the per-step path (scalar metrics,
+    in-kernel global wrap — the round-2c flagship, numerically untouched);
+    ``k_mig=k`` -> the k-micro-step superstep (stacked metrics)."""
     grid = cfg.grid
     ng = grid.ng
     dx = grid.dx
@@ -291,71 +329,67 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
     clamp_lo_s = float(hw - h)
     clamp_hi_s = float(c + h + hw)
 
-    def local_step(state: DomainImplicitState):
-        d = lax.axis_index(ax)
-        lo = d.astype(state.p.dtype) * c
-        alive = state.alive
-        # Dead slots are inert without masking copies: their deposit weight
-        # w is zero, kernel gathers clamp to the halo range, and every
-        # downstream consumer (migration routing, metrics, clamp counters)
-        # masks by `alive` — so p/v carry stale-but-finite values in dead
-        # slots instead of paying 4 full-array where-passes per step
-        # (measured ~2% at 1e8 on v5e — XLA fused most of the wheres away,
-        # but the simpler dataflow also keeps new consumers honest about
-        # masking at the use site).
-        p0l = state.p - lo
-        v0 = state.v
-        e0 = state.e  # (c,) own slab under shard_map
-        qm = state.q / state.m
-        w = jnp.where(alive, state.q * (cfg.p2c / dx), 0.0)
+    def slab_deposit(pl, val):
+        ext = deposit(
+            clamp_loc(pl) + hw, val, ext_n,
+            periodic=False, method=cfg.deposit_method,
+        )
+        return dpsum(halo_fold(ext, c, hw, ax, perm_r, perm_l))
 
-        def slab_deposit(pl, val):
-            ext = deposit(
-                clamp_loc(pl) + hw, val, ext_n,
-                periodic=False, method=cfg.deposit_method,
-            )
-            return dpsum(halo_fold(ext, c, hw, ax, perm_r, perm_l))
+    def smoothed_ext(es):
+        """Halo-extend (+ smooth) the field guess in the shifted deposit
+        coordinate system (ext_n nodes). With smoothing, the end nodes
+        are zero padding outside the clamp range — never gathered."""
+        e_ext = halo_extend(es, hw, ax, perm_r, perm_l)
+        if not cfg.smooth:
+            return e_ext
+        z = jnp.zeros((1,), e_ext.dtype)
+        return jnp.concatenate([z, smooth_valid(e_ext), z])
 
-        def smoothed_ext(es):
-            """Halo-extend (+ smooth) the field guess in the shifted deposit
-            coordinate system (ext_n nodes). With smoothing, the end nodes
-            are zero padding outside the clamp range — never gathered."""
-            e_ext = halo_extend(es, hw, ax, perm_r, perm_l)
-            if not cfg.smooth:
-                return e_ext
-            z = jnp.zeros((1,), e_ext.dtype)
-            return jnp.concatenate([z, smooth_valid(e_ext), z])
+    def ampere(es, jh, e0):
+        # Ampere advance (pypic.py:283): the mean is a psum, the smoother
+        # a 1-node halo — no global grid anywhere.
+        j_mean = lax.psum(jnp.sum(jh), ax) / ng
+        e1 = e0 + (dt / EPSILON_0) * (
+            j_mean - (smooth_own(jh) if cfg.smooth else jh)
+        )
+        eh = 0.5 * (e1 + e0)
+        r = lax.psum(jnp.sum((es - eh) ** 2), ax)
+        return e1, eh, r
 
-        def ampere(es, jh):
-            # Ampere advance (pypic.py:283): the mean is a psum, the smoother
-            # a 1-node halo — no global grid anywhere.
-            j_mean = lax.psum(jnp.sum(jh), ax) / ng
-            e1 = e0 + (dt / EPSILON_0) * (
-                j_mean - (smooth_own(jh) if cfg.smooth else jh)
-            )
-            eh = 0.5 * (e1 + e0)
-            r = lax.psum(jnp.sum((es - eh) ** 2), ax)
-            return e1, eh, r
+    def cond(carry):
+        # shared by both backends (their carries differ in length):
+        # residual and iteration count ride at the end
+        return (carry[-2] > cfg.tol) & (carry[-1] < cfg.maxiter)
 
-        def cond(carry):
-            # shared by both backends (their carries differ in length):
-            # residual and iteration count ride at the end
-            return (carry[-2] > cfg.tol) & (carry[-1] < cfg.maxiter)
+    def mix(es, eh, k, aux):
+        """Next Picard iterate from the map output eh (ops.accel): the
+        secant inner products psum over the slab axis, so mixing the
+        slab-sharded field equals mixing the global one. Fields are
+        replicated across the dp axis — no dp psum needed."""
+        from ..ops.accel import anderson2_mix, anderson_mix, damped_mix
 
-        def mix(es, eh, k, aux):
-            """Next Picard iterate from the map output eh (ops.accel): the
-            secant inner products psum over the slab axis, so mixing the
-            slab-sharded field equals mixing the global one. Fields are
-            replicated across the dp axis — no dp psum needed."""
-            from ..ops.accel import anderson2_mix, anderson_mix, damped_mix
+        if cfg.picard_accel == "anderson":
+            return anderson_mix(es, eh, k, aux, psum_axis=ax)
+        if cfg.picard_accel == "anderson2":
+            return anderson2_mix(es, eh, k, aux, psum_axis=ax)
+        if cfg.picard_accel == "damped":
+            return damped_mix(es, eh, k, aux)
+        return eh, aux
 
-            if cfg.picard_accel == "anderson":
-                return anderson_mix(es, eh, k, aux, psum_axis=ax)
-            if cfg.picard_accel == "anderson2":
-                return anderson2_mix(es, eh, k, aux, psum_axis=ax)
-            if cfg.picard_accel == "damped":
-                return damped_mix(es, eh, k, aux)
-            return eh, aux
+    def init_guess(e0, e_prev, e_prev2):
+        if cfg.picard_init == "extrapolate":
+            return e0 + 0.5 * (e0 - e_prev)
+        if cfg.picard_init == "extrapolate2":
+            return 0.125 * (15.0 * e0 - 10.0 * e_prev + 3.0 * e_prev2)
+        return e0
+
+    emit_v = cfg.finalize == "iterate"
+    share = cfg.window_share == "shared"
+
+    def make_body_composed(p0l, v0, w, e0, qm):
+        """Picard map as individual ops, closing over this micro-step's
+        start-of-step arrays (local coordinates)."""
 
         def body_composed(carry):
             es, psl, _, _, _, aux, _, k = carry
@@ -375,13 +409,15 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
             vh = 0.5 * (v0 + v1)
             jh = slab_deposit(phl, w * vh)
             j1 = slab_deposit(p1l, w * v1)
-            e1, eh, r = ampere(es, jh)
+            e1, eh, r = ampere(es, jh, e0)
             es_next, aux = mix(es, eh, k, aux)
             return es_next, phl, (p1l, v1), e1, j1, aux, r, k + 1
 
-        emit_v = cfg.finalize == "iterate"
+        return body_composed
 
-        share = cfg.window_share == "shared"
+    def make_body_fused(p0s_b, v0_b, w_b, e0, n_cap, qm):
+        """Fused Pallas Picard map, closing over this micro-step's blocked
+        start-of-step arrays (shifted deposit coordinates)."""
 
         def body_fused(carry):
             from ..ops.pallas_cic import picard_iteration_ext_pallas
@@ -398,23 +434,34 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
             else:
                 ncl = carry[2]
             jh = dpsum(halo_fold(outs[-1], c, hw, ax, perm_r, perm_l))
-            e1, eh, r = ampere(es, jh)
+            e1, eh, r = ampere(es, jh, e0)
             es_next, aux = mix(es, eh, carry[-1], carry[-3])
             if emit_v:
                 return (es_next, outs[0], ncl, outs[1], e1, jh, aux, r,
-                        k_next(carry))
-            return es_next, outs[0], ncl, e1, jh, aux, r, k_next(carry)
+                        carry[-1] + 1)
+            return es_next, outs[0], ncl, e1, jh, aux, r, carry[-1] + 1
 
-        def k_next(carry):
-            return carry[-1] + 1
+        return body_fused
 
-        if cfg.picard_init == "extrapolate":
-            es0 = e0 + 0.5 * (e0 - state.e_prev)
-        elif cfg.picard_init == "extrapolate2":
-            es0 = 0.125 * (15.0 * e0 - 10.0 * state.e_prev
-                           + 3.0 * state.e_prev2)
-        else:
-            es0 = e0
+    def local_step(state: DomainImplicitState):
+        d = lax.axis_index(ax)
+        lo = d.astype(state.p.dtype) * c
+        alive = state.alive
+        # Dead slots are inert without masking copies: their deposit weight
+        # w is zero, kernel gathers clamp to the halo range, and every
+        # downstream consumer (migration routing, metrics, clamp counters)
+        # masks by `alive` — so p/v carry stale-but-finite values in dead
+        # slots instead of paying 4 full-array where-passes per step
+        # (measured ~2% at 1e8 on v5e — XLA fused most of the wheres away,
+        # but the simpler dataflow also keeps new consumers honest about
+        # masking at the use site).
+        p0l = state.p - lo
+        v0 = state.v
+        e0 = state.e  # (c,) own slab under shard_map
+        qm = state.q / state.m
+        w = jnp.where(alive, state.q * (cfg.p2c / dx), 0.0)
+
+        es0 = init_guess(e0, state.e_prev, state.e_prev2)
         from ..ops.accel import mix_init
 
         aux0 = mix_init(e0, cfg.picard_accel)
@@ -432,6 +479,7 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
             # per pass — see engines.implicit.step_fused).
             n_cap = p0s.shape[0]
             (p0s_b, v0_b, w_b), _ = block_particles([p0s, v0, w])
+            body_fused = make_body_fused(p0s_b, v0_b, w_b, e0, n_cap, qm)
             if share:
                 # free-streaming midpoint seed keeps the shared-window
                 # deposit offset at an acceleration displacement
@@ -492,6 +540,7 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
                 # in f32); sum in int32 so the total stays exact past 2^24
                 clamp_local = jnp.sum(st[2, :].astype(jnp.int32))
         else:
+            body_composed = make_body_composed(p0l, v0, w, e0, qm)
             carry0 = (
                 es0, p0l, (p0l, v0), e0, state.j, aux0,
                 jnp.asarray(jnp.inf, e0.dtype), jnp.asarray(0, jnp.int32),
@@ -546,9 +595,221 @@ def make_step(cfg: DomainImplicitConfig, mesh: Mesh):
         )
         return new_state, metrics
 
+    def local_superstep(state: DomainImplicitState):
+        """k_mig micro-steps with ONE wrap + migrate at the end.
+
+        Micro-steps carry positions raw in this superstep's slab frame
+        (blocked shifted coordinates on the fused path, local coordinates
+        on the composed one): the extended-slab grid ops are correct for
+        any excursion within the halo, and excursions beyond it are
+        clamped-for-grid-work + counted exactly as in the per-step path.
+        Only the last micro-step converts to global coordinates (in-kernel
+        on the fused stats path) and routes particles to their owners."""
+        d = lax.axis_index(ax)
+        lo = d.astype(state.p.dtype) * c
+        alive = state.alive
+        qm = state.q / state.m
+        w = jnp.where(alive, state.q * (cfg.p2c / dx), 0.0)
+        n_alive0 = lax.psum(jnp.sum(alive.astype(jnp.int32)), axes_all)
+        zero_i = jnp.asarray(0, jnp.int32)
+        from ..ops.accel import mix_init
+
+        def metrics_of(e1, kin_sum, mean_j1, k, r, nhc, ncl):
+            return StepMetrics(
+                field_energy=0.5 * EPSILON_0 * dx
+                * lax.psum(jnp.sum(e1 * e1), ax),
+                kinetic_energy=0.5 * cfg.p2c * state.m * kin_sum,
+                current_bias=mean_j1,
+                picard_iters=k,
+                picard_residual=r,
+                n_alive=n_alive0,
+                n_migrated=zero_i,
+                n_dropped=zero_i,
+                n_halo_clamped=nhc,
+                picard_clamped=(
+                    lax.psum(ncl, axes_all) if (use_fused and share)
+                    else zero_i
+                ),
+            )
+
+        if use_fused:
+            from ..ops.pallas_cic import (
+                block_particles,
+                picard_finalize_ext_nodep_pallas,
+                picard_finalize_ext_pallas,
+                unblock_particles,
+            )
+
+            n_cap = state.p.shape[0]
+            (p_b0, v_b0, w_b), _ = block_particles(
+                [state.p - lo + hw, state.v, w]
+            )
+            alive_b = w_b != 0.0
+
+            def micro(p_b, v_b, e0, j_in, e_prev, e_prev2, *, last):
+                es0 = init_guess(e0, e_prev, e_prev2)
+                aux0 = mix_init(e0, cfg.picard_accel)
+                body = make_body_fused(p_b, v_b, w_b, e0, n_cap, qm)
+                ps_seed = p_b + (0.5 * dt_dx) * v_b if share else p_b
+                inf_r = jnp.asarray(jnp.inf, e0.dtype)
+                if emit_v:
+                    carry0 = (es0, ps_seed, zero_i, v_b, e0, j_in, aux0,
+                              inf_r, zero_i)
+                    es, pss, ncl, v1_b, e1, jh, _, r, k = lax.while_loop(
+                        cond, body, carry0
+                    )
+                    # Last Picard iterate (pypic.py:293-295), in blocked
+                    # shifted coordinates; state.j = half-step current.
+                    p1_b = p_b + (0.5 * dt_dx) * (v_b + v1_b)
+                    j1 = jh
+                    mean_j1 = lax.psum(jnp.sum(w_b * v1_b), axes_all) / ng
+                    kin_sum = lax.psum(
+                        jnp.sum(jnp.where(alive_b, v1_b * v1_b, 0.0)),
+                        axes_all,
+                    )
+                    nhc = lax.psum(
+                        jnp.sum((alive_b & ((p1_b < clamp_lo_s)
+                                            | (p1_b > clamp_hi_s))
+                                 ).astype(jnp.int32)),
+                        axes_all,
+                    )
+                else:
+                    carry0 = (es0, ps_seed, zero_i, e0, j_in, aux0,
+                              inf_r, zero_i)
+                    es, pss, ncl, e1, jh, _, r, k = lax.while_loop(
+                        cond, body, carry0
+                    )
+                    # Finalize from the converged field; ng=0 keeps the
+                    # position raw/shifted on non-last micro-steps (the
+                    # stats rows accumulate either way).
+                    lo_shift = (lo - hw) if last else jnp.zeros_like(lo)
+                    ng_k = ng if last else 0
+                    if cfg.finalize == "converged":
+                        p1_b, v1_b, st = picard_finalize_ext_nodep_pallas(
+                            smoothed_ext(es), pss, p_b, v_b, ext_n,
+                            qm=qm, dt=dt, dx=dx, lo=clamp_lo_s,
+                            hi=clamp_hi_s, n_valid=n_cap, w=w_b,
+                            lo_shift=lo_shift, ng=ng_k,
+                        )
+                        j1 = jh
+                        mean_j1 = lax.psum(jnp.sum(st[0, :]), axes_all) / ng
+                    else:  # 'converged-deposit'
+                        p1_b, v1_b, j1_ext, st = picard_finalize_ext_pallas(
+                            smoothed_ext(es), pss, p_b, v_b, w_b, ext_n,
+                            qm=qm, dt=dt, dx=dx, lo=clamp_lo_s,
+                            hi=clamp_hi_s, n_valid=n_cap,
+                            lo_shift=lo_shift, ng=ng_k,
+                        )
+                        j1 = dpsum(
+                            halo_fold(j1_ext, c, hw, ax, perm_r, perm_l)
+                        )
+                        mean_j1 = lax.psum(jnp.sum(j1), ax) / ng
+                    kin_sum = lax.psum(jnp.sum(st[1, :]), axes_all)
+                    nhc = lax.psum(
+                        jnp.sum(st[2, :].astype(jnp.int32)), axes_all
+                    )
+                met = metrics_of(e1, kin_sum, mean_j1, k, r, nhc, ncl)
+                return p1_b, v1_b, e1, j1, met
+
+            carry0 = (p_b0, v_b0, state.e, state.j, state.e_prev,
+                      state.e_prev2)
+            if k_mig > 1:
+                def scan_body(cr, _):
+                    p_b, v_b, e, j, ep, ep2 = cr
+                    p1_b, v1_b, e1, j1, met = micro(
+                        p_b, v_b, e, j, ep, ep2, last=False
+                    )
+                    return (p1_b, v1_b, e1, j1, e, ep), met
+
+                carry, ms = lax.scan(
+                    scan_body, carry0, None, length=k_mig - 1
+                )
+            else:
+                carry, ms = carry0, None
+            p_b, v_b, e_c, j_c, ep_c, ep2_c = carry
+            p1_b, v1_b, e1, j1, met_last = micro(
+                p_b, v_b, e_c, j_c, ep_c, ep2_c, last=True
+            )
+            v1 = unblock_particles(v1_b, n_cap)
+            if emit_v:
+                # raw shifted -> global wrap (the converged finalize
+                # kernels did this in-kernel via lo_shift/ng)
+                p1 = jnp.mod(unblock_particles(p1_b, n_cap) + (lo - hw), ng)
+            else:
+                p1 = unblock_particles(p1_b, n_cap)
+        else:
+            def micro(p_l, v_c, e0, j_in, e_prev, e_prev2, *, last):
+                del last  # composed path wraps outside the micro-step
+                es0 = init_guess(e0, e_prev, e_prev2)
+                aux0 = mix_init(e0, cfg.picard_accel)
+                body = make_body_composed(p_l, v_c, w, e0, qm)
+                carry0 = (
+                    es0, p_l, (p_l, v_c), e0, j_in, aux0,
+                    jnp.asarray(jnp.inf, e0.dtype), zero_i,
+                )
+                _, _, (p1l, v1), e1, j1, _, r, k = lax.while_loop(
+                    cond, body, carry0
+                )
+                mean_j1 = lax.psum(jnp.sum(j1), ax) / ng
+                kin_sum = lax.psum(
+                    jnp.sum(jnp.where(alive, v1 * v1, 0.0)), axes_all
+                )
+                nhc = lax.psum(
+                    jnp.sum((alive & ((p1l < -h) | (p1l > c + h))
+                             ).astype(jnp.int32)),
+                    axes_all,
+                )
+                met = metrics_of(e1, kin_sum, mean_j1, k, r, nhc, zero_i)
+                return p1l, v1, e1, j1, met
+
+            carry0 = (state.p - lo, state.v, state.e, state.j,
+                      state.e_prev, state.e_prev2)
+            if k_mig > 1:
+                def scan_body(cr, _):
+                    p_l, v_c, e, j, ep, ep2 = cr
+                    p1l, v1, e1, j1, met = micro(
+                        p_l, v_c, e, j, ep, ep2, last=False
+                    )
+                    return (p1l, v1, e1, j1, e, ep), met
+
+                carry, ms = lax.scan(
+                    scan_body, carry0, None, length=k_mig - 1
+                )
+            else:
+                carry, ms = carry0, None
+            p_l, v_c, e_c, j_c, ep_c, ep2_c = carry
+            p1l, v1, e1, j1, met_last = micro(
+                p_l, v_c, e_c, j_c, ep_c, ep2_c, last=True
+            )
+            p1 = jnp.mod(p1l + lo, ng)
+
+        (p2, v2), alive1, n_migrated, n_dropped = migrate(
+            [p1, v1], alive, d,
+            ng=ng, cells_per_shard=c, num_shards=d_tot,
+            cap=cfg.migrate_cap, ax=ax,
+            count_axes=axes_all,
+        )
+        met_last = met_last._replace(
+            n_migrated=dpsum(n_migrated),
+            n_dropped=dpsum(n_dropped),
+            n_alive=lax.psum(jnp.sum(alive1.astype(jnp.int32)), axes_all),
+        )
+        if ms is None:
+            metrics = jax.tree.map(lambda x: jnp.asarray(x)[None], met_last)
+        else:
+            metrics = jax.tree.map(
+                lambda s, x: jnp.concatenate([s, jnp.asarray(x)[None]]),
+                ms, met_last,
+            )
+        new_state = state.replace(
+            p=p2, v=v2, alive=alive1, e=e1, j=j1, e_prev=e_c,
+            e_prev2=ep_c, step=state.step + k_mig,
+        )
+        return new_state, metrics
+
     spec = _state_specs(cfg)
     return shard_map(
-        local_step,
+        local_step if k_mig is None else local_superstep,
         mesh=mesh,
         in_specs=(spec,),
         out_specs=(spec, P()),

@@ -30,5 +30,9 @@ timeout 2400 python bench.py --only magnetized
 timeout 2400 python bench.py --only magnetized --carried
 timeout 3600 python bench.py
 timeout 3600 python bench.py --only domain
+# 5. migration-amortized superstep A/B (single chip: measures the d_tot==1
+#    migrate skip already; --migrate-every exercises the superstep path so
+#    its TPU compile + per-step cost are on record for multi-chip)
+timeout 2400 python bench.py --only domain --migrate-every 4
 date
 } 2>&1 | tee -a "$LOG"

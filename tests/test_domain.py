@@ -743,3 +743,167 @@ def test_domain_magnetized_composed_2d_matches_1d():
     tot1 = float(np.asarray(m1.n_hit_wall).sum())
     tot2 = float(np.asarray(m2.n_hit_wall).sum())
     assert abs(tot1 - tot2) <= 0.2 * max(tot1, 1.0), (tot1, tot2)
+
+
+# ---------------------------------------------------------------------------
+# Migration-amortized superstep (make_superstep)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("backend", ["composed", "fused"])
+def test_domain_implicit_superstep_matches_per_step(problem, backend):
+    """k-unrolled superstep (migrate ONCE, on the last micro-step) follows
+    the per-step-migrate stepper's trajectories: same Picard envelope,
+    energies to f32 reduction-order tolerance, population conserved, zero
+    halo clamps when the halo covers the k-step excursion, and migration
+    counts land only in the last micro-step slot."""
+    from pypic_tpu.parallel import domain_implicit as di
+
+    grid, x, v, params = problem
+    dt = 0.1 / params.wp
+    k = 4
+    # 4 shards x 16-cell slabs leave room for a k-step halo (4 cells/step
+    # covers this workload per the per-step test; k=4 -> halo 12)
+    cfg = di.DomainImplicitConfig(
+        grid, dt, params.p2c, num_shards=4, tol=1e-6, maxiter=40,
+        halo=12, migrate_cap=4096, backend=backend,
+    )
+    mesh = make_mesh(4, axis="slabs")
+    st0 = di.shard_state(
+        di.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg), mesh, cfg
+    )
+    _, m1 = run(di.make_step(cfg, mesh), st0, 2 * k)
+
+    sup = jax.jit(di.make_superstep(cfg, mesh, k))
+    s, chunks = st0, []
+    for _ in range(2):
+        s, m = sup(s)
+        chunks.append(jax.tree.map(np.asarray, m))
+    m2 = jax.tree.map(lambda *xs: np.concatenate(xs), *chunks)
+
+    np.testing.assert_array_equal(
+        np.asarray(m1.picard_iters), m2.picard_iters
+    )
+    np.testing.assert_allclose(
+        m2.field_energy, np.asarray(m1.field_energy, np.float64), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        m2.kinetic_energy, np.asarray(m1.kinetic_energy, np.float64),
+        rtol=1e-5,
+    )
+    assert (m2.n_alive == 16_000).all()
+    assert m2.n_dropped.sum() == 0
+    assert m2.n_halo_clamped.sum() == 0
+    # migration fires only on the last micro-step of each superstep
+    assert (m2.n_migrated[[0, 1, 2, 4, 5, 6]] == 0).all()
+    assert m2.n_migrated[[3, 7]].sum() > 0
+
+
+@pytest.mark.parametrize("backend", ["composed", "fused"])
+@pytest.mark.parametrize(
+    "finalize", ["converged", "converged-deposit", "iterate"]
+)
+def test_domain_implicit_superstep_k1_bitexact(problem, backend, finalize):
+    """make_superstep(cfg, mesh, 1) IS make_step with a (1,)-stacked
+    metrics axis: bit-identical particle state across every finalize mode
+    and backend (the superstep's shifted-coordinate micro-step reduces to
+    the per-step path when the last micro-step is the only one)."""
+    from pypic_tpu.parallel import domain_implicit as di
+
+    grid, x, v, params = problem
+    dt = 0.1 / params.wp
+    mesh = make_mesh(8, axis="slabs")
+    cfg = di.DomainImplicitConfig(
+        grid, dt, params.p2c, num_shards=8, tol=1e-6, maxiter=40,
+        halo=4, migrate_cap=2048, backend=backend, finalize=finalize,
+    )
+    st0 = di.shard_state(
+        di.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg), mesh, cfg
+    )
+    s1, m1 = jax.jit(di.make_step(cfg, mesh))(st0)
+    s2, m2 = jax.jit(di.make_superstep(cfg, mesh, 1))(st0)
+    if finalize == "iterate" and backend == "fused":
+        # the iterate finalize rebuilds p1 in the kernels' shifted frame
+        # (p0l + hw ... - hw), a <=1-ulp rounding difference vs the
+        # per-step path; the Picard loop itself is identical (v, e exact)
+        np.testing.assert_allclose(
+            np.asarray(s1.p), np.asarray(s2.p), atol=1e-4, rtol=0
+        )
+    else:
+        np.testing.assert_array_equal(np.asarray(s1.p), np.asarray(s2.p))
+    np.testing.assert_array_equal(np.asarray(s1.v), np.asarray(s2.v))
+    np.testing.assert_array_equal(np.asarray(s1.e), np.asarray(s2.e))
+    assert np.asarray(m2.field_energy).shape == (1,)
+    np.testing.assert_allclose(
+        np.asarray(m2.field_energy)[0], np.asarray(m1.field_energy),
+        rtol=1e-6,
+    )
+    assert int(np.asarray(m2.picard_iters)[0]) == int(
+        np.asarray(m1.picard_iters)
+    )
+
+
+def test_domain_implicit_superstep_counts_halo_violations(problem):
+    """A particle outrunning the halo mid-superstep is counted (per
+    micro-step), never silent: with an undersized halo the superstep
+    reports nonzero n_halo_clamped."""
+    from pypic_tpu.parallel import domain_implicit as di
+
+    grid, x, v, params = problem
+    dt = 0.4 / params.wp  # large steps force multi-cell excursions
+    mesh = make_mesh(8, axis="slabs")
+    cfg = di.DomainImplicitConfig(
+        grid, dt, params.p2c, num_shards=8, tol=1e-6, maxiter=40,
+        halo=1, migrate_cap=4096, backend="fused",
+    )
+    st0 = di.shard_state(
+        di.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg), mesh, cfg
+    )
+    _, m = jax.jit(di.make_superstep(cfg, mesh, 3))(st0)
+    assert np.asarray(m.n_halo_clamped).sum() > 0
+    assert (np.asarray(m.n_alive) == 16_000).all()
+
+
+def test_domain_implicit_superstep_2d_mesh(problem):
+    """Superstep composes with the slabs x dp 2D mesh: replica-psum'd
+    deposits and the migrate round-count rendezvous hold when migration
+    only fires on the last micro-step."""
+    from pypic_tpu.parallel import domain_implicit as di
+    from pypic_tpu.parallel import make_mesh2
+
+    grid, x, v, params = problem
+    dt = 0.1 / params.wp
+    mesh = make_mesh2(4, 2, axes=("slabs", "dp"))
+    cfg = di.DomainImplicitConfig(
+        grid, dt, params.p2c, num_shards=4, tol=1e-6, maxiter=40,
+        halo=8, migrate_cap=2048, dp_axis_name="dp", num_replicas=2,
+        backend="fused",
+    )
+    st0 = di.shard_state(
+        di.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg), mesh, cfg
+    )
+    _, m1 = run(di.make_step(cfg, mesh), st0, 4)
+    s, m2 = jax.jit(di.make_superstep(cfg, mesh, 2))(st0)
+    s, m2b = jax.jit(di.make_superstep(cfg, mesh, 2))(s)
+    fe2 = np.concatenate(
+        [np.asarray(m2.field_energy), np.asarray(m2b.field_energy)]
+    )
+    np.testing.assert_allclose(
+        fe2, np.asarray(m1.field_energy, np.float64), rtol=1e-4
+    )
+    alive = np.concatenate(
+        [np.asarray(m2.n_alive), np.asarray(m2b.n_alive)]
+    )
+    assert (alive == 16_000).all()
+
+
+def test_domain_implicit_superstep_rejects_bad_k(problem):
+    from pypic_tpu.parallel import domain_implicit as di
+
+    grid, x, v, params = problem
+    cfg = di.DomainImplicitConfig(
+        grid, 0.1 / params.wp, params.p2c, num_shards=8
+    )
+    mesh = make_mesh(8, axis="slabs")
+    with pytest.raises(ValueError, match="migrate_every"):
+        di.make_superstep(cfg, mesh, 0)
