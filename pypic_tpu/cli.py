@@ -53,7 +53,23 @@ def _cmd_run(args):
         pkw["shards"] = args.shards
     if getattr(args, "replicas", None):
         pkw["replicas"] = args.replicas
+    if getattr(args, "migrate_every", 0) and args.migrate_every > 1:
+        pkw["migrate_every"] = args.migrate_every
     preset = presets.get(args.preset, **pkw)
+    # migration-amortized supersteps (domain presets): one step() call
+    # advances spc sim steps and stacks a (spc,) axis on the metrics
+    spc = int(preset.meta.get("steps_per_call", 1))
+    n_calls = args.steps
+    if spc > 1:
+        n_calls = -(-args.steps // spc)
+        if n_calls * spc != args.steps:
+            print(f"steps rounded up to {n_calls * spc} "
+                  f"(multiple of --migrate-every {spc})", file=sys.stderr)
+        args.steps = n_calls
+        if args.plot_every:
+            print("plot-every unsupported with --migrate-every; keeping "
+                  "full-cadence metrics", file=sys.stderr)
+            args.plot_every = 0
     outdir = args.outdir
     if os.path.isdir(outdir) and args.clean:
         shutil.rmtree(outdir)
@@ -152,8 +168,15 @@ def _cmd_run(args):
     # state on host mid-run (reference cadences: checkpoint every 100 steps,
     # pygcpic.py:1627-1632; per-frame particle writes, pygcpic.py:1440-1447)
     span_size = 0
-    if mgr is not None and args.steps > mgr.every:
-        span_size = mgr.every
+    if mgr is not None:
+        # cadences are in SIM steps; spans count step() calls (each one
+        # advances spc sim steps under --migrate-every)
+        ck_span = -(-mgr.every // spc)
+        if spc > 1 and mgr.every % spc:
+            print(f"checkpoint cadence rounded up to {ck_span * spc} "
+                  f"(multiple of --migrate-every {spc})", file=sys.stderr)
+        if args.steps > ck_span:
+            span_size = ck_span
     if args.dump_particles and args.dump_every:
         if span_size and span_size != args.dump_every:
             print("dump-every follows checkpoint chunking cadence "
@@ -186,7 +209,7 @@ def _cmd_run(args):
             chunks.append(m)
             done += span
             if mgr is not None:
-                mgr.maybe_save(final, done)
+                mgr.maybe_save(final, done * spc)
             _dump_frame(final)
         metrics = jax.tree.map(lambda *xs: np.concatenate(xs), *chunks)
     else:
@@ -194,6 +217,11 @@ def _cmd_run(args):
         final, metrics = _run_span(state, args.steps, thin)
         _dump_frame(final)
     jax.block_until_ready(jax.tree.leaves(metrics)[0])
+    if spc > 1:
+        # (calls, spc, ...) -> (sim_steps, ...): per-micro-step rows in order
+        metrics = jax.tree.map(
+            lambda a: np.asarray(a).reshape(-1, *np.shape(a)[2:]), metrics
+        )
     if mgr is not None:
         mgr.close()  # drain any in-flight async checkpoint write
     if args.profile:
@@ -203,13 +231,14 @@ def _cmd_run(args):
     with open(os.path.join(outdir, "time.out"), "w") as f:
         print(elapsed, file=f)
     n = preset.state.p.shape[0]
-    print(f"{args.steps} steps x {n} particles in {elapsed:.1f}s "
-          f"({n * args.steps / elapsed:.3g} pushes/s)", file=sys.stderr)
+    sim_steps = args.steps * spc
+    print(f"{sim_steps} steps x {n} particles in {elapsed:.1f}s "
+          f"({n * sim_steps / elapsed:.3g} pushes/s)", file=sys.stderr)
 
     if mgr is not None:
         checkpoint.save(
             os.path.join(outdir, "checkpoints", "final.npz"), final,
-            step=args.steps,
+            step=sim_steps,
         )
 
     # metric dump as npz + JSONL scalars
@@ -313,6 +342,11 @@ def main(argv=None):
     rp.add_argument("--replicas", type=int, default=None,
                     help="data-parallel replicas composed with the slab "
                          "axis (2D slabs x dp mesh) for the domain presets")
+    rp.add_argument("--migrate-every", type=int, default=1,
+                    help="domain_implicit: amortize particle migration "
+                         "over this many micro-steps per superstep (halo "
+                         "scales to cover the k-step excursion; --steps "
+                         "rounds up to a multiple)")
     rp.add_argument("--outdir", default="plots")
     rp.add_argument("--plot-every", type=int, default=0,
                     help="thin metrics to every k steps (reference nplot)")

@@ -323,13 +323,17 @@ def domain_implicit(n: int = 1_000_000, ng: int = 200, seed: int = 1,
              else max(1, len(jax.devices()) // r))
     dt = 1e-5
     # halo from physics: cover an 8-sigma Maxwellian intra-step excursion
+    # (x k_mig when the migration-amortized superstep carries excursions
+    # across micro-steps — outrunners are clamped + counted, never silent)
+    k_mig = int(kw.get("migrate_every", 1))
     sigma_cells = float(np.asarray(v).std()) * dt / grid.dx
-    halo = min(ng // n_dev - 3, max(4, int(np.ceil(8.0 * sigma_cells))))
+    halo = min(ng // n_dev - 3,
+               max(4, k_mig * int(np.ceil(8.0 * sigma_cells))))
     cfg = di.DomainImplicitConfig(
         grid, dt, params.p2c, num_shards=n_dev,
         tol=kw.get("tol", 1e-9), maxiter=kw.get("maxiter", 50),
         halo=halo, picard_init="extrapolate",
-        migrate_cap=max(4096, 4 * (n // ng)),
+        migrate_cap=max(4096, 4 * k_mig * (n // ng)),
         dp_axis_name="dp" if r > 1 else None, num_replicas=r,
     )
     mesh = (make_mesh2(n_dev, r, axes=("slabs", "dp")) if r > 1
@@ -342,8 +346,12 @@ def domain_implicit(n: int = 1_000_000, ng: int = 200, seed: int = 1,
         dict(params=params, system="landau-damping",
              # resume restores to unsharded host arrays — the CLI re-places
              # them on the mesh with this before stepping
-             reshard=lambda s: di.shard_state(s, mesh, cfg)),
-        step_builder=lambda: di.make_step(cfg, mesh),
+             reshard=lambda s: di.shard_state(s, mesh, cfg),
+             # CLI contract: one step() call advances this many sim steps
+             # and stacks a leading (k,) axis onto every metrics leaf
+             steps_per_call=k_mig),
+        step_builder=lambda: (di.make_superstep(cfg, mesh, k_mig)
+                              if k_mig > 1 else di.make_step(cfg, mesh)),
     )
 
 

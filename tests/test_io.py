@@ -305,6 +305,40 @@ def test_cli_domain_preset_end_to_end(tmp_path):
     assert len(rows2) == 10 and np.isfinite(rows2[-1]["field_energy"])
 
 
+def test_cli_domain_preset_migrate_every(tmp_path):
+    """--migrate-every drives the migration-amortized superstep end-to-end:
+    metrics flatten back to per-micro-step rows, checkpoint cadence stays in
+    sim steps (rounded to a superstep boundary), and resume continues."""
+    import sys
+
+    from pypic_tpu.cli import main
+
+    out = str(tmp_path / "clisup")
+    argv_old = sys.argv
+    try:
+        sys.argv = ["cli", "run", "domain_implicit", "--particles", "8192",
+                    "--steps", "12", "--migrate-every", "4", "--shards", "4",
+                    "--outdir", out, "--checkpoint-every", "4", "--clean"]
+        main()
+    finally:
+        sys.argv = argv_old
+    rows = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
+    assert len(rows) == 12
+    assert all(np.isfinite(r["field_energy"]) for r in rows)
+    assert rows[-1]["n_dropped"] == 0
+    assert os.path.exists(
+        os.path.join(out, "checkpoints", "state_0000000008.npz"))
+    try:
+        sys.argv = ["cli", "run", "domain_implicit", "--particles", "8192",
+                    "--steps", "4", "--migrate-every", "4", "--shards", "4",
+                    "--outdir", out, "--checkpoint-every", "4", "--resume"]
+        main()
+    finally:
+        sys.argv = argv_old
+    rows2 = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
+    assert len(rows2) == 4 and np.isfinite(rows2[-1]["field_energy"])
+
+
 def test_cli_domain_preset_2d_replicas(tmp_path):
     """--replicas composes the dp axis with the slab axis end-to-end from
     the CLI (2D slabs x dp mesh on the virtual 8-device backend)."""
