@@ -56,6 +56,13 @@ class DomainConfig:
     p2c: float
     num_shards: int
     migrate_cap: int = 4096  # per-direction bucket size per migration round
+    # Deposit halo width in nodes: deposits cover [lo-halo, lo+c+halo] with
+    # halo contributions folded to their owners, so particles may excurse up
+    # to ``halo`` cells off their slab between migrations. Only the
+    # migration-amortized superstep (make_superstep) needs halo > 0; the
+    # per-step path migrates every step, so its particles never excurse and
+    # a wider halo just wastes deposit work.
+    halo: int = 0
     # 'replicated' all_gathers the (small) grid and solves the FFT Poisson on
     # every shard — right for the reference's ng of 40-800; 'distributed'
     # keeps the solve slab-local via tridiagonal substructuring (O(ng/D)
@@ -71,6 +78,11 @@ class DomainConfig:
         if self.grid.ng % self.num_shards:
             raise ValueError(
                 f"ng={self.grid.ng} not divisible by {self.num_shards} shards"
+            )
+        if self.halo < 0 or self.halo + 1 > self.cells_per_shard:
+            raise ValueError(
+                f"halo={self.halo} must be in [0, cells_per_shard-1] "
+                f"(cells_per_shard={self.cells_per_shard})"
             )
 
     @property
@@ -265,6 +277,9 @@ class StepMetrics(NamedTuple):
     n_alive: jax.Array
     n_migrated: jax.Array  # particles exchanged this step (global)
     n_dropped: jax.Array  # migration bucket/slot overflow (global)
+    # superstep micro-steps: alive particles outside the deposit halo
+    # (clamped for grid work — detected, never silent); 0 on the per-step path
+    n_halo_clamped: jax.Array = 0
 
 
 def distribute_by_slab(arrays, x, cfg, capacity_factor: float = 1.5):
@@ -341,7 +356,41 @@ def state_spec(state, ax: str):
 
 
 def make_step(cfg: DomainConfig, mesh: Mesh):
-    """Build the shard_mapped domain-decomposed explicit step."""
+    """Build the shard_mapped domain-decomposed explicit step (migrates
+    every step; scalar metrics)."""
+    return _make_stepper(cfg, mesh, None)
+
+
+def make_superstep(cfg: DomainConfig, mesh: Mesh, migrate_every: int):
+    """Migration-amortized explicit superstep: run ``migrate_every``
+    deposit-solve-push micro-steps back-to-back and migrate ONCE, on the
+    last. The domain-implicit analog is
+    ``domain_implicit.make_superstep`` — same contract (metrics leaves gain
+    a leading (migrate_every,) axis; ``n_migrated``/``n_dropped`` land in
+    the last slot; ``state.step`` advances by ``migrate_every``).
+
+    Positions ride RAW (unwrapped) global coordinates between micro-steps
+    so slab locality survives the periodic seam; deposits cover
+    [lo - halo, lo + c + halo] with halo contributions folded to their
+    owners, so any excursion within ``cfg.halo`` cells is exact.
+    Outrunners are clamped for grid work and counted per micro-step in
+    ``n_halo_clamped``. Size ``halo >= migrate_every * v_max * dt / dx``.
+
+    The replicated field solve gathers E from the global grid (wrap applied
+    for the gather only), so it is exact for ANY excursion; the distributed
+    solve gathers from the halo-extended slab field (clamped like the
+    deposit)."""
+    k_mig = int(migrate_every)
+    if k_mig < 1:
+        raise ValueError(f"migrate_every must be >= 1, got {k_mig}")
+    return _make_stepper(cfg, mesh, k_mig)
+
+
+def _make_stepper(cfg: DomainConfig, mesh: Mesh, k_mig):
+    """Shared builder: ``k_mig=None`` -> per-step migration with scalar
+    metrics; ``k_mig=k`` -> the k-micro-step superstep (stacked metrics).
+    One micro-step implementation serves both, so superstep(k=1) is
+    bit-identical to the per-step path."""
     grid = cfg.grid
     ng = grid.ng
     dx = grid.dx
@@ -349,6 +398,8 @@ def make_step(cfg: DomainConfig, mesh: Mesh):
     dt_dx = dt / dx
     c = cfg.cells_per_shard
     d_tot = cfg.num_shards
+    hw = cfg.halo
+    ext_n = c + 2 * hw + 1
     ax = cfg.axis_name
     perm_r, perm_l = ring_perms(d_tot)
     if cfg.field_solve == "distributed":
@@ -360,46 +411,86 @@ def make_step(cfg: DomainConfig, mesh: Mesh):
 
     def local_step(state: DomainState):
         d = lax.axis_index(ax)
-        p, v, alive = state.p, state.v, state.alive
+        alive = state.alive
         qm = state.q / state.m
-        w = state.q * (cfg.p2c / dx)
+        w = jnp.where(alive, state.q * (cfg.p2c / dx), 0.0)
+        lo = d.astype(state.p.dtype) * c
+        n_alive0 = lax.psum(jnp.sum(alive.astype(jnp.int32)), ax)
+        zero_i = jnp.asarray(0, jnp.int32)
 
-        # --- slab deposit with one halo node (CIC right neighbour at edge);
-        # the global wrap for the last shard is the ring ppermute itself.
-        lo = d.astype(p.dtype) * c
-        p_loc = jnp.where(alive, p - lo, 0.0)
-        rho_ext = deposit(
-            p_loc, jnp.where(alive, w, 0.0), c + 1,
-            periodic=False, method=cfg.deposit_method,
-        )
-        rho_own = halo_fold(rho_ext, c, 0, ax, perm_r, perm_l)
-
-        if cfg.field_solve == "distributed":
-            # slab-local Poisson (substructuring); E by a 1-node-halo
-            # centered difference (E is gauge-invariant, so no max shift),
-            # gather from the slab + one right-halo node in local coords
-            phi_own = dist_solve(rho_own)
-            phi_ext = halo_extend(phi_own, 1, ax, perm_r, perm_l)
-            e_own = -(phi_ext[2:c + 2] - phi_ext[:c]) / (2.0 * dx)
-            e_gather = halo_extend(e_own, 0, ax, perm_r, perm_l)
-            e_p = jnp.where(
-                alive, gather(e_gather, p_loc, periodic=False), 0.0
+        def micro(carry, _):
+            # p in RAW global coords: on-owner at the first micro-step, up
+            # to ``halo`` cells off (unwrapped — slab locality survives the
+            # periodic seam) on later ones. Deposit onto the halo-extended
+            # slab [lo-hw, lo+c+hw], fold halo contributions to owners (the
+            # global wrap for the seam shards is the ring ppermute itself);
+            # off-halo outrunners are clamped for grid work and counted.
+            p, v = carry
+            p_loc = p - lo
+            clamped = alive & ((p_loc < -hw) | (p_loc > c + hw))
+            p_cl = jnp.clip(p_loc, -hw, c + hw)
+            rho_ext = deposit(
+                jnp.where(alive, p_cl, 0.0) + hw, w, ext_n,
+                periodic=False, method=cfg.deposit_method,
             )
-            e_energy = lax.psum(jnp.sum(e_own * e_own), ax)
-        else:
-            # --- replicated global solve (ng small; all_gather is O(ng))
-            rho_full = lax.all_gather(rho_own, ax, tiled=True)
-            phi = solve_periodic_neutralized(rho_full, dx)
-            phi = phi - jnp.max(phi)
-            e_full = -grad_periodic(phi, dx)
-            e_p = jnp.where(alive, gather(e_full, p, periodic=True), 0.0)
-            e_energy = jnp.sum(e_full * e_full)
+            rho_own = halo_fold(rho_ext, c, hw, ax, perm_r, perm_l)
 
-        # --- push + periodic wrap (global positions)
-        p1, v1 = leapfrog_push(p, v, e_p, qm, dt, dt_dx)
-        p1 = jnp.mod(p1, ng)
-        p1 = jnp.where(alive, p1, 0.0)
-        v1 = jnp.where(alive, v1, 0.0)
+            if cfg.field_solve == "distributed":
+                # slab-local Poisson (substructuring); E by a 1-node-halo
+                # centered difference (E is gauge-invariant, no max shift);
+                # gather from the hw-extended slab field in local coords
+                phi_own = dist_solve(rho_own)
+                phi_ext = halo_extend(phi_own, 1, ax, perm_r, perm_l)
+                e_own = -(phi_ext[2:c + 2] - phi_ext[:c]) / (2.0 * dx)
+                e_ext = halo_extend(e_own, hw, ax, perm_r, perm_l)
+                e_p = jnp.where(
+                    alive, gather(e_ext, p_cl + hw, periodic=False), 0.0
+                )
+                e_energy = lax.psum(jnp.sum(e_own * e_own), ax)
+            else:
+                # replicated global solve (ng small; all_gather is O(ng));
+                # the global gather is exact for ANY excursion (wrap applied
+                # for the gather coordinate only)
+                rho_full = lax.all_gather(rho_own, ax, tiled=True)
+                phi = solve_periodic_neutralized(rho_full, dx)
+                phi = phi - jnp.max(phi)
+                e_full = -grad_periodic(phi, dx)
+                e_p = jnp.where(
+                    alive, gather(e_full, jnp.mod(p, ng), periodic=True), 0.0
+                )
+                e_energy = jnp.sum(e_full * e_full)
+
+            p1, v1 = leapfrog_push(p, v, e_p, qm, dt, dt_dx)
+            p1 = jnp.where(alive, p1, 0.0)
+            v1 = jnp.where(alive, v1, 0.0)
+            met = StepMetrics(
+                field_energy=0.5 * EPSILON_0 * dx * e_energy,
+                kinetic_energy=lax.psum(
+                    0.5 * cfg.p2c * state.m
+                    * jnp.sum(jnp.where(alive, v * v, 0.0)),
+                    ax,
+                ),
+                n_alive=n_alive0,
+                n_migrated=zero_i,
+                n_dropped=zero_i,
+                n_halo_clamped=lax.psum(
+                    jnp.sum(clamped.astype(jnp.int32)), ax
+                ),
+            )
+            return (p1, v1), met
+
+        if k_mig is None or k_mig == 1:
+            # scan-free (a length-1 scan changes XLA fusion boundaries and
+            # costs bit-exactness via FMA contraction differences)
+            (p1, v1), met = micro((state.p, state.v), None)
+            ms = None if k_mig is None else jax.tree.map(
+                lambda a: jnp.asarray(a)[None], met
+            )
+        else:
+            (p1, v1), ms = lax.scan(
+                micro, (state.p, state.v), None, length=k_mig
+            )
+        p1 = jnp.where(alive, jnp.mod(p1, ng), 0.0)
 
         # --- multi-hop migration to owner slabs
         (p2, v2), alive1, n_migrated, n_dropped = migrate(
@@ -407,19 +498,20 @@ def make_step(cfg: DomainConfig, mesh: Mesh):
             ng=ng, cells_per_shard=c, num_shards=d_tot,
             cap=cfg.migrate_cap, ax=ax,
         )
-
-        metrics = StepMetrics(
-            field_energy=0.5 * EPSILON_0 * dx * e_energy,
-            kinetic_energy=lax.psum(
-                0.5 * cfg.p2c * state.m * jnp.sum(jnp.where(alive, v * v, 0.0)),
-                ax,
-            ),
-            n_alive=lax.psum(jnp.sum(alive1.astype(jnp.int32)), ax),
-            n_migrated=n_migrated,
-            n_dropped=n_dropped,
-        )
+        n_alive1 = lax.psum(jnp.sum(alive1.astype(jnp.int32)), ax)
+        if k_mig is None:
+            metrics = met._replace(
+                n_migrated=n_migrated, n_dropped=n_dropped, n_alive=n_alive1
+            )
+        else:
+            metrics = ms._replace(
+                n_migrated=ms.n_migrated.at[-1].set(n_migrated),
+                n_dropped=ms.n_dropped.at[-1].set(n_dropped),
+                n_alive=ms.n_alive.at[-1].set(n_alive1),
+            )
         new_state = state.replace(
-            p=p2, v=v2, alive=alive1, step=state.step + 1
+            p=p2, v=v2, alive=alive1,
+            step=state.step + (1 if k_mig is None else k_mig),
         )
         return new_state, metrics
 

@@ -355,6 +355,50 @@ def domain_implicit(n: int = 1_000_000, ng: int = 200, seed: int = 1,
     )
 
 
+def domain_explicit(n: int = 1_000_000, ng: int = 200, seed: int = 1,
+                    shards: int | None = None, **kw) -> Preset:
+    """The explicit leapfrog cycle (PIC_L.py:762-768) domain-decomposed
+    over the device mesh (parallel.domain): slab deposits with halo fold,
+    replicated or distributed (tridiagonal-substructured) Poisson solve,
+    multi-hop particle migration. Same canonical Landau workload as
+    ``domain_implicit``; ``migrate_every`` builds the migration-amortized
+    superstep with a k-scaled deposit halo."""
+    import jax
+
+    from .parallel import domain as dom, make_mesh
+
+    density, te, ti = 1e5, 100.0 * EV_TO_K, 0.1 * EV_TO_K
+    length = 22.0 * _debye(te, density)
+    grid = GridSpec(ng, length, "periodic")
+    x, v, params = initialize.initialize_periodic(
+        "landau-damping", n, density, 1, 0.8, grid, te, ti, seed=seed
+    )
+    n_dev = int(shards) if shards else len(jax.devices())
+    dt = 1e-5
+    k_mig = int(kw.get("migrate_every", 1))
+    sigma_cells = float(np.asarray(v).std()) * dt / grid.dx
+    halo = (0 if k_mig == 1 else
+            min(ng // n_dev - 1,
+                max(4, k_mig * int(np.ceil(8.0 * sigma_cells)))))
+    cfg = dom.DomainConfig(
+        grid, dt, params.p2c, num_shards=n_dev, halo=halo,
+        migrate_cap=max(4096, 4 * k_mig * (n // ng)),
+        field_solve=kw.get("field_solve", "replicated"),
+    )
+    mesh = make_mesh(n_dev, axis="slabs")
+    st = dom.shard_state(
+        dom.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg), mesh, cfg
+    )
+    return Preset(
+        "domain_explicit", dom, cfg, st,
+        dict(params=params, system="landau-damping",
+             reshard=lambda s: dom.shard_state(s, mesh, cfg),
+             steps_per_call=k_mig),
+        step_builder=lambda: (dom.make_superstep(cfg, mesh, k_mig)
+                              if k_mig > 1 else dom.make_step(cfg, mesh)),
+    )
+
+
 def pic_iead_dd(n_per_species: int = 1000, ng: int = 600, seed: int = 1,
                 shards: int | None = None,
                 replicas: int | None = None, **kw) -> Preset:
@@ -412,6 +456,7 @@ PRESETS: Dict[str, Callable[..., Preset]] = {
     "pic_bca_aps": pic_bca_aps,
     "dirichlet_neumann_test": dirichlet_neumann_test,
     "domain_implicit": domain_implicit,
+    "domain_explicit": domain_explicit,
     "pic_iead_dd": pic_iead_dd,
 }
 

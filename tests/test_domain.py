@@ -70,6 +70,90 @@ def test_domain_overflow_detected(problem):
     assert n_alive[-1] == 16_000 - np.asarray(m.n_dropped).sum()
 
 
+@pytest.mark.parametrize("field_solve", ["replicated", "distributed"])
+def test_domain_explicit_superstep_k1_bitexact(problem, field_solve):
+    """make_superstep(cfg, mesh, 1) IS make_step with a (1,)-stacked metrics
+    axis: bit-identical particle state (the halo=0 clamped-deposit micro-step
+    reduces to the per-step path when positions start on their owners)."""
+    grid, x, v, params = problem
+    dt = 0.1 / params.wp
+    mesh = make_mesh(8, axis="slabs")
+    dcfg = domain.DomainConfig(grid, dt, params.p2c, num_shards=8,
+                               migrate_cap=2048, field_solve=field_solve)
+    dst = domain.shard_state(
+        domain.init_state(x, v, -E_CHARGE, M_ELECTRON, dcfg), mesh, dcfg
+    )
+    s1, m1 = jax.jit(domain.make_step(dcfg, mesh))(dst)
+    s2, m2 = jax.jit(domain.make_superstep(dcfg, mesh, 1))(dst)
+    np.testing.assert_array_equal(np.asarray(s1.p), np.asarray(s2.p))
+    np.testing.assert_array_equal(np.asarray(s1.v), np.asarray(s2.v))
+    np.testing.assert_array_equal(np.asarray(s1.alive), np.asarray(s2.alive))
+    assert np.asarray(m2.field_energy).shape == (1,)
+    assert float(m2.field_energy[0]) == float(m1.field_energy)
+    assert int(m2.n_migrated[0]) == int(m1.n_migrated)
+    assert int(m2.n_halo_clamped[0]) == 0
+
+
+@pytest.mark.parametrize("field_solve", ["replicated", "distributed"])
+def test_domain_explicit_superstep_matches_per_step(problem, field_solve):
+    """k=4 superstep (migrate once per 4 micro-steps, deposits over the
+    k-step halo) follows the per-step-migrate trajectories: energies to f32
+    reduction-order tolerance, population conserved, zero halo clamps when
+    the halo covers the excursion, migration counted only in last slots."""
+    grid, x, v, params = problem
+    dt = 0.1 / params.wp
+    k = 4
+    # 4 shards x 16-cell slabs; ~1.1 cells/step excursion -> halo 12 covers
+    # 4 micro-steps of 8-sigma tails on this workload
+    cfg1 = domain.DomainConfig(grid, dt, params.p2c, num_shards=4,
+                               migrate_cap=4096, field_solve=field_solve)
+    cfgk = domain.DomainConfig(grid, dt, params.p2c, num_shards=4,
+                               migrate_cap=4096, halo=12,
+                               field_solve=field_solve)
+    mesh = make_mesh(4, axis="slabs")
+    dst = domain.shard_state(
+        domain.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg1), mesh, cfg1
+    )
+    _, m1 = run(domain.make_step(cfg1, mesh), dst, 2 * k)
+
+    sup = jax.jit(domain.make_superstep(cfgk, mesh, k))
+    s, chunks = dst, []
+    for _ in range(2):
+        s, m = sup(s)
+        chunks.append(jax.tree.map(np.asarray, m))
+    m2 = jax.tree.map(lambda *xs: np.concatenate(xs), *chunks)
+
+    np.testing.assert_allclose(
+        m2.field_energy, np.asarray(m1.field_energy, np.float64), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        m2.kinetic_energy, np.asarray(m1.kinetic_energy, np.float64),
+        rtol=1e-5,
+    )
+    assert (m2.n_alive == 16_000).all()
+    assert m2.n_dropped.sum() == 0
+    assert m2.n_halo_clamped.sum() == 0
+    assert (m2.n_migrated[[0, 1, 2, 4, 5, 6]] == 0).all()
+    assert m2.n_migrated[[3, 7]].sum() > 0
+    assert int(np.asarray(s.step)) == 2 * k
+
+
+def test_domain_explicit_superstep_clamp_detected(problem):
+    """An undersized halo reports outrunners via n_halo_clamped instead of
+    silently misdepositing."""
+    grid, x, v, params = problem
+    dt = 0.1 / params.wp
+    mesh = make_mesh(4, axis="slabs")
+    cfg = domain.DomainConfig(grid, dt, params.p2c, num_shards=4,
+                              migrate_cap=4096, halo=1)
+    dst = domain.shard_state(
+        domain.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg), mesh, cfg
+    )
+    sup = jax.jit(domain.make_superstep(cfg, mesh, 8))
+    _, m = sup(dst)
+    assert np.asarray(m.n_halo_clamped).sum() > 0
+
+
 def test_domain_init_rejects_bad_shard_count(problem):
     grid, x, v, params = problem
     with pytest.raises(ValueError, match="divisible"):

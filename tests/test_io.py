@@ -339,6 +339,34 @@ def test_cli_domain_preset_migrate_every(tmp_path):
     assert len(rows2) == 4 and np.isfinite(rows2[-1]["field_energy"])
 
 
+def test_cli_domain_explicit_preset(tmp_path):
+    """The explicit leapfrog cycle is drivable domain-decomposed from the
+    CLI, per-step and as a migration-amortized superstep."""
+    import sys
+
+    from pypic_tpu.cli import main
+
+    out = str(tmp_path / "clide")
+    argv_old = sys.argv
+    try:
+        sys.argv = ["cli", "run", "domain_explicit", "--particles", "16000",
+                    "--steps", "8", "--shards", "8", "--outdir", out,
+                    "--clean"]
+        main()
+        sys.argv = ["cli", "run", "domain_explicit", "--particles", "16000",
+                    "--steps", "8", "--migrate-every", "4", "--shards", "4",
+                    "--outdir", out + "_sup", "--clean"]
+        main()
+    finally:
+        sys.argv = argv_old
+    for d in (out, out + "_sup"):
+        rows = [json.loads(l) for l in open(os.path.join(d, "metrics.jsonl"))]
+        assert len(rows) == 8
+        assert all(np.isfinite(r["field_energy"]) for r in rows)
+        assert rows[-1]["n_dropped"] == 0
+    assert rows[-1]["n_halo_clamped"] == 0
+
+
 def test_cli_domain_preset_2d_replicas(tmp_path):
     """--replicas composes the dp axis with the slab axis end-to-end from
     the CLI (2D slabs x dp mesh on the virtual 8-device backend)."""
