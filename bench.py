@@ -420,6 +420,57 @@ def bench_domain(args):
         _drift_loop(step, st, args.drift_steps)
 
 
+def bench_domain_explicit(args):
+    """The explicit leapfrog cycle domain-decomposed at 1e8 (parallel.domain;
+    no BASELINE config of its own — measured for the multi-chip explicit
+    story next to the single-device one-kernel cycle)."""
+    import jax
+
+    from pypic_tpu.constants import E_CHARGE, M_ELECTRON
+    from pypic_tpu.parallel import domain as dom, make_mesh
+    from pypic_tpu.runner import run
+
+    on_tpu = jax.default_backend() == "tpu"
+    n = args.particles or (100_000_000 if on_tpu else 200_000)
+    steps = 10
+    n_dev = len(jax.devices())
+    grid, x, v, _ = _landau_problem(n, args.tol)
+    k_mig = max(1, args.migrate_every)
+    sigma_cells = float(np.asarray(v).std()) * 1e-5 / grid.dx
+    halo = (0 if k_mig == 1 else
+            min(grid.ng // n_dev - 1,
+                max(4, k_mig * int(np.ceil(8.0 * sigma_cells)))))
+    cfg = dom.DomainConfig(
+        grid, 1e-5, grid.length * 1e5 / n, num_shards=n_dev, halo=halo,
+        migrate_cap=max(4096, 4 * k_mig * (n // max(1, grid.ng))),
+    )
+    mesh = make_mesh(n_dev, axis="slabs")
+    st = dom.shard_state(
+        dom.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg,
+                       capacity_factor=1.05 if n_dev == 1 else 1.5),
+        mesh, cfg)
+    if k_mig > 1:
+        step = dom.make_superstep(cfg, mesh, k_mig)
+        steps = max(1, steps // k_mig)
+    else:
+        step = dom.make_step(cfg, mesh)
+
+    holder = {}
+
+    def go():
+        _, m = run(step, st, steps)
+        np.asarray(m.field_energy)
+        holder["m"] = m
+
+    elapsed = _time(go)
+    m = holder["m"]
+    steps *= k_mig
+    _emit("domain_explicit", n, steps, elapsed,
+          f"(shards={n_dev}, migrate_every={k_mig}, "
+          f"dropped={int(np.asarray(m.n_dropped).sum())}, "
+          f"halo_clamped={int(np.asarray(m.n_halo_clamped).sum())})")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=int, default=None)
@@ -444,7 +495,7 @@ def main():
                     help="run the full BASELINE.md config matrix")
     ap.add_argument("--only", default=None,
                     choices=("two_stream", "landau", "sheath", "magnetized",
-                             "domain", "headline"),
+                             "domain", "domain_explicit", "headline"),
                     help="run a single named matrix config")
     ap.add_argument("--picard-init", default="extrapolate",
                     choices=("field", "extrapolate", "extrapolate2"),
@@ -527,6 +578,7 @@ def main():
         "sheath": bench_sheath,
         "magnetized": bench_magnetized,
         "domain": bench_domain,
+        "domain_explicit": bench_domain_explicit,
         "headline": bench_headline,
     }
     if args.only:

@@ -296,6 +296,18 @@ def _cmd_run(args):
             json.dump({k: v for k, v in stats.items()
                        if np.isscalar(v)}, f, indent=1)
 
+    # phase-space gif from the per-span particle dump (run_pypic.py:19-21's
+    # gif assembly / pypic_vpython.py replay, as one offline post-process)
+    if args.gif:
+        if not (args.dump_particles and os.path.exists(dump_path)):
+            print("--gif needs --dump-particles frames; skipping",
+                  file=sys.stderr)
+        else:
+            xs, vs = viz.load_particle_dump(dump_path, args.dump_particles)
+            gif_path = os.path.join(outdir, "phase_space.gif")
+            viz.phase_space_replay(gif_path, xs, vs)
+            print(f"wrote {gif_path}", file=sys.stderr)
+
     # summary plot for the periodic engines
     if args.plot and hasattr(final, "v") and np.asarray(final.v).ndim == 1:
         params = preset.meta.get("params")
@@ -351,6 +363,11 @@ def main(argv=None):
     rp.add_argument("--plot-every", type=int, default=0,
                     help="thin metrics to every k steps (reference nplot)")
     rp.add_argument("--plot", action="store_true", help="write summary.png")
+    rp.add_argument("--gif", action="store_true",
+                    help="assemble a phase-space gif from the particle dump "
+                         "frames (needs --dump-particles/--dump-every; "
+                         "run_pypic.py:19-21 gif assembly as offline "
+                         "post-process)")
     rp.add_argument("--checkpoint-every", type=int, default=0)
     rp.add_argument("--async-checkpoint", action="store_true",
                     help="write checkpoints on a background thread (the "

@@ -202,7 +202,7 @@ def test_cli_particle_dump_and_bca_postprocess(tmp_path):
         f"main(['run','pic_iead','--steps','30',"
         f"'--outdir',r'{outdir}','--clean',"
         f"'--dump-particles','100','--dump-every','10',"
-        f"'--bca-postprocess'])"
+        f"'--gif','--bca-postprocess'])"
     )
     res = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
@@ -215,6 +215,8 @@ def test_cli_particle_dump_and_bca_postprocess(tmp_path):
     assert xs.shape == (3, 100)  # 30 steps / dump-every 10
     out = viz.phase_space_replay(str(tmp_path / "replay.gif"), xs, vs)
     assert os.path.getsize(out) > 1000
+    # --gif assembled the same replay in-run (run_pypic.py:19-21 parity)
+    assert os.path.getsize(os.path.join(outdir, "phase_space.gif")) > 1000
     pp = os.path.join(outdir, "bca_postprocess.json")
     assert os.path.exists(pp)
     stats = json.load(open(pp))

@@ -314,6 +314,20 @@ def test_multiprocess_domain_decomposed_two_processes():
         assert (alive == 8000).all(), alive
         assert fetch(m8.n_migrated).sum() > 0
         assert fetch(m8.n_dropped).sum() == 0
+
+        # migration-amortized superstep across the same process boundary:
+        # k=2 micro-steps per migrate, deposit halo covering the excursion
+        import dataclasses as dc
+        scfg = dc.replace(dcfg, halo=4)
+        sup = jax.jit(domain.make_superstep(scfg, mesh, 2))
+        st_s, fes = dst, []
+        for _ in range(15):
+            st_s, ms = sup(st_s)
+            fes.append(fetch(ms.field_energy))
+            assert fetch(ms.n_halo_clamped).sum() == 0
+        np.testing.assert_allclose(
+            np.concatenate(fes), np.asarray(m1.field_energy, np.float64),
+            rtol=1e-4)
         print(pid, "DOMAIN MULTIPROC OK", flush=True)
     """).replace("%PORT%", str(_free_port()))
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
