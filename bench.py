@@ -76,31 +76,33 @@ def _time(run_fn, warm=True, reps=2):
     return best
 
 
-def _drift_loop(step, state, drift_steps):
+def _drift_loop(step, state, drift_steps, spc=1):
     """North-star drift protocol: total-energy change over ``drift_steps``
-    in chunked dispatches (a single 1e4-step scan dispatch through the
-    remote tunnel crashes the TPU worker; 1000-step spans are stable)."""
+    SIM steps in chunked dispatches (a single 1e4-step scan dispatch
+    through the remote tunnel crashes the TPU worker; ~1000-step spans are
+    stable). ``spc`` = sim steps per step() call (supersteps): chunks count
+    calls so each dispatch still covers ~1000 sim steps, and the metrics'
+    (chunk, spc) stack flattens to per-micro-step order."""
     from pypic_tpu.runner import run
 
     st = state
     tot0 = tot1 = None
-    done = 0
+    done = 0  # sim steps
+    calls_per_chunk = max(1, 1000 // spc)
     while done < drift_steps:
-        chunk = min(1000, drift_steps - done)
-        st, m2 = run(step, st, chunk)
-        # reshape: superstep metrics come back (chunk, k) — flatten to
-        # per-micro-step order either way
+        calls = min(calls_per_chunk, -(-(drift_steps - done) // spc))
+        st, m2 = run(step, st, calls)
         tot = (
             np.asarray(m2.field_energy, np.float64)
             + np.asarray(m2.kinetic_energy, np.float64)
         ).reshape(-1)
         if tot0 is None:
             tot0 = tot[0]
-        print(f"  drift chunk [{done}-{done + chunk}): "
+        print(f"  drift chunk [{done}-{done + calls * spc}): "
               f"{(tot[-1] - tot[0]) / tot0:+.3e}", file=sys.stderr)
         tot1 = tot[-1]
-        done += chunk
-    print(f"bench: energy drift over {drift_steps} steps: "
+        done += calls * spc
+    print(f"bench: energy drift over {done} steps: "
           f"{(tot1 - tot0) / tot0:.3e}", file=sys.stderr)
 
 
@@ -373,14 +375,14 @@ def bench_domain(args):
     )
     k_mig = max(1, args.migrate_every)
     if k_mig > 1:
-        # halo must cover k steps of excursion (clamps are counted, and
-        # asserted zero below for the timed window)
-        cfg = di.DomainImplicitConfig(
-            grid, 1e-5, grid.length * 1e5 / n, num_shards=n_dev,
-            tol=args.tol, maxiter=args.maxiter,
+        # identical physics to the k=1 row modulo the two real deltas: a
+        # halo covering k steps of excursion (clamps warned-on below) and a
+        # migrate buffer sized for k steps of traffic
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
             halo=min(grid.ng // n_dev - 3, k_mig * halo),
-            picard_init=_PICARD_INIT, finalize=_FINALIZE,
-            picard_accel=_ACCEL,
             migrate_cap=max(4096, 4 * k_mig * (n // max(1, grid.ng))),
         )
     mesh = make_mesh(n_dev, axis="slabs")
@@ -409,15 +411,20 @@ def bench_domain(args):
     elapsed = _time(go)
     m = holder["m"]
     steps *= k_mig  # micro-steps actually executed (pushes for _emit)
+    n_clamped = int(np.asarray(m.n_halo_clamped).sum())
     _emit("domain", n, steps, elapsed,
           f"(shards={n_dev}, migrate_every={k_mig}, "
           f"dropped={int(np.asarray(m.n_dropped).sum())}, "
-          f"halo_clamped={int(np.asarray(m.n_halo_clamped).sum())})")
+          f"halo_clamped={n_clamped})")
+    if n_clamped:
+        print(f"# WARNING: {n_clamped} halo clamps — the superstep halo "
+              "does not cover the k-step excursion; this row is not "
+              "physics-equivalent to the per-step one", file=sys.stderr)
 
     if args.drift_steps:
         # North-star drift for configs[4] (the domain-decomposed flagship):
-        # same chunked protocol as the headline row.
-        _drift_loop(step, st, args.drift_steps)
+        # same chunked protocol as the headline row, in SIM steps.
+        _drift_loop(step, st, args.drift_steps, spc=k_mig)
 
 
 def bench_domain_explicit(args):
@@ -465,10 +472,15 @@ def bench_domain_explicit(args):
     elapsed = _time(go)
     m = holder["m"]
     steps *= k_mig
+    n_clamped = int(np.asarray(m.n_halo_clamped).sum())
     _emit("domain_explicit", n, steps, elapsed,
           f"(shards={n_dev}, migrate_every={k_mig}, "
           f"dropped={int(np.asarray(m.n_dropped).sum())}, "
-          f"halo_clamped={int(np.asarray(m.n_halo_clamped).sum())})")
+          f"halo_clamped={n_clamped})")
+    if n_clamped:
+        print(f"# WARNING: {n_clamped} halo clamps — the superstep halo "
+              "does not cover the k-step excursion; this row is not "
+              "physics-equivalent to the per-step one", file=sys.stderr)
 
 
 def main():

@@ -55,10 +55,21 @@ def _cmd_run(args):
         pkw["replicas"] = args.replicas
     if getattr(args, "migrate_every", 0) and args.migrate_every > 1:
         pkw["migrate_every"] = args.migrate_every
-    preset = presets.get(args.preset, **pkw)
+    try:
+        preset = presets.get(args.preset, **pkw)
+    except TypeError:
+        if "migrate_every" in pkw:
+            sys.exit(f"--migrate-every is not supported by preset "
+                     f"{args.preset!r} (domain presets only)")
+        raise
     # migration-amortized supersteps (domain presets): one step() call
     # advances spc sim steps and stacks a (spc,) axis on the metrics
     spc = int(preset.meta.get("steps_per_call", 1))
+    if "migrate_every" in pkw and spc != args.migrate_every:
+        # a **kw preset would otherwise swallow the flag silently and the
+        # user would believe they measured the superstep when they did not
+        sys.exit(f"--migrate-every is not supported by preset "
+                 f"{args.preset!r} (domain presets only)")
     n_calls = args.steps
     if spc > 1:
         n_calls = -(-args.steps // spc)
@@ -178,11 +189,16 @@ def _cmd_run(args):
         if args.steps > ck_span:
             span_size = ck_span
     if args.dump_particles and args.dump_every:
-        if span_size and span_size != args.dump_every:
+        # dump cadence is in SIM steps too (one frame per span boundary)
+        dump_span = -(-args.dump_every // spc)
+        if spc > 1 and args.dump_every % spc:
+            print(f"dump cadence rounded up to {dump_span * spc} "
+                  f"(multiple of --migrate-every {spc})", file=sys.stderr)
+        if span_size and span_size != dump_span:
             print("dump-every follows checkpoint chunking cadence "
-                  f"({span_size})", file=sys.stderr)
-        elif not span_size and args.dump_every < args.steps:
-            span_size = args.dump_every
+                  f"({span_size * spc})", file=sys.stderr)
+        elif not span_size and dump_span <= args.steps:
+            span_size = dump_span
 
     t0 = time.time()
     if span_size:

@@ -1901,8 +1901,10 @@ def picard_finalize_ext_nodep_pallas(
     if stats and (w is None or ng < 0):
         raise ValueError("stats mode requires w AND lo_shift together")
     if w is not None and not stats:
-        raise ValueError("w given without lo_shift/ng — stats mode needs "
-                         "all three (w alone would be silently ignored)")
+        raise ValueError("w given without lo_shift — stats mode needs both "
+                         "(w alone would be silently ignored; ng > 0 "
+                         "additionally wraps positions globally, ng == 0 "
+                         "keeps them raw)")
     stride, wdth = _choose_window(ext_n)
     num_k = _num_windows(ext_n, stride)
     fwin_t = _window_field_t(field_ext, num_k, False, stride, wdth)

@@ -409,6 +409,13 @@ def _make_stepper(cfg: DomainConfig, mesh: Mesh, k_mig):
     elif cfg.field_solve != "replicated":
         raise ValueError(f"unknown field_solve {cfg.field_solve!r}")
 
+    # Only scanned micro-steps (k >= 2) can see off-owner positions: the
+    # per-step and k=1 paths start every micro-step post-migration, so
+    # their clamp count is provably zero and their gather coordinate is
+    # already wrapped — skip the compare/reduce/psum and the mod there
+    # (a returned metric would force XLA to emit them at 1e8 every step).
+    excursions = k_mig is not None and k_mig > 1
+
     def local_step(state: DomainState):
         d = lax.axis_index(ax)
         alive = state.alive
@@ -427,7 +434,12 @@ def _make_stepper(cfg: DomainConfig, mesh: Mesh, k_mig):
             # off-halo outrunners are clamped for grid work and counted.
             p, v = carry
             p_loc = p - lo
-            clamped = alive & ((p_loc < -hw) | (p_loc > c + hw))
+            n_clamped = (
+                lax.psum(jnp.sum(
+                    (alive & ((p_loc < -hw) | (p_loc > c + hw))
+                     ).astype(jnp.int32)), ax)
+                if excursions else zero_i
+            )
             p_cl = jnp.clip(p_loc, -hw, c + hw)
             rho_ext = deposit(
                 jnp.where(alive, p_cl, 0.0) + hw, w, ext_n,
@@ -455,8 +467,9 @@ def _make_stepper(cfg: DomainConfig, mesh: Mesh, k_mig):
                 phi = solve_periodic_neutralized(rho_full, dx)
                 phi = phi - jnp.max(phi)
                 e_full = -grad_periodic(phi, dx)
+                gcoord = jnp.mod(p, ng) if excursions else p
                 e_p = jnp.where(
-                    alive, gather(e_full, jnp.mod(p, ng), periodic=True), 0.0
+                    alive, gather(e_full, gcoord, periodic=True), 0.0
                 )
                 e_energy = jnp.sum(e_full * e_full)
 
@@ -473,9 +486,7 @@ def _make_stepper(cfg: DomainConfig, mesh: Mesh, k_mig):
                 n_alive=n_alive0,
                 n_migrated=zero_i,
                 n_dropped=zero_i,
-                n_halo_clamped=lax.psum(
-                    jnp.sum(clamped.astype(jnp.int32)), ax
-                ),
+                n_halo_clamped=n_clamped,
             )
             return (p1, v1), met
 
