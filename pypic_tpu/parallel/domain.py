@@ -71,6 +71,14 @@ class DomainConfig:
     field_solve: str = "replicated"
     axis_name: str = "slabs"
     deposit_method: str = "auto"
+    # 'fused' runs gather + leapfrog + wrap as ONE Pallas sweep
+    # (ops.pallas_cic.leapfrog_gather_push_pallas — the replicated global
+    # field is exactly the kernel's periodic window contract), cutting the
+    # per-step particle passes from 3 to 2; 'auto' = fused on TPU where it
+    # applies (replicated solve, on-owner positions — superstep micro-steps
+    # k >= 2 carry raw unwrapped positions the kernel's in-kernel wrap
+    # would destroy, so they stay composed), 'composed' = separate ops.
+    push_backend: str = "auto"
 
     def __post_init__(self):
         object.__setattr__(self, "dt", float(self.dt))
@@ -415,6 +423,23 @@ def _make_stepper(cfg: DomainConfig, mesh: Mesh, k_mig):
     # already wrapped — skip the compare/reduce/psum and the mod there
     # (a returned metric would force XLA to emit them at 1e8 every step).
     excursions = k_mig is not None and k_mig > 1
+    if cfg.push_backend not in ("auto", "fused", "composed"):
+        raise ValueError(f"unknown push_backend {cfg.push_backend!r}")
+    # the fused kernel's contract is a periodic global field + wrapped
+    # positions + in-kernel wrap: exactly the replicated per-step/k=1 case.
+    # Superstep micro-steps carry RAW positions (the in-kernel wrap would
+    # destroy the slab frame at the seam) and the distributed solve gathers
+    # from a bounded ext field — both stay composed.
+    applies = cfg.field_solve == "replicated" and not excursions
+    if cfg.push_backend == "fused" and not applies:
+        raise ValueError(
+            "push_backend='fused' requires field_solve='replicated' and "
+            "per-step migration (make_step or make_superstep(k=1))"
+        )
+    fuse_push = cfg.push_backend == "fused" or (
+        cfg.push_backend == "auto" and applies
+        and jax.default_backend() == "tpu"
+    )
 
     def local_step(state: DomainState):
         d = lax.axis_index(ax)
@@ -459,6 +484,7 @@ def _make_stepper(cfg: DomainConfig, mesh: Mesh, k_mig):
                     alive, gather(e_ext, p_cl + hw, periodic=False), 0.0
                 )
                 e_energy = lax.psum(jnp.sum(e_own * e_own), ax)
+                p1, v1 = leapfrog_push(p, v, e_p, qm, dt, dt_dx)
             else:
                 # replicated global solve (ng small; all_gather is O(ng));
                 # the global gather is exact for ANY excursion (wrap applied
@@ -467,13 +493,23 @@ def _make_stepper(cfg: DomainConfig, mesh: Mesh, k_mig):
                 phi = solve_periodic_neutralized(rho_full, dx)
                 phi = phi - jnp.max(phi)
                 e_full = -grad_periodic(phi, dx)
-                gcoord = jnp.mod(p, ng) if excursions else p
-                e_p = jnp.where(
-                    alive, gather(e_full, gcoord, periodic=True), 0.0
-                )
                 e_energy = jnp.sum(e_full * e_full)
+                if fuse_push:
+                    # ONE Pallas sweep: windowed gather of the global field
+                    # + kick-drift-kick + in-kernel wrap (the same kernel
+                    # the single-device explicit engine uses) — saves a
+                    # full per-particle pass vs gather-then-push
+                    from ..ops.pallas_cic import leapfrog_gather_push_pallas
 
-            p1, v1 = leapfrog_push(p, v, e_p, qm, dt, dt_dx)
+                    p1, v1 = leapfrog_gather_push_pallas(
+                        e_full, p, v, qm=qm, dt=dt, dx=dx
+                    )
+                else:
+                    gcoord = jnp.mod(p, ng) if excursions else p
+                    e_p = jnp.where(
+                        alive, gather(e_full, gcoord, periodic=True), 0.0
+                    )
+                    p1, v1 = leapfrog_push(p, v, e_p, qm, dt, dt_dx)
             p1 = jnp.where(alive, p1, 0.0)
             v1 = jnp.where(alive, v1, 0.0)
             met = StepMetrics(

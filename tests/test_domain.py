@@ -138,6 +138,46 @@ def test_domain_explicit_superstep_matches_per_step(problem, field_solve):
     assert int(np.asarray(s.step)) == 2 * k
 
 
+def test_domain_explicit_fused_push_matches_composed(problem):
+    """push_backend='fused' (one Pallas gather+leapfrog+wrap sweep over the
+    replicated global field) follows the composed ops trajectory, conserves
+    the population, and rejects the configurations outside its contract."""
+    import dataclasses as dc
+
+    grid, x, v, params = problem
+    dt = 0.1 / params.wp
+    mesh = make_mesh(8, axis="slabs")
+    cfg_c = domain.DomainConfig(grid, dt, params.p2c, num_shards=8,
+                                migrate_cap=2048, push_backend="composed")
+    cfg_f = dc.replace(cfg_c, push_backend="fused")
+    dst = domain.shard_state(
+        domain.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg_c), mesh, cfg_c
+    )
+    _, m_c = run(domain.make_step(cfg_c, mesh), dst, 60)
+    _, m_f = run(domain.make_step(cfg_f, mesh), dst, 60)
+    np.testing.assert_allclose(
+        np.asarray(m_f.field_energy, np.float64),
+        np.asarray(m_c.field_energy, np.float64), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(m_f.kinetic_energy, np.float64),
+        np.asarray(m_c.kinetic_energy, np.float64), rtol=1e-5)
+    assert (np.asarray(m_f.n_alive) == 16_000).all()
+    assert np.asarray(m_f.n_dropped).sum() == 0
+
+    # k=1 superstep accepts the fused kernel too (same contract)
+    s1, _ = jax.jit(domain.make_step(cfg_f, mesh))(dst)
+    s2, _ = jax.jit(domain.make_superstep(cfg_f, mesh, 1))(dst)
+    np.testing.assert_array_equal(np.asarray(s1.p), np.asarray(s2.p))
+    np.testing.assert_array_equal(np.asarray(s1.v), np.asarray(s2.v))
+
+    # outside the contract: distributed solve / scanned micro-steps
+    with pytest.raises(ValueError, match="fused"):
+        domain.make_step(
+            dc.replace(cfg_f, field_solve="distributed"), mesh)
+    with pytest.raises(ValueError, match="fused"):
+        domain.make_superstep(dc.replace(cfg_f, halo=4), mesh, 2)
+
+
 def test_domain_explicit_superstep_clamp_detected(problem):
     """An undersized halo reports outrunners via n_halo_clamped instead of
     silently misdepositing."""
