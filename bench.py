@@ -443,13 +443,17 @@ def bench_domain_explicit(args):
     n_dev = len(jax.devices())
     grid, x, v, _ = _landau_problem(n, args.tol)
     k_mig = max(1, args.migrate_every)
+    carried = bool(getattr(args, "carried", False))
     sigma_cells = float(np.asarray(v).std()) * 1e-5 / grid.dx
-    halo = (0 if k_mig == 1 else
+    # carried deposits POST-push positions: halo covers one step even at
+    # k=1 (clamps warned-on below)
+    halo = (0 if k_mig == 1 and not carried else
             min(grid.ng // n_dev - 1,
-                max(4, k_mig * int(np.ceil(8.0 * sigma_cells)))))
+                max(4, max(k_mig, 1) * int(np.ceil(8.0 * sigma_cells)))))
     cfg = dom.DomainConfig(
         grid, 1e-5, grid.length * 1e5 / n, num_shards=n_dev, halo=halo,
         migrate_cap=max(4096, 4 * k_mig * (n // max(1, grid.ng))),
+        carried_rho="on" if carried else "off",
     )
     mesh = make_mesh(n_dev, axis="slabs")
     st = dom.shard_state(
@@ -546,7 +550,9 @@ def main():
     ap.add_argument("--carried", action="store_true",
                     help="magnetized row: carried-deposit step (the rho/n "
                          "deposit rides the previous step's push kernel — "
-                         "MagnetizedConfig.carried_deposit round-3c A/B)")
+                         "MagnetizedConfig.carried_deposit round-3c A/B); "
+                         "domain_explicit row: carried-rho one-sweep cycle "
+                         "(DomainConfig.carried_rho)")
     ap.add_argument("--mag-n", type=int, default=0,
                     help="magnetized row: total particle count override "
                          "(default 1e6 — the BASELINE configs[3] scale; "

@@ -55,12 +55,27 @@ def _cmd_run(args):
         pkw["replicas"] = args.replicas
     if getattr(args, "migrate_every", 0) and args.migrate_every > 1:
         pkw["migrate_every"] = args.migrate_every
+    for kv in getattr(args, "opt", None) or []:
+        key, sep, val = kv.partition("=")
+        if not sep or not key:
+            sys.exit(f"--opt expects KEY=VALUE, got {kv!r}")
+        try:
+            val = int(val)
+        except ValueError:
+            try:
+                val = float(val)
+            except ValueError:
+                pass
+        pkw[key.replace("-", "_")] = val
     try:
         preset = presets.get(args.preset, **pkw)
     except TypeError:
         if "migrate_every" in pkw:
             sys.exit(f"--migrate-every is not supported by preset "
                      f"{args.preset!r} (domain presets only)")
+        if getattr(args, "opt", None):
+            sys.exit(f"an --opt key is not accepted by preset "
+                     f"{args.preset!r} (see its signature in presets.py)")
         raise
     # migration-amortized supersteps (domain presets): one step() call
     # advances spc sim steps and stacks a (spc,) axis on the metrics
@@ -141,6 +156,17 @@ def _cmd_run(args):
                 state = _magnetized.prime_carry(state, preset.config)
                 print("re-primed carried rho/n from restored positions "
                       "(pre-carry checkpoint)", file=sys.stderr)
+            # carried-rho explicit domain configs: a checkpoint from before
+            # the rho leaf existed restores the template's step-0 deposit (a
+            # different particle configuration) — re-prime from the restored
+            # positions (same gate class as the explicit refresh above)
+            if (getattr(preset.config, "carried_rho", "off") == "on"
+                    and ".rho" not in manifest.get("leaf_paths", [])):
+                from .parallel import domain as _domain
+
+                state = _domain.prime_rho(state, preset.config)
+                print("re-primed carried rho from restored positions "
+                      "(pre-rho checkpoint)", file=sys.stderr)
             # sharded presets (domain_implicit) restore to host arrays;
             # re-place them on the device mesh before stepping
             reshard = preset.meta.get("reshard")
@@ -375,6 +401,10 @@ def main(argv=None):
                          "over this many micro-steps per superstep (halo "
                          "scales to cover the k-step excursion; --steps "
                          "rounds up to a multiple)")
+    rp.add_argument("--opt", action="append", metavar="KEY=VALUE",
+                    help="extra preset keyword, repeatable (e.g. --opt "
+                         "field_solve=distributed --opt carried_rho=on); "
+                         "ints/floats auto-coerced, '-' mapped to '_'")
     rp.add_argument("--outdir", default="plots")
     rp.add_argument("--plot-every", type=int, default=0,
                     help="thin metrics to every k steps (reference nplot)")

@@ -831,6 +831,126 @@ def leapfrog_gather_push_pallas(
     return p1.reshape(-1)[:n], v1.reshape(-1)[:n]
 
 
+def _domain_cycle_kernel(
+    scal_ref, fwin_ref, p_ref, v_ref, w_ref, p1_ref, v1_ref, acc_ref,
+    *, num_kg, ng, stride_g, width_g, num_kd, ext_n, stride_d, width_d,
+    block,
+):
+    """Explicit domain cycle as ONE particle sweep: periodic gather of the
+    replicated GLOBAL field at p + leapfrog + carried deposit of p1 onto
+    the halo-extended SLAB (the rho that opens the NEXT step's solve rides
+    this step's push — the domain analog of _explicit_cycle_kernel's
+    carried rho; the field solve itself stays outside, it needs the
+    cross-shard halo fold + all_gather). Two window systems coexist: the
+    gather decomposes wrapped global coordinates over (stride_g, width_g)
+    windows of the (ng,) field; the deposit decomposes shifted slab-local
+    coordinates p1 - lo + hw over (stride_d, width_d) windows of the
+    (ext_n,) accumulator. Deposit rows pushed past the halo clamp at the
+    ext edge and are counted into the accumulator's extra row (w > 0 rows
+    only) — a silent charge misplacement is impossible.
+
+    scal rows: [0] = qm dt/2, [1] = dt/dx, [2] = lo (slab origin in global
+    grid coordinates, per-shard traced). Outputs p1 wrapped to [0, ng)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    qm_dt_half = scal_ref[0, 0]
+    dt_dx = scal_ref[1, 0]
+    lo = scal_ref[2, 0]
+    p = p_ref[0, 0, :]
+    v = v_ref[0, 0, :]
+    w = w_ref[0, 0, :]
+    e_p = _gather_at(fwin_ref, p, num_kg, block, stride_g, width_g)
+    vh = v + qm_dt_half * e_p
+    p1 = p + vh * dt_dx  # raw global (can excurse off-slab by < halo)
+    v1 = vh + qm_dt_half * e_p
+
+    # lo arrives pre-shifted by the halo (lo' = lo - hw), so in-halo
+    # particles land in [0, ext_n - 1] directly
+    ploc = p1 - lo
+    oob = ((ploc < 0.0) | (ploc > ext_n - 1.0)) & (w != 0.0)
+    ploc = jnp.clip(ploc, 0.0, ext_n - 1.0)
+    k, dd = _window_decompose(ploc, num_kd, stride_d)
+    sel_t = _sel_t(k, num_kd, p.dtype)  # (K_d, B)
+    tent = _tent_t(dd, block, width_d) * w[None, :]  # (width_d, B)
+    contrib = lax.dot_general(
+        tent, sel_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    clamp_row = lax.dot_general(
+        oob.astype(p.dtype)[None, :], sel_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] += jnp.concatenate([contrib, clamp_row], axis=0).astype(
+        acc_ref.dtype
+    )
+    p1_ref[0, 0, :] = p1 - jnp.floor(p1 * (1.0 / ng)) * ng
+    v1_ref[0, 0, :] = v1
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ext_n", "dt", "dx", "block")
+)
+def explicit_domain_cycle_pallas(
+    field, p, v, w, *, qm, dt: float, dx: float, lo_shifted, ext_n: int,
+    block: int = _DEFAULT_BLOCK,
+):
+    """Fused explicit domain cycle sweep: (p1_wrapped, v1, rho_ext,
+    n_clamped).
+
+    ``field`` is the replicated (ng,) global field; ``p`` wrapped global
+    positions; ``w`` per-particle deposit weights (zero = dead slot);
+    ``lo_shifted`` = slab origin minus halo (global grid coords, traced),
+    so the deposit coordinate p1 - lo_shifted covers the (ext_n,) extended
+    slab. Off-halo deposits clamp at the ext edge and are counted."""
+    ng = field.shape[0]
+    stride_g, width_g = _choose_window(ng)
+    num_kg = _num_windows(ng, stride_g)
+    stride_d, width_d = _choose_window(ext_n)
+    num_kd = _num_windows(ext_n, stride_d)
+    fwin_t = _window_field_t(field, num_kg, True, stride_g, width_g)
+    (p_b, v_b, w_b), nb = _pad_blocks([p, v, w], block)
+    scal = jnp.stack([
+        0.5 * qm * dt, jnp.full_like(qm * dt, dt / dx),
+        lo_shifted.astype(p.dtype), jnp.zeros_like(qm * dt),
+    ]).reshape(4, 1).astype(p.dtype)
+    kern = functools.partial(
+        _domain_cycle_kernel, num_kg=num_kg, ng=ng, stride_g=stride_g,
+        width_g=width_g, num_kd=num_kd, ext_n=ext_n, stride_d=stride_d,
+        width_d=width_d, block=block,
+    )
+    p1, v1, acc = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            _SMEM_SPEC,
+            _acc_spec(num_kg, width_g),
+            _particle_spec(block),
+            _particle_spec(block),
+            _particle_spec(block),
+        ],
+        out_specs=(
+            _particle_spec(block), _particle_spec(block),
+            _acc_spec(num_kd, width_d + 1),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, 1, block), p.dtype),
+            jax.ShapeDtypeStruct((nb, 1, block), v.dtype),
+            jax.ShapeDtypeStruct((width_d + 1, num_kd), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(scal, fwin_t, p_b, v_b, w_b)
+    n = p.shape[0]
+    rho_ext = _fold_windows(
+        acc[:-1].T.astype(w.dtype), ext_n, False, stride_d
+    )
+    n_clamped = jnp.sum(acc[-1]).astype(jnp.int32)
+    return (p1.reshape(-1)[:n], v1.reshape(-1)[:n], rho_ext, n_clamped)
+
+
 def _fold_acc_rows(acc_ref, fold_ref, width):
     """(width, K) VMEM accumulator -> (1, ng) node row via one small
     (1, K) @ (K, ng) matmul per tent row (fold_ref: (width, K, ng); a

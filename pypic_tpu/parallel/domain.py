@@ -79,6 +79,16 @@ class DomainConfig:
     # k >= 2 carry raw unwrapped positions the kernel's in-kernel wrap
     # would destroy, so they stay composed), 'composed' = separate ops.
     push_backend: str = "auto"
+    # 'on' carries rho in the state and runs the WHOLE particle cycle as
+    # ONE sweep (explicit_domain_cycle_pallas: gather + leapfrog + deposit
+    # of p1 onto the halo-extended slab — the rho that opens the NEXT
+    # step's solve rides this step's push, the domain analog of the
+    # single-device one-kernel cycle). Requires field_solve='replicated',
+    # per-step migration, and halo >= the one-step excursion (outrunners
+    # clamp + count into n_halo_clamped). Caveat: particles dropped by
+    # migration overflow were already deposited for the next step — rho is
+    # exact only while n_dropped stays 0 (counted, never silent).
+    carried_rho: str = "off"
 
     def __post_init__(self):
         object.__setattr__(self, "dt", float(self.dt))
@@ -92,6 +102,19 @@ class DomainConfig:
                 f"halo={self.halo} must be in [0, cells_per_shard-1] "
                 f"(cells_per_shard={self.cells_per_shard})"
             )
+        if self.carried_rho not in ("off", "on"):
+            raise ValueError(f"unknown carried_rho {self.carried_rho!r}")
+        if self.carried_rho == "on":
+            if self.field_solve != "replicated":
+                raise ValueError(
+                    "carried_rho='on' requires field_solve='replicated'"
+                )
+            if self.halo < 1:
+                raise ValueError(
+                    "carried_rho='on' deposits POST-push positions: halo "
+                    "must cover the one-step excursion (halo >= 1; size "
+                    "to v_max * dt / dx)"
+                )
 
     @property
     def cells_per_shard(self) -> int:
@@ -277,6 +300,10 @@ class DomainState(struct.PyTreeNode):
     q: jax.Array  # () charge (single species)
     m: jax.Array  # ()
     step: jax.Array  # () int32
+    # (ng,) slab-sharded carried charge deposit: meaningful (and re-written
+    # every step from the in-kernel deposit of p1) only under
+    # carried_rho='on'; primed from the initial positions either way
+    rho: jax.Array
 
 
 class StepMetrics(NamedTuple):
@@ -325,6 +352,31 @@ def distribute_by_slab(arrays, x, cfg, capacity_factor: float = 1.5):
     return outs, alive, capacity
 
 
+def host_rho(p, w, ng: int) -> np.ndarray:
+    """Host-side periodic CIC deposit (tent weights, pypic.py:138-183
+    semantics) — primes the carried rho leaf from initial/restored
+    positions."""
+    p = np.mod(np.asarray(p, np.float64), ng)
+    w = np.broadcast_to(np.asarray(w, np.float64), p.shape)
+    i0 = np.floor(p).astype(np.int64)
+    fr = p - i0
+    rho = np.zeros(ng, np.float64)
+    np.add.at(rho, i0 % ng, w * (1.0 - fr))
+    np.add.at(rho, (i0 + 1) % ng, w * fr)
+    return rho.astype(np.float32)
+
+
+def prime_rho(state: DomainState, cfg: DomainConfig) -> DomainState:
+    """Recompute the carried rho leaf from the state's own (host) positions
+    — for resuming carried_rho='on' runs from checkpoints written before
+    the leaf existed (the CLI's legacy-refresh gate)."""
+    alive = np.asarray(state.alive)
+    w = float(np.asarray(state.q)) * cfg.p2c / cfg.grid.dx
+    return state.replace(rho=jnp.asarray(host_rho(
+        np.asarray(state.p)[alive], w, cfg.grid.ng
+    )))
+
+
 def init_state(x, v, q, m, cfg: DomainConfig, capacity_factor: float = 1.5):
     """Distribute host arrays onto shards by slab ownership.
 
@@ -344,6 +396,9 @@ def init_state(x, v, q, m, cfg: DomainConfig, capacity_factor: float = 1.5):
         q=jnp.asarray(q, jnp.float32),
         m=jnp.asarray(m, jnp.float32),
         step=jnp.asarray(0, jnp.int32),
+        rho=jnp.asarray(host_rho(
+            p, float(q) * cfg.p2c / cfg.grid.dx, cfg.grid.ng
+        )),
     )
 
 
@@ -440,6 +495,13 @@ def _make_stepper(cfg: DomainConfig, mesh: Mesh, k_mig):
         cfg.push_backend == "auto" and applies
         and jax.default_backend() == "tpu"
     )
+    carried = cfg.carried_rho == "on"
+    if carried and excursions:
+        raise ValueError(
+            "carried_rho='on' composes with per-step migration only "
+            "(make_step or make_superstep(k=1)); superstep micro-steps "
+            "carry raw positions outside the cycle kernel's wrap contract"
+        )
 
     def local_step(state: DomainState):
         d = lax.axis_index(ax)
@@ -526,7 +588,41 @@ def _make_stepper(cfg: DomainConfig, mesh: Mesh, k_mig):
             )
             return (p1, v1), met
 
-        if k_mig is None or k_mig == 1:
+        rho_next = state.rho
+        if carried:
+            # ONE particle sweep for the whole cycle: the solve runs from
+            # the CARRIED rho (deposited from these same positions by last
+            # step's kernel / the init prime), and the kernel deposits the
+            # pushed positions for the NEXT step while it pushes.
+            from ..ops.pallas_cic import explicit_domain_cycle_pallas
+
+            rho_full = lax.all_gather(state.rho, ax, tiled=True)
+            phi = solve_periodic_neutralized(rho_full, dx)
+            phi = phi - jnp.max(phi)
+            e_full = -grad_periodic(phi, dx)
+            p1, v1, rho_ext, ncl = explicit_domain_cycle_pallas(
+                e_full, state.p, state.v, w,
+                qm=qm, dt=dt, dx=dx, lo_shifted=lo - hw, ext_n=ext_n,
+            )
+            rho_next = halo_fold(rho_ext, c, hw, ax, perm_r, perm_l)
+            v1 = jnp.where(alive, v1, 0.0)
+            met = StepMetrics(
+                field_energy=0.5 * EPSILON_0 * dx
+                * jnp.sum(e_full * e_full),
+                kinetic_energy=lax.psum(
+                    0.5 * cfg.p2c * state.m
+                    * jnp.sum(jnp.where(alive, state.v * state.v, 0.0)),
+                    ax,
+                ),
+                n_alive=n_alive0,
+                n_migrated=zero_i,
+                n_dropped=zero_i,
+                n_halo_clamped=lax.psum(ncl, ax),
+            )
+            ms = None if k_mig is None else jax.tree.map(
+                lambda a: jnp.asarray(a)[None], met
+            )
+        elif k_mig is None or k_mig == 1:
             # scan-free (a length-1 scan changes XLA fusion boundaries and
             # costs bit-exactness via FMA contraction differences)
             (p1, v1), met = micro((state.p, state.v), None)
@@ -557,13 +653,13 @@ def _make_stepper(cfg: DomainConfig, mesh: Mesh, k_mig):
                 n_alive=ms.n_alive.at[-1].set(n_alive1),
             )
         new_state = state.replace(
-            p=p2, v=v2, alive=alive1,
+            p=p2, v=v2, alive=alive1, rho=rho_next,
             step=state.step + (1 if k_mig is None else k_mig),
         )
         return new_state, metrics
 
     spec = DomainState(
-        p=P(ax), v=P(ax), alive=P(ax), q=P(), m=P(), step=P(),
+        p=P(ax), v=P(ax), alive=P(ax), q=P(), m=P(), step=P(), rho=P(ax),
     )
     return shard_map(
         local_step,

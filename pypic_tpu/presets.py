@@ -380,10 +380,16 @@ def domain_explicit(n: int = 1_000_000, ng: int = 200, seed: int = 1,
     halo = (0 if k_mig == 1 else
             min(ng // n_dev - 1,
                 max(4, k_mig * int(np.ceil(8.0 * sigma_cells)))))
+    carried = kw.get("carried_rho", "off")
+    if carried == "on" and k_mig == 1:
+        # carried deposits POST-push positions: halo covers one step
+        halo = min(ng // n_dev - 1,
+                   max(4, int(np.ceil(8.0 * sigma_cells))))
     cfg = dom.DomainConfig(
         grid, dt, params.p2c, num_shards=n_dev, halo=halo,
         migrate_cap=max(4096, 4 * k_mig * (n // ng)),
         field_solve=kw.get("field_solve", "replicated"),
+        carried_rho=carried,
     )
     mesh = make_mesh(n_dev, axis="slabs")
     st = dom.shard_state(

@@ -34,8 +34,10 @@ timeout 3600 python bench.py --only domain
 #    migrate skip already; --migrate-every exercises the superstep path so
 #    its TPU compile + per-step cost are on record for multi-chip)
 timeout 2400 python bench.py --only domain --migrate-every 4
-# 6. explicit domain path at 1e8 (new row; per-step vs k=4 superstep)
+# 6. explicit domain path at 1e8 (new row; per-step [auto-fused push] vs
+#    k=4 superstep vs carried-rho one-sweep cycle)
 timeout 2400 python bench.py --only domain_explicit
 timeout 2400 python bench.py --only domain_explicit --migrate-every 4
+timeout 2400 python bench.py --only domain_explicit --carried
 date
 } 2>&1 | tee -a "$LOG"

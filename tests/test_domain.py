@@ -178,6 +178,52 @@ def test_domain_explicit_fused_push_matches_composed(problem):
         domain.make_superstep(dc.replace(cfg_f, halo=4), mesh, 2)
 
 
+def test_domain_explicit_carried_rho_matches_composed(problem):
+    """carried_rho='on' (the one-sweep cycle: solve from the carried rho,
+    gather+push+deposit-of-p1 in one kernel) follows the composed
+    trajectory — the carried deposit of step t's p1 IS step t+1's deposit
+    of p, migration only relabels slots — with zero clamps when the halo
+    covers the one-step excursion, and rejects unsupported compositions."""
+    import dataclasses as dc
+
+    grid, x, v, params = problem
+    dt = 0.1 / params.wp
+    mesh = make_mesh(4, axis="slabs")
+    cfg_c = domain.DomainConfig(grid, dt, params.p2c, num_shards=4,
+                                migrate_cap=4096, push_backend="composed")
+    cfg_k = dc.replace(cfg_c, carried_rho="on", halo=12)
+    dst = domain.shard_state(
+        domain.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg_c), mesh, cfg_c
+    )
+    _, m_c = run(domain.make_step(cfg_c, mesh), dst, 60)
+    _, m_k = run(domain.make_step(cfg_k, mesh), dst, 60)
+    np.testing.assert_allclose(
+        np.asarray(m_k.field_energy, np.float64),
+        np.asarray(m_c.field_energy, np.float64), rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(m_k.kinetic_energy, np.float64),
+        np.asarray(m_c.kinetic_energy, np.float64), rtol=1e-5)
+    assert (np.asarray(m_k.n_alive) == 16_000).all()
+    assert np.asarray(m_k.n_dropped).sum() == 0
+    assert np.asarray(m_k.n_halo_clamped).sum() == 0
+
+    # prime_rho reproduces the init prime from restored positions
+    import jax.numpy as jnp
+
+    st2 = domain.prime_rho(dst.replace(rho=jnp.zeros_like(dst.rho)), cfg_k)
+    np.testing.assert_allclose(np.asarray(st2.rho), np.asarray(dst.rho),
+                               rtol=1e-6, atol=1e-12)
+
+    # outside the contract
+    with pytest.raises(ValueError, match="halo"):
+        dc.replace(cfg_c, carried_rho="on", halo=0)
+    with pytest.raises(ValueError, match="replicated"):
+        dc.replace(cfg_c, carried_rho="on", halo=4,
+                   field_solve="distributed")
+    with pytest.raises(ValueError, match="carried_rho"):
+        domain.make_superstep(cfg_k, mesh, 2)
+
+
 def test_domain_explicit_superstep_clamp_detected(problem):
     """An undersized halo reports outrunners via n_halo_clamped instead of
     silently misdepositing."""

@@ -359,9 +359,25 @@ def test_cli_domain_explicit_preset(tmp_path):
                     "--steps", "8", "--migrate-every", "4", "--shards", "4",
                     "--outdir", out + "_sup", "--clean"]
         main()
+        # --opt reaches preset keywords without a dedicated flag: the
+        # carried-rho one-sweep cycle end-to-end from the CLI
+        sys.argv = ["cli", "run", "domain_explicit", "--particles", "16000",
+                    "--steps", "8", "--shards", "4", "--opt",
+                    "carried_rho=on", "--outdir", out + "_car", "--clean"]
+        main()
+        # a strict-signature preset rejects unknown --opt keys cleanly
+        # (the **kw presets swallow extras by design, like migrate_every)
+        sys.argv = ["cli", "run", "explicit_landau", "--opt",
+                    "not_a_kwarg=1", "--outdir", out, "--steps", "1"]
+        with pytest.raises(SystemExit, match="--opt"):
+            main()
+        sys.argv = ["cli", "run", "explicit_landau", "--opt", "nosep",
+                    "--outdir", out, "--steps", "1"]
+        with pytest.raises(SystemExit, match="KEY=VALUE"):
+            main()
     finally:
         sys.argv = argv_old
-    for d in (out, out + "_sup"):
+    for d in (out, out + "_sup", out + "_car"):
         rows = [json.loads(l) for l in open(os.path.join(d, "metrics.jsonl"))]
         assert len(rows) == 8
         assert all(np.isfinite(r["field_energy"]) for r in rows)
