@@ -30,6 +30,9 @@ timeout 2400 python bench.py --only magnetized
 timeout 2400 python bench.py --only magnetized --carried
 timeout 3600 python bench.py
 timeout 3600 python bench.py --only domain
+# 4c. north-star drift for configs[4] (VERDICT item 7: the domain-
+#     decomposed flagship's 1e4-step energy drift is otherwise unmeasured)
+timeout 3600 python bench.py --only domain --drift-steps 10000
 # 5. migration-amortized superstep A/B (single chip: measures the d_tot==1
 #    migrate skip already; --migrate-every exercises the superstep path so
 #    its TPU compile + per-step cost are on record for multi-chip)
