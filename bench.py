@@ -162,19 +162,39 @@ def bench_headline(args):
     n = args.particles or (6104 * 16384 if on_tpu else 200_000)
     grid, x, v, cfg = _landau_problem(n, args.tol, maxiter=args.maxiter)
     state = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
-    step = implicit.make_step(cfg)
     print(f"bench: backend={jax.default_backend()} n={n:.2e} ng={grid.ng} "
           f"steps={args.steps}", file=sys.stderr)
 
-    holder = {}
+    # window_share='auto' on TPU: measure BOTH pass layouts and report the
+    # faster (the shared-window pass is drift-verified — ~20x LESS drift
+    # than separate over the 1e4-step protocol, 3 seeds, PERF.md — so the
+    # choice is about speed only; one extra compile, runs reuse the cache)
+    modes = (("separate", "shared") if on_tpu and cfg.window_share == "auto"
+             else (cfg.window_share,))
+    best = None
+    for mode in modes:
+        import dataclasses
 
-    def go():
-        _, m = run(step, state, args.steps)
-        np.asarray(m.field_energy)
-        holder["m"] = m
+        step = implicit.make_step(
+            dataclasses.replace(cfg, window_share=mode)
+            if mode != cfg.window_share else cfg)
+        holder = {}
 
-    elapsed = _time(go)
-    m = holder["m"]
+        def go():
+            _, m = run(step, state, args.steps)
+            np.asarray(m.field_energy)
+            holder["m"] = m
+
+        elapsed = _time(go)
+        if len(modes) > 1:
+            print(f"bench: window_share={mode}: "
+                  f"{elapsed / args.steps * 1e3:.2f} ms/step",
+                  file=sys.stderr)
+        if best is None or elapsed < best[0]:
+            best = (elapsed, holder["m"], mode, step)
+    elapsed, m, mode, step = best
+    if len(modes) > 1:
+        print(f"bench: headline uses window_share={mode}", file=sys.stderr)
     iters = np.asarray(m.picard_iters)
     _emit("headline", n, args.steps, elapsed,
           f"(picard mean {iters.mean():.1f}, "
