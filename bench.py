@@ -44,6 +44,7 @@ _FINALIZE = "converged"
 _ACCEL = "none"
 _FINALIZE_FIELD = "last"
 _WINDOW_SHARE = "auto"
+_CPU_FALLBACK = False
 
 
 def _emit(name, n, steps, elapsed, extra=""):
@@ -54,10 +55,28 @@ def _emit(name, n, steps, elapsed, extra=""):
         "metric": f"{name}_pushes_per_sec_per_chip"
         if name != "headline" else "particle_pushes_per_sec_per_chip",
         "value": pushes,
-        "unit": "pushes/s",
+        "unit": "pushes/s [cpu-fallback: TPU tunnel down]"
+        if _CPU_FALLBACK else "pushes/s",
         "vs_baseline": pushes / NORTH_STAR,
     }))
     return pushes
+
+
+def _tpu_alive(timeout_s: int = 600) -> bool:
+    """Bounded TPU-backend probe in a subprocess. The axon tunnel's backend
+    init HANGS indefinitely when the tunnel is down (it does not error), so
+    probing in-process would wedge the whole bench run. A subprocess + kill
+    is the only safe check; ~30-60 s when the tunnel is up."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert jax.default_backend() == 'tpu'"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
 
 
 def _time(run_fn, warm=True, reps=2):
@@ -591,6 +610,19 @@ def main():
         # env JAX_PLATFORMS is force-set by the axon sitecustomize; this is
         # the only reliable CPU override (CLAUDE.md gotchas). Small-n smoke
         # runs only — the real rows are TPU measurements.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    elif not _tpu_alive():
+        # The tunnel's backend init hangs (never errors) when the TPU is
+        # unreachable; without this bounded probe the driver's round-end
+        # bench run would wedge forever. Fall back to an HONESTLY LABELED
+        # CPU measurement (unit carries the [cpu-fallback] marker) so a
+        # dead tunnel still yields a recorded, clearly-not-TPU number.
+        global _CPU_FALLBACK
+        _CPU_FALLBACK = True
+        print("bench: TPU backend probe failed (tunnel down?) — "
+              "falling back to CPU with labeled output", file=sys.stderr)
         import jax
 
         jax.config.update("jax_platforms", "cpu")

@@ -37,6 +37,10 @@ class BCAStats:
     wall_reflected: int = 0
     injected: int = 0
     dropped: int = 0
+    # wall-species impacts that were themselves wall-born (BCA products
+    # landing back on the wall — pic_bca_aps's per-step `redeposited`
+    # counter, pygcpic.py:1521-1522); counted under write_particles
+    redeposited: int = 0
 
     def total_yield(self) -> float:
         inc = self.source_incident + self.wall_incident
@@ -86,10 +90,19 @@ def run_bca(
     seed: int = 0,
     log_every: int = 0,
     pic_steps_per_bca: int = 1,
+    write_particles: Optional[str] = None,
 ):
     """Run the hybrid loop for ``steps`` steps.
 
     Requires cfg.impact_buffer_size > 0 (wall-impact extraction on).
+
+    ``write_particles`` (a directory) streams the reference's per-event
+    .dat files (pygcpic.py:1440-1447, 1516-1541): one vx/vth line per
+    wall impact into ``source_wall.dat`` / ``wall_wall.dat`` (split by
+    incident species), ``lateral_displacements.dat`` with the wall
+    species' sqrt(y^2+z^2), and one vx/vth line per mid-domain sheath
+    escape into ``source_out.dat`` / ``wall_out.dat`` (needs
+    cfg.bca_escape for any escape events to exist).
 
     ``pic_steps_per_bca`` batches k jitted PIC steps per host round-trip
     (one lax.scan dispatch), accumulating each step's wall-impact rows and
@@ -134,6 +147,28 @@ def run_bca(
             ms.impacts[i, : int(ms.n_impacts[i])] for i in range(k_steps)
         ])
         n_imp = impacts.shape[0]
+
+        if write_particles is not None:
+            # reference write_particles event streams (pygcpic.py:1440-1447,
+            # 1516-1541): one line per event, append-per-block
+            esc = np.concatenate([
+                ms.escapes[i, : int(ms.n_escape_rows[i])]
+                for i in range(k_steps)
+            ])
+            src_hit = impacts[:, 2].astype(int) == source_species_idx
+            wall_hit = impacts[:, 2].astype(int) == wall_species_idx
+            _append_events(write_particles, "source_wall.dat",
+                           impacts[src_hit, 4])
+            _append_events(write_particles, "wall_wall.dat",
+                           impacts[wall_hit, 4])
+            _append_events(write_particles, "lateral_displacements.dat",
+                           impacts[wall_hit, 5])
+            src_out = esc[:, 1].astype(int) == source_species_idx
+            wall_out = esc[:, 1].astype(int) == wall_species_idx
+            _append_events(write_particles, "source_out.dat",
+                           esc[src_out, 0])
+            _append_events(write_particles, "wall_out.dat", esc[wall_out, 0])
+            stats.redeposited += int(impacts[wall_hit, 6].sum())
 
         # split impacts by incident species (pygcpic.py:1517-1527)
         rows_by_channel = {}
@@ -185,6 +220,20 @@ def run_bca(
                 [z_to_idx.get(int(z), wall_species_idx) for z in batch["z"]],
                 np.int32,
             )
+            if write_particles is not None:
+                # BCA products' launch vx/vth at injection — the
+                # {source,wall}_from_wall.dat streams (pygcpic.py:1607-1621)
+                from ..constants import K_BOLTZMANN
+
+                t_samp = (cfg.source.ti if cfg.source is not None
+                          else cfg.te)
+                vx_b = (np.asarray(batch["v"])[:, 0]
+                        / np.sqrt(K_BOLTZMANN * t_samp
+                                  / np.asarray(batch["m"], np.float64)))
+                _append_events(write_particles, "wall_from_wall.dat",
+                               vx_b[sp_idx == wall_species_idx])
+                _append_events(write_particles, "source_from_wall.dat",
+                               vx_b[sp_idx == source_species_idx])
             t_now = np.full(k, (it + 1) * cfg.dt, np.float32)
             # pad the product batch to a power-of-2 bucket: the jitted inject
             # would otherwise recompile for every distinct batch size (the
@@ -230,6 +279,16 @@ def run_bca(
 
 def cfg_species_name(cfg, idx):
     return f"Z={cfg.species_z[idx]}"
+
+
+def _append_events(dirpath: str, name: str, values) -> None:
+    """Append one line per value to a write_particles .dat stream
+    (pygcpic.py print(..., file=f, flush=True) format)."""
+    import os
+
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, name), "a") as f:
+        f.writelines(f"{v}\n" for v in np.asarray(values))
 
 
 def run_bca_from_iead(

@@ -369,8 +369,10 @@ class StepMetrics(NamedTuple):
     added: jax.Array
     rho: jax.Array  # (ng,)
     phi: jax.Array  # (ng,)
-    # (impact_buffer_size, 4) rows [energy_eV, angle_deg, species_idx, side]
-    # (side: 0 = left wall, 1 = right) + valid count; zero-size when disabled
+    # (impact_buffer_size, 7) rows [energy_eV, angle_deg, species_idx, side,
+    # vx_over_vth, r_lateral_m, from_wall] (side: 0 = left wall, 1 = right;
+    # cols 4-6 feed the write_particles event streams, pygcpic.py:1440-1527)
+    # + valid count; zero-size when disabled
     impacts: jax.Array
     n_impacts: jax.Array
     n_escaped: jax.Array  # BCA products deactivated mid-domain
@@ -382,6 +384,12 @@ class StepMetrics(NamedTuple):
     carry_clamped: jax.Array = 0
     n_ion_suppressed: jax.Array = 0
     n_escape_deferred: jax.Array = 0
+    # per-event sheath-escape rows [vx_over_vth, species_idx, energy_eV,
+    # angle_deg] + valid count (the {source,wall}_out.dat streams,
+    # pygcpic.py:1529-1541); zero-size unless impact_buffer_size > 0 AND
+    # bca_escape
+    escapes: jax.Array = 0
+    n_escape_rows: jax.Array = 0
 
 
 def _gc_pack(p, yz, v, charge_state, m, cfg: MagnetizedConfig):
@@ -927,14 +935,20 @@ def make_step(cfg: MagnetizedConfig):
             vyz = jnp.sqrt(vdy ** 2 + vdz ** 2)
             angle = jnp.arctan2(vyz, jnp.abs(vdx)) * (180.0 / jnp.pi)
             side = (p1 > cells).astype(energy_ev.dtype)
+            # vx normalized by each particle's thermal speed (the reference's
+            # Particle.vth = sqrt(kb T / m), pygcpic.py:100, T = the sampling
+            # Ti; cfg.te fallback when no source is configured)
+            t_samp = cfg.source.ti if cfg.source is not None else cfg.te
+            vth = jnp.sqrt(K_BOLTZMANN * t_samp / state.m)
             rows = jnp.stack(
                 [energy_ev, angle, state.species_idx.astype(energy_ev.dtype),
-                 side],
+                 side, vdx / vth, jnp.sqrt(y1 * y1 + z1 * z1),
+                 state.from_wall.astype(energy_ev.dtype)],
                 axis=-1,
             )
             (impacts,), n_impacts, _ = pack_rows(hit, [rows], cap)
         else:
-            impacts = jnp.zeros((0, 4), jnp.float32)
+            impacts = jnp.zeros((0, 7), jnp.float32)
             n_impacts = jnp.asarray(0, jnp.int32)
 
         # Sheath-escape removal of wall-born particles (pygcpic.py:1529-1541):
@@ -943,6 +957,8 @@ def make_step(cfg: MagnetizedConfig):
         iead_out = state.iead_out
         n_escaped = jnp.asarray(0, jnp.int32)
         n_escape_deferred = jnp.asarray(0, jnp.int32)
+        escapes = jnp.zeros((0, 4), jnp.float32)
+        n_escape_rows = jnp.asarray(0, jnp.int32)
         if cfg.bca_escape:
             mid_lo = cells / 2.0 - cells / 8.0
             mid_hi = cells / 2.0 + cells / 8.0
@@ -972,6 +988,15 @@ def make_step(cfg: MagnetizedConfig):
                     escaped)
                 iead_dropped = iead_dropped + out_dropped
             n_escaped = jnp.sum(escaped.astype(jnp.int32))
+            if cap > 0:
+                # per-event rows for the {source,wall}_out.dat streams
+                # (pygcpic.py:1529-1541; energy_ev/angle in scope: cap > 0
+                # built them above)
+                esc = jnp.stack(
+                    [vdx / vth, state.species_idx.astype(energy_ev.dtype),
+                     energy_ev, angle], axis=-1)
+                (escapes,), n_escape_rows, _ = pack_rows(
+                    escaped, [esc], cap)
 
         # MCC ionization (pygcpic.py:1510-1513)
         n_ionized = jnp.asarray(0, jnp.int32)
@@ -1249,6 +1274,8 @@ def make_step(cfg: MagnetizedConfig):
             carry_clamped=_allreduce(carry_clamped),
             n_ion_suppressed=_allreduce(n_ion_suppressed),
             n_escape_deferred=_allreduce(n_escape_deferred),
+            escapes=escapes,
+            n_escape_rows=n_escape_rows,
         )
         new_state = state.replace(
             p=p1, y=y1, z=z1, vx=vx1, vy=vy1, vz=vz1, m=m_arr,

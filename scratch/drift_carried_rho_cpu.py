@@ -29,6 +29,10 @@ from pypic_tpu.runner import run  # noqa: E402
 
 mode, seed = sys.argv[1], int(sys.argv[2])
 n, steps, chunk = 65536, 10_000, 500
+dt = 1e-6  # wp*dt = 0.018: at the implicit bench's dt=1e-5 (wp*dt=0.18)
+# explicit leapfrog noise-heats ~7x per 1000 steps even at ZERO
+# perturbation (dt^2-scaling integrator error, measured) — the A/B needs
+# the scheme near-conservative so a carried-deposit bias would show
 
 density, te = 1e5, 100.0 * 11600.0  # pypic.py:846-855 canonical preset
 debye = np.sqrt(c.K_BOLTZMANN * te * c.EPSILON_0 / c.E_CHARGE**2 / density)
@@ -40,10 +44,10 @@ grid = GridSpec(200, 22.0 * debye, "periodic")
 # scheme stays near-conservative over the full horizon
 x, v, p = initialize.initialize_periodic(
     "landau-damping", n, density, 1, 0.1, grid, te, te, seed=seed)
-sigma_cells = float(np.asarray(v).std()) * 1e-5 / grid.dx
+sigma_cells = float(np.asarray(v).std()) * dt / grid.dx
 halo = max(4, int(np.ceil(8.0 * sigma_cells))) if mode == "carried" else 0
 cfg = dom.DomainConfig(
-    grid, 1e-5, p.p2c, num_shards=8, halo=halo, migrate_cap=65536,
+    grid, dt, p.p2c, num_shards=8, halo=halo, migrate_cap=65536,
     carried_rho="on" if mode == "carried" else "off")
 mesh = make_mesh(8, axis="slabs")
 st = dom.shard_state(

@@ -106,16 +106,42 @@ def test_inject_drops_overflow():
     assert int(n_inj) == 0 and int(n_drop) == k
 
 
-def test_bca_driver_full_chain():
+def test_bca_driver_full_chain(tmp_path):
     """H plasma vs B wall with the empirical surface model: impacts are
     collected, products are injected as neutral wall atoms, some ionize."""
     cfg, st, pre = _bca_setup(ppc=10)
     model_sw = bca.BinaryCollisionModel(seed=1)
     model_ww = bca.BinaryCollisionModel(incident_m_amu=10.81, incident_z=5, seed=2)
+    events = str(tmp_path / "events")
     fin, stats, hist = bca_driver.run_bca(
         st, cfg, 120, model_sw, model_ww,
         product_p2c=float(np.asarray(st.p2c)[0]), seed=3,
+        write_particles=events,
     )
+    # reference write_particles event streams (pygcpic.py:1440-1527): one
+    # vx/vth line per wall impact split by species; lateral displacements
+    # for the wall species; line counts match the incident counters
+    import os
+
+    src_vx = np.loadtxt(os.path.join(events, "source_wall.dat"))
+    wall_vx = np.loadtxt(os.path.join(events, "wall_wall.dat"))
+    lat = np.loadtxt(os.path.join(events, "lateral_displacements.dat"))
+    assert src_vx.size == stats.source_incident
+    assert wall_vx.size == stats.wall_incident
+    assert lat.size == stats.wall_incident
+    assert np.isfinite(src_vx).all() and np.isfinite(lat).all()
+    # impacts arrive AT a wall: vx/vth is O(sheath-accelerated thermal)
+    assert 0.0 < np.abs(np.atleast_1d(src_vx)).max() < 1e3
+    assert (np.atleast_1d(lat) >= 0.0).all()
+    assert 0 <= stats.redeposited <= stats.wall_incident
+    # product-injection streams: one vx/vth line per injected BCA product
+    fw = np.concatenate([
+        np.atleast_1d(np.loadtxt(os.path.join(events, f"{s}_from_wall.dat")))
+        for s in ("source", "wall")
+        if os.path.getsize(os.path.join(events, f"{s}_from_wall.dat")) > 0
+    ])
+    assert fw.size == stats.injected + stats.dropped
+    assert np.isfinite(fw).all()
     assert stats.source_incident > 100
     assert stats.sputtered > 0 and stats.source_reflected > 0
     assert stats.injected > 0 and stats.dropped == 0
@@ -154,6 +180,13 @@ def test_bca_escape_region_deactivates_wall_born():
     step = magnetized.make_step(cfg)
     st2, m = step(st)
     assert int(m.n_escaped) >= 1
+    # per-event escape rows (the {source,wall}_out.dat stream): vx/vth,
+    # species_idx, energy_eV, angle_deg of the planted slow wall-born row
+    assert int(m.n_escape_rows) >= 1
+    esc = np.asarray(m.escapes)[: int(m.n_escape_rows)]
+    assert np.isfinite(esc).all()
+    assert (esc[:, 2] >= 0.0).all() and (0.0 <= esc[:, 3]).all()
+    assert (esc[:, 3] <= 90.0).all()
     # the escaped particle is gone: its slot is either free or already
     # recycled by the capped-source refill as a fresh (from_wall=0) H ion
     assert int(st2.active[0]) == 0 or int(st2.from_wall[0]) == 0
