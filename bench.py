@@ -55,7 +55,7 @@ def _emit(name, n, steps, elapsed, extra=""):
         "metric": f"{name}_pushes_per_sec_per_chip"
         if name != "headline" else "particle_pushes_per_sec_per_chip",
         "value": pushes,
-        "unit": "pushes/s [cpu-fallback: TPU tunnel down]"
+        "unit": "pushes/s [cpu-fallback: no TPU backend reachable]"
         if _CPU_FALLBACK else "pushes/s",
         "vs_baseline": pushes / NORTH_STAR,
     }))

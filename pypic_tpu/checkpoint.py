@@ -141,7 +141,8 @@ class CheckpointManager:
     (``checkpoint_saving=100``, pygcpic.py:1336)."""
 
     def __init__(self, directory: str, every: int = 100, keep: int = 3,
-                 prefix: str = "state", async_write: bool = False):
+                 prefix: str = "state", async_write: bool = False,
+                 extra: dict | None = None):
         """``async_write=True`` moves the npz compression + filesystem write
         to a single background thread: ``maybe_save`` fetches the leaves to
         host (the only device-synchronous part — D2H copy) and returns, so
@@ -152,8 +153,12 @@ class CheckpointManager:
         ``restore``, never silently. Atomicity (tmp + rename) is unchanged,
         so a crash mid-write still never corrupts the previous checkpoint.
         The reference blocks its loop on a synchronous pickle instead
-        (pygcpic.py:1627-1632)."""
+        (pygcpic.py:1627-1632). ``extra`` is stored verbatim in every
+        manifest (run provenance — e.g. the CLI records whether the rho
+        leaf is live under a carried-deposit config, so resume knows
+        whether to trust or re-prime it)."""
         self.directory = directory
+        self.extra = extra
         self.every = int(every)
         self.keep = int(keep)
         self.prefix = prefix
@@ -178,7 +183,7 @@ class CheckpointManager:
         if step // self.every <= self._last_saved // self.every:
             return False
         if self._executor is None:
-            save(self._path(step), state, step=step)
+            save(self._path(step), state, step=step, extra=self.extra)
             self._last_saved = step
             self._gc()
             return True
@@ -190,7 +195,7 @@ class CheckpointManager:
         path = self._path(step)
 
         def _task():
-            _write_npz(path, paths, arrays, step, None)
+            _write_npz(path, paths, arrays, step, self.extra)
             self._gc()
 
         self._pending = self._executor.submit(_task)

@@ -69,18 +69,21 @@ def _cmd_run(args):
         pkw[key.replace("-", "_")] = val
     try:
         preset = presets.get(args.preset, **pkw)
-    except TypeError:
-        if "migrate_every" in pkw:
-            sys.exit(f"--migrate-every is not supported by preset "
-                     f"{args.preset!r} (domain presets only)")
-        if getattr(args, "opt", None):
-            sys.exit(f"an --opt key is not accepted by preset "
-                     f"{args.preset!r} (see its signature in presets.py)")
+    except TypeError as e:
+        # only claim a bad key when the error really is one (a TypeError
+        # raised INSIDE the preset body must surface its own traceback)
+        if "unexpected keyword argument" in str(e):
+            if "migrate_every" in pkw:
+                sys.exit(f"--migrate-every is not supported by preset "
+                         f"{args.preset!r} (domain presets only)")
+            if getattr(args, "opt", None):
+                sys.exit(f"an --opt key is not accepted by preset "
+                         f"{args.preset!r} (see its signature in presets.py)")
         raise
     # migration-amortized supersteps (domain presets): one step() call
     # advances spc sim steps and stacks a (spc,) axis on the metrics
     spc = int(preset.meta.get("steps_per_call", 1))
-    if "migrate_every" in pkw and spc != args.migrate_every:
+    if "migrate_every" in pkw and spc != pkw["migrate_every"]:
         # a **kw preset would otherwise swallow the flag silently and the
         # user would believe they measured the superstep when they did not
         sys.exit(f"--migrate-every is not supported by preset "
@@ -105,9 +108,17 @@ def _cmd_run(args):
     state = preset.state
     mgr = None
     if args.checkpoint_every:
+        # provenance marker: a rho/n leaf is only LIVE (updated past step 0)
+        # under a carried config — resume uses this to decide whether a
+        # restored rho can be trusted or must be re-primed from particles
+        rho_live = (
+            getattr(preset.config, "carried_deposit", "off") == "on"
+            or getattr(preset.config, "carried_rho", "off") == "on"
+        )
         mgr = checkpoint.CheckpointManager(
             os.path.join(outdir, "checkpoints"), every=args.checkpoint_every,
             async_write=args.async_checkpoint,
+            extra={"rho_live": rho_live},
         )
         if args.resume:
             state, manifest = mgr.restore(
@@ -144,29 +155,33 @@ def _cmd_run(args):
                 state = state.replace(**refresh)
                 print(f"seeded {sorted(refresh)} from the restored field "
                       "(pre-history checkpoint)", file=sys.stderr)
-            # carried-deposit magnetized configs: a PRE-carry checkpoint
-            # restores template zeros for the rho/n leaves — recompute them
-            # from the restored particles. A post-carry checkpoint restores
-            # the exact kernel-summed carry; leave it untouched so resume
-            # stays bit-exact (the same gate as the explicit refresh above).
+            # carried-deposit/carried-rho configs: only a checkpoint WRITTEN
+            # under a carried config holds a live rho (manifest extra
+            # rho_live, recorded by the manager above) — a pre-carry / pre-
+            # leaf / carried-off checkpoint restores step-0 zeros or a stale
+            # init prime, so recompute from the restored particles. A
+            # carried-written checkpoint restores the exact kernel-summed
+            # carry; leave it untouched so resume stays bit-exact.
+            ckpt_rho_live = (
+                ".rho" in manifest.get("leaf_paths", [])
+                and manifest.get("extra", {}).get("rho_live", False)
+            )
             if (getattr(preset.config, "carried_deposit", "off") == "on"
-                    and ".rho" not in manifest.get("leaf_paths", [])):
+                    and not ckpt_rho_live):
                 from .engines import magnetized as _magnetized
 
                 state = _magnetized.prime_carry(state, preset.config)
                 print("re-primed carried rho/n from restored positions "
-                      "(pre-carry checkpoint)", file=sys.stderr)
-            # carried-rho explicit domain configs: a checkpoint from before
-            # the rho leaf existed restores the template's step-0 deposit (a
-            # different particle configuration) — re-prime from the restored
-            # positions (same gate class as the explicit refresh above)
+                      "(checkpoint written without a live carry)",
+                      file=sys.stderr)
             if (getattr(preset.config, "carried_rho", "off") == "on"
-                    and ".rho" not in manifest.get("leaf_paths", [])):
+                    and not ckpt_rho_live):
                 from .parallel import domain as _domain
 
                 state = _domain.prime_rho(state, preset.config)
                 print("re-primed carried rho from restored positions "
-                      "(pre-rho checkpoint)", file=sys.stderr)
+                      "(checkpoint written without a live carry)",
+                      file=sys.stderr)
             # sharded presets (domain_implicit) restore to host arrays;
             # re-place them on the device mesh before stepping
             reshard = preset.meta.get("reshard")

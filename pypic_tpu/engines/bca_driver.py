@@ -41,6 +41,9 @@ class BCAStats:
     # landing back on the wall — pic_bca_aps's per-step `redeposited`
     # counter, pygcpic.py:1521-1522); counted under write_particles
     redeposited: int = 0
+    # sheath-escape events whose .dat line was dropped by the per-step
+    # row buffer cap (dynamics unaffected; write_particles only)
+    escape_lines_dropped: int = 0
 
     def total_yield(self) -> float:
         inc = self.source_incident + self.wall_incident
@@ -169,6 +172,11 @@ def run_bca(
                            esc[src_out, 0])
             _append_events(write_particles, "wall_out.dat", esc[wall_out, 0])
             stats.redeposited += int(impacts[wall_hit, 6].sum())
+            # escapes past the per-step buffer cap lose their event LINE
+            # (never their dynamics — deactivation is exact); keep the
+            # stream honest by counting what the .dat files are missing
+            stats.escape_lines_dropped += max(
+                0, int(np.asarray(ms.n_escaped).sum()) - esc.shape[0])
 
         # split impacts by incident species (pygcpic.py:1517-1527)
         rows_by_channel = {}

@@ -360,9 +360,10 @@ def host_rho(p, w, ng: int) -> np.ndarray:
     w = np.broadcast_to(np.asarray(w, np.float64), p.shape)
     i0 = np.floor(p).astype(np.int64)
     fr = p - i0
-    rho = np.zeros(ng, np.float64)
-    np.add.at(rho, i0 % ng, w * (1.0 - fr))
-    np.add.at(rho, (i0 + 1) % ng, w * fr)
+    # bincount streams at memory bandwidth; np.add.at is ~10x slower at the
+    # bench's 1e8-particle prime (identical f64 result — both sum per-bin)
+    rho = np.bincount(i0 % ng, weights=w * (1.0 - fr), minlength=ng)
+    rho += np.bincount((i0 + 1) % ng, weights=w * fr, minlength=ng)
     return rho.astype(np.float32)
 
 

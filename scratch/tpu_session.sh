@@ -10,11 +10,16 @@ date
 # 0. device sanity
 timeout 300 python -c "import jax; print(jax.devices())" || exit 1
 
-# 1. magnetized fast-path A/B (validates the in-kernel while_loop compiles:
+# 1. THE HEADLINE FIRST (conserving config; window_share='auto' measures
+#    BOTH pass layouts in-run) — if the tunnel only stays up briefly, this
+#    is the number that matters most
+timeout 3600 python bench.py
+
+# 2. magnetized fast-path A/B (validates the in-kernel while_loop compiles:
 #    pallas Newton, react_batch, iead_pack) — the 1e9-at-1e6 target
 timeout 2400 python scratch/bench_mag_round3b.py
 
-# 2. shared-window Picard A/B (expected ~15% on the conserving headline)
+# 2b. shared-window Picard pass standalone A/B (per-pass breakdown detail)
 timeout 2400 python scratch/bench_window_share.py
 
 # 3. resident small-n rows
@@ -28,7 +33,6 @@ timeout 2400 python bench.py --only magnetized
 # 4b. carried-deposit A/B on the magnetized row (round 3c; exactness
 #     metrics asserted in-bench — watch for the WARNING line)
 timeout 2400 python bench.py --only magnetized --carried
-timeout 3600 python bench.py
 timeout 3600 python bench.py --only domain
 # 4c. north-star drift for configs[4] (VERDICT item 7: the domain-
 #     decomposed flagship's 1e4-step energy drift is otherwise unmeasured)
