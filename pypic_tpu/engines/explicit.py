@@ -256,6 +256,8 @@ def run_resident(cfg: ExplicitConfig, state: ExplicitState, steps: int,
     ``steps`` exactly as runner.run stacks StepMetrics scalars.
     """
     ng = cfg.grid.ng
+    if cfg.axis_name is not None:
+        raise ValueError("run_resident is single-device (axis_name=None)")
     if jnp.ndim(state.q) != 0 or jnp.ndim(state.m) != 0:
         raise ValueError("run_resident requires scalar q/m")
     if ng > 1024:
@@ -291,7 +293,7 @@ def _resident_fns(cfg: ExplicitConfig, spc: int, full: int, rem: int):
     def chunk(st: ExplicitState, n_steps: int):
         qm = st.q / st.m
         p1, v1, rho1, e1, fe, ke, jb = explicit_cycle_resident_pallas(
-            st.e, st.rho, st.p, st.v, ng, n_steps,
+            st.e, st.p, st.v, ng, n_steps,
             qm=qm, w=st.q * (cfg.p2c / dx),
             ke_c=0.5 * cfg.p2c * st.m,
             jb_c=st.q * (cfg.p2c / dx / ng),

@@ -94,7 +94,8 @@ class MagnetizedConfig:
     # that made the solve the largest item of the 1e6-particle step budget,
     # PERF.md round 3). Same algorithm and globalization; converged phi
     # agrees to tol, not bit-for-bit (PCR sums in a different order).
-    # 'auto' = pallas on TPU for the Dirichlet-Dirichlet f32 path.
+    # 'auto' = pallas on TPU for the f32 path — BOTH wall conditions
+    # (D-D via pure PCR, D-N via the Sherman-Morrison 2-RHS variant).
     newton_backend: str = "auto"
     ionization: bool = False
     max_charge_state: int = 3  # pygcpic.py:1512 gate; 1 == reference quirk
@@ -611,6 +612,90 @@ def make_inject(cfg: MagnetizedConfig):
     return inject
 
 
+def boltzmann_n0_update(step, n0_prev, p_old, added, q_new, p_new, *,
+                        dt, ve, n_mean):
+    """Adaptive Boltzmann reference-density recurrence (pygcpic.py:889-904)
+    — shared by this engine and the slab-sharded one so the quirky n0
+    update formula lives in exactly one place. The caller supplies the
+    (possibly distributed) reductions: ``p_new`` = trapz(exp(phi/Te)) dx,
+    ``q_new`` = exp(phi/Te) end-point sum, ``n_mean`` = mean ion density
+    (the step-0 seed, 0.9 * n_mean). Returns (n0, p_new)."""
+    def first(_):
+        return 0.9 * n_mean, p_new
+
+    def later(_):
+        r_new = 2.0 * added / dt
+        fn = jnp.sqrt(ve * q_new * dt / p_new)
+        n0 = n0_prev * (
+            (1.0 - fn) * p_old / p_new + fn - fn * fn / 4.0
+        ) + r_new * dt / p_new
+        return n0, p_new
+
+    return lax.cond(step == 0, first, later, None)
+
+
+def iead_update(iead, species_idx, m, vdx, vdy, vdz, hit, *, bins,
+                energy_max, angle_max, pack, deposit_method, allreduce):
+    """Wall-impact energy-angle histogram update (pygcpic.py:1239-1262) —
+    shared by this engine and the slab-sharded one
+    (parallel/domain_magnetized.py) so the reference's binning quirks live
+    in exactly one place.
+
+    Out-of-range impacts are excluded, matching np.histogram2d's range
+    semantics (pygcpic.py:1259: range=[[0, emax], [0, amax]] discards
+    values beyond the range rather than clipping them into edge bins);
+    values exactly at the upper edge land in the last bin, as numpy's do.
+    Velocities arrive as flat components (the stacked (n, 3) form cost
+    a cross-layout multiply-reduce, ~0.1 ms/step at 1e6).
+
+    ``allreduce`` sums the per-shard update before it lands on the
+    replicated histogram state (identity on a single device). Returns
+    (iead + allreduce(update), n_dropped); ``pack > 0`` enables the packed
+    fast path with overflow rows dropped and counted.
+    """
+    ne, na = bins
+    energy_ev = (0.5 * m * (vdx * vdx + vdy * vdy + vdz * vdz)
+                 / E_CHARGE)
+    vyz = jnp.sqrt(vdy ** 2 + vdz ** 2)
+    angle = jnp.arctan2(vyz, jnp.abs(vdx)) * (180.0 / jnp.pi)
+    in_range = (
+        (energy_ev >= 0.0) & (energy_ev <= energy_max)
+        & (angle >= 0.0) & (angle <= angle_max)
+    )
+    ei = jnp.clip(
+        (energy_ev * (ne / energy_max)).astype(jnp.int32), 0, ne - 1
+    )
+    ai = jnp.clip(
+        (angle * (na / angle_max)).astype(jnp.int32), 0, na - 1
+    )
+    flat = (species_idx * (ne * na) + ei * na + ai)
+    contributes = hit & in_range
+    n_dropped = jnp.asarray(0, jnp.int32)
+    if pack > 0:
+        # pack the ~0.1% contributing rows UNCONDITIONALLY (a lax.cond
+        # overflow fallback measured 6 ms slower in the scanned step —
+        # it materializes its captured full-capacity operands every
+        # step) and histogram the packed buffer; overflow rows are
+        # dropped and counted (PERF.md round 3)
+        from ..utils import pack_rows
+
+        (flat_p,), n_valid, n_dropped = pack_rows(contributes, [flat], pack)
+        vals = (jnp.arange(pack) < n_valid).astype(iead.dtype)
+        upd = histogram_add(flat_p, vals, iead.size, method=deposit_method)
+    else:
+        # histogram as a width-0 tent deposit over every particle (TPU
+        # path; the XLA scatter serializes and dominated the whole
+        # step, 8.8 ms at 1e6 on v5e) — the cast also avoids the x64
+        # float64-into-float32 scatter error.
+        upd = histogram_add(
+            flat,
+            jnp.where(contributes, 1.0, 0.0).astype(iead.dtype),
+            iead.size,
+            method=deposit_method,
+        )
+    return iead + allreduce(upd.reshape(iead.shape)), n_dropped
+
+
 def make_step(cfg: MagnetizedConfig):
     grid = cfg.grid
     ng = grid.ng
@@ -629,77 +714,19 @@ def make_step(cfg: MagnetizedConfig):
     def _boltzmann_weight(state, rho, n_dens):
         """Adaptive n0/rho0 update (pygcpic.py:889-904)."""
         eta = jnp.exp(state.phi / te_volts)
-        p_new = jnp.trapezoid(eta, dx=dx)
-
-        def first(_):
-            return 0.9 * jnp.mean(n_dens), p_new
-
-        def later(_):
-            q_new = eta[0] + eta[-1]
-            r_new = 2.0 * state.added / dt
-            fn = jnp.sqrt(ve * q_new * dt / p_new)
-            n0 = state.n0 * (
-                (1.0 - fn) * state.p_old / p_new + fn - fn * fn / 4.0
-            ) + r_new * dt / p_new
-            return n0, p_new
-
-        return lax.cond(state.step == 0, first, later, None)
+        return boltzmann_n0_update(
+            state.step, state.n0, state.p_old, state.added,
+            q_new=eta[0] + eta[-1], p_new=jnp.trapezoid(eta, dx=dx),
+            dt=dt, ve=ve, n_mean=jnp.mean(n_dens),
+        )
 
     def _iead_accumulate(iead, species_idx, m, vdx, vdy, vdz, hit):
-        """Wall-impact energy-angle histogram (pygcpic.py:1239-1262).
-
-        Out-of-range impacts are excluded, matching np.histogram2d's range
-        semantics (pygcpic.py:1259: range=[[0, emax], [0, amax]] discards
-        values beyond the range rather than clipping them into edge bins);
-        values exactly at the upper edge land in the last bin, as numpy's do.
-        Velocities arrive as flat components (the stacked (n, 3) form cost
-        a cross-layout multiply-reduce, ~0.1 ms/step at 1e6).
-        """
-        ne, na = cfg.iead_bins
-        energy_ev = (0.5 * m * (vdx * vdx + vdy * vdy + vdz * vdz)
-                     / E_CHARGE)
-        vyz = jnp.sqrt(vdy ** 2 + vdz ** 2)
-        angle = jnp.arctan2(vyz, jnp.abs(vdx)) * (180.0 / jnp.pi)
-        in_range = (
-            (energy_ev >= 0.0) & (energy_ev <= cfg.iead_energy_max)
-            & (angle >= 0.0) & (angle <= cfg.iead_angle_max)
+        return iead_update(
+            iead, species_idx, m, vdx, vdy, vdz, hit,
+            bins=cfg.iead_bins, energy_max=cfg.iead_energy_max,
+            angle_max=cfg.iead_angle_max, pack=cfg.iead_pack,
+            deposit_method=cfg.deposit_method, allreduce=_allreduce,
         )
-        ei = jnp.clip(
-            (energy_ev * (ne / cfg.iead_energy_max)).astype(jnp.int32), 0, ne - 1
-        )
-        ai = jnp.clip(
-            (angle * (na / cfg.iead_angle_max)).astype(jnp.int32), 0, na - 1
-        )
-        flat = (species_idx * (ne * na) + ei * na + ai)
-        contributes = hit & in_range
-        n_dropped = jnp.asarray(0, jnp.int32)
-        if cfg.iead_pack > 0:
-            # pack the ~0.1% contributing rows UNCONDITIONALLY (a lax.cond
-            # overflow fallback measured 6 ms slower in the scanned step —
-            # it materializes its captured full-capacity operands every
-            # step) and histogram the packed buffer; overflow rows are
-            # dropped and counted (PERF.md round 3)
-            from ..utils import pack_rows
-
-            (flat_p,), n_valid, n_dropped = pack_rows(
-                contributes, [flat], cfg.iead_pack
-            )
-            vals = (jnp.arange(cfg.iead_pack) < n_valid).astype(iead.dtype)
-            upd = histogram_add(flat_p, vals, iead.size,
-                                method=cfg.deposit_method)
-        else:
-            # histogram as a width-0 tent deposit over every particle (TPU
-            # path; the XLA scatter serializes and dominated the whole
-            # step, 8.8 ms at 1e6 on v5e) — the cast also avoids the x64
-            # float64-into-float32 scatter error.
-            upd = histogram_add(
-                flat,
-                jnp.where(contributes, 1.0, 0.0).astype(iead.dtype),
-                iead.size,
-                method=cfg.deposit_method,
-            )
-        # replicated histogram state += psum'd per-shard impacts under dp
-        return iead + _allreduce(upd.reshape(iead.shape)), n_dropped
 
     def _use_fused(n):
         if cfg.pusher == "gc":
@@ -764,16 +791,18 @@ def make_step(cfg: MagnetizedConfig):
         if cfg.smooth_rho:
             rho = smooth_bounded(rho)
 
+        # one warm start + backend gate for BOTH wall conditions (rho and
+        # n_dens always share a dtype — the deposit weights derive from it)
+        phi_warm = (
+            2.0 * state.phi - state.phi_prev
+            if cfg.newton_warm == "extrapolate" else state.phi
+        )
+        use_pallas_newton = (
+            cfg.newton_backend == "pallas"
+            or (cfg.newton_backend == "auto"
+                and jax.default_backend() == "tpu")
+        ) and rho.dtype == jnp.float32
         if dirichlet_neumann:
-            phi_warm = (
-                2.0 * state.phi - state.phi_prev
-                if cfg.newton_warm == "extrapolate" else state.phi
-            )
-            use_pallas_newton = (
-                cfg.newton_backend == "pallas"
-                or (cfg.newton_backend == "auto"
-                    and jax.default_backend() == "tpu")
-            ) and n_dens.dtype == jnp.float32
             if use_pallas_newton:
                 from ..ops.pallas_newton import boltzmann_dn_pallas
 
@@ -787,15 +816,6 @@ def make_step(cfg: MagnetizedConfig):
                     tol=1e-3, maxiter=100,
                 )
         else:
-            phi_warm = (
-                2.0 * state.phi - state.phi_prev
-                if cfg.newton_warm == "extrapolate" else state.phi
-            )
-            use_pallas_newton = (
-                cfg.newton_backend == "pallas"
-                or (cfg.newton_backend == "auto"
-                    and jax.default_backend() == "tpu")
-            ) and rho.dtype == jnp.float32
             if use_pallas_newton:
                 from ..ops.pallas_newton import boltzmann_dirichlet_pallas
 

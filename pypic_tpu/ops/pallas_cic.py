@@ -1190,7 +1190,7 @@ def _deposit_acc(pos, values, num_k, block, stride, width):
 
 
 def _explicit_resident_kernel(
-    scal_ref, e0_ref, rho0_ref, fwin_ref, fold_ref, me_ref, sel_ref,
+    scal_ref, e0_ref, fwin_ref, fold_ref, me_ref, sel_ref,
     p_ref, v_ref,
     p1_ref, v1_ref, rho_ref, e1_ref, fe_ref, ke_ref, jb_ref,
     *, num_k, ng, block, n_valid, stride, width, steps, spad, fe_c,
@@ -1242,7 +1242,7 @@ def _explicit_resident_kernel(
         0, steps,
         body,
         (p_ref[0, 0, :], v_ref[0, 0, :], e0_ref[:], fwin_ref[:],
-         rho0_ref[:], zrow, zrow, zrow),
+         jnp.zeros((1, ng), jnp.float32), zrow, zrow, zrow),
     )
     p1_ref[0, 0, :] = p1
     v1_ref[0, 0, :] = v1
@@ -1274,7 +1274,7 @@ _RESIDENT_MAX_N = 32768  # (8 + width + K) * B * 4 bytes must fit ~16MB VMEM
 
 
 def explicit_cycle_resident_pallas(
-    e_field, rho0, p, v, ng: int, steps: int, *, qm, w, ke_c, jb_c,
+    e_field, p, v, ng: int, steps: int, *, qm, w, ke_c, jb_c,
     dt: float, dx: float, fold_mat, me_mat, sel_mat, fe_c: float,
 ):
     """``steps`` full explicit PIC cycles in ONE kernel invocation —
@@ -1319,7 +1319,7 @@ def explicit_cycle_resident_pallas(
         kern,
         in_specs=[
             pl.BlockSpec((8, 1), memory_space=pltpu.SMEM),
-            full, full, full, full, full, full, full, full,
+            full, full, full, full, full, full, full,
         ],
         out_specs=(full,) * 7,
         out_shape=(
@@ -1333,8 +1333,7 @@ def explicit_cycle_resident_pallas(
         ),
         interpret=_interpret(),
     )(scal, e_field[None, :].astype(jnp.float32),
-      rho0[None, :].astype(jnp.float32), fwin_t, fold_mat, me_mat, sel_mat,
-      p_b, v_b)
+      fwin_t, fold_mat, me_mat, sel_mat, p_b, v_b)
     s = int(steps)
     return (p1.reshape(-1)[:n], v1.reshape(-1)[:n], rho.reshape(-1),
             e1.reshape(-1), fe[0, :s], ke[0, :s], jb[0, :s])

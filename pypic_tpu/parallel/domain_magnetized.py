@@ -50,11 +50,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..constants import E_CHARGE, EPSILON_0, EV_TO_K, K_BOLTZMANN, M_ELECTRON
 from ..grid import DIRICHLET_DIRICHLET, GridSpec
-from ..ops import deposit, gather, histogram_add
+from ..ops import deposit, gather
 from ..ops.poisson import _EXP_CLAMP, _safe_exp
 from ..ops.ionization import attempt_ionization, rate_matrix
 from ..push import boris_push_dt
-from ..engines.magnetized import SourceSpec
+from ..engines.magnetized import SourceSpec, boltzmann_n0_update, iead_update
 from .. import sources
 from .domain import (
     distribute_by_slab, halo_extend, halo_fold, migrate, ring_perms,
@@ -417,20 +417,11 @@ def make_step(cfg: DomainMagnetizedConfig, mesh: Mesh):
         sums = lax.psum(
             jnp.stack([jnp.sum(eta), end_l, end_r, jnp.sum(n_dens)]), ax)
         p_new = dx * (sums[0] - 0.5 * (sums[1] + sums[2]))
-
-        def first(_):
-            return 0.9 * sums[3] / ng, p_new
-
-        def later(_):
-            q_new = sums[1] + sums[2]
-            r_new = 2.0 * state.added / dt
-            fn = jnp.sqrt(ve * q_new * dt / p_new)
-            n0 = state.n0 * (
-                (1.0 - fn) * state.p_old / p_new + fn - fn * fn / 4.0
-            ) + r_new * dt / p_new
-            return n0, p_new
-
-        n0, p_old = lax.cond(state.step == 0, first, later, None)
+        n0, p_old = boltzmann_n0_update(
+            state.step, state.n0, state.p_old, state.added,
+            q_new=sums[1] + sums[2], p_new=p_new,
+            dt=dt, ve=ve, n_mean=sums[3] / ng,
+        )
         added = jnp.zeros_like(state.added)
 
         if cfg.smooth_rho:
@@ -502,28 +493,17 @@ def make_step(cfg: DomainMagnetizedConfig, mesh: Mesh):
         active = jnp.where(hit, 0, state.active)
         at_wall = jnp.where(hit, 1, state.at_wall)
 
-        # --- IEAD histograms (replicated state += psum'd updates)
+        # --- IEAD histograms (replicated state += psum'd updates; the
+        # binning quirks live in the single-device engine's shared helper)
         iead = state.iead
         if cfg.iead_energy_max > 0.0:
-            ne, na = cfg.iead_bins
-            energy_ev = (0.5 * state.m
-                         * (vx1 * vx1 + vy1 * vy1 + vz1 * vz1) / E_CHARGE)
-            vyz = jnp.sqrt(vy1 ** 2 + vz1 ** 2)
-            angle = jnp.arctan2(vyz, jnp.abs(vx1)) * (180.0 / jnp.pi)
-            in_range = (
-                (energy_ev >= 0.0) & (energy_ev <= cfg.iead_energy_max)
-                & (angle >= 0.0) & (angle <= cfg.iead_angle_max)
+            iead, _ = iead_update(
+                iead, state.species_idx, state.m, vx1, vy1, vz1, hit,
+                bins=cfg.iead_bins, energy_max=cfg.iead_energy_max,
+                angle_max=cfg.iead_angle_max, pack=0,
+                deposit_method=cfg.deposit_method,
+                allreduce=lambda u: lax.psum(u, axes_all),
             )
-            ei = jnp.clip((energy_ev * (ne / cfg.iead_energy_max))
-                          .astype(jnp.int32), 0, ne - 1)
-            ai = jnp.clip((angle * (na / cfg.iead_angle_max))
-                          .astype(jnp.int32), 0, na - 1)
-            flat = state.species_idx * (ne * na) + ei * na + ai
-            upd = histogram_add(
-                flat, jnp.where(hit & in_range, 1.0, 0.0).astype(iead.dtype),
-                iead.size, method=cfg.deposit_method,
-            )
-            iead = iead + lax.psum(upd.reshape(iead.shape), axes_all)
 
         # --- MCC ionization (pygcpic.py:1510-1513), shard-local
         n_ionized = jnp.asarray(0, jnp.int32)
