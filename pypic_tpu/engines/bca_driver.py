@@ -370,8 +370,22 @@ def run_bca_from_iead(
     ne, na = cfg.iead_bins
     e_edges = np.linspace(0.0, cfg.iead_energy_max, ne + 1)
     a_edges = np.linspace(0.0, cfg.iead_angle_max, na + 1)
-    # histograms processed so far (the state accumulates over the whole run)
-    seen = np.asarray(state.iead, np.float64).copy()
+    # The engine accumulates iead in f32 (TPU deposit dtype); a bin
+    # saturates at 2^24 counts, after which `total - seen` deltas are
+    # silently zero and the surface model stops seeing wall flux. Drain
+    # the device histogram every BCA round into an f64 HOST total instead:
+    # per-round bin counts stay far below the f32 integer range, and the
+    # checkpointed/returned state carries the (f32-rounded) running total.
+    iead_total = np.asarray(state.iead, np.float64).copy()
+
+    def _drained(st):
+        st = st.replace(iead=jnp.zeros_like(st.iead))
+        return reshard(st) if reshard is not None else st
+
+    def _with_total(st):
+        return st.replace(iead=jnp.asarray(iead_total, st.iead.dtype))
+
+    state = _drained(state)
 
     done = 0
     while done < steps:
@@ -384,9 +398,9 @@ def run_bca_from_iead(
         metrics_hist.extend(
             jax.tree.map(lambda a, i=i: a[i], ms) for i in range(k_steps)
         )
-        total = np.asarray(state.iead, np.float64)
-        delta = np.maximum(total - seen, 0.0)
-        seen = total
+        delta = np.asarray(state.iead, np.float64)
+        iead_total += delta
+        state = _drained(state)
 
         new_rows = []
         new_sides = []
@@ -459,7 +473,8 @@ def run_bca_from_iead(
                 state = reshard(state)
 
         if checkpoint_manager is not None:
-            checkpoint_manager.maybe_save(state, done)
+            # checkpoints carry the running total (resume re-drains it)
+            checkpoint_manager.maybe_save(_with_total(state), done)
 
         if log_every and (it % log_every < k_steps):
             print(
@@ -469,4 +484,7 @@ def run_bca_from_iead(
                 f"{stats.source_reflection():.3f}"
             )
 
+    state = _with_total(state)
+    if reshard is not None:
+        state = reshard(state)
     return state, stats, metrics_hist

@@ -264,6 +264,16 @@ class MagnetizedConfig:
             raise ValueError(f"unknown gc_eom {self.gc_eom!r}")
         if self.pusher == "gc" and not any(v != 0.0 for v in self.b):
             raise ValueError("pusher='gc' requires a nonzero magnetic field")
+        if self.pusher == "gc" and self.backend == "fused":
+            raise ValueError(
+                "backend='fused' does not support pusher='gc' (the GC path "
+                "mixes per-particle RK4/Boris by mode — use backend='auto' "
+                "or 'composed')")
+        if self.source_sampler == "pallas" and self.reactivate == "flux":
+            raise ValueError(
+                "source_sampler='pallas' does not implement the flux-source "
+                "CDF table draw — use 'auto' (falls back to threefry here), "
+                "'threefry', or 'hash'")
         if self.react_batch < 0:
             raise ValueError("react_batch must be >= 0")
         if self.carried_deposit not in ("auto", "on", "off"):
@@ -1116,7 +1126,10 @@ def make_step(cfg: MagnetizedConfig):
                 else:
                     src_sampler = "threefry"
             if src_sampler == "pallas" and cfg.reactivate == "flux":
-                src_sampler = "threefry"  # flux needs the CDF table draw
+                # only the 'auto' resolution may fall back (flux needs the
+                # CDF table draw); an EXPLICIT 'pallas' request raises in
+                # __post_init__ rather than silently switching RNG streams
+                src_sampler = "threefry"
             if src_sampler == "pallas":
                 from ..ops.pallas_rng import source_batch_pallas
                 from ..sources import seed_from_key as _seed

@@ -76,7 +76,9 @@ class SheathConfig:
     # reaches sheath magnitude (~2e4 V/m: one ulp of the iterate is
     # ~2.4e-3/component, so the residual plateaus around 5e-4 and the loop
     # burns iterations to maxiter making round-off-sized non-progress).
-    # The loop also exits once r < tol_floor * eps_f32 * ||es||_2 — the
+    # The loop also exits once r < tol_floor * eps * ||es||_2 (eps of the
+    # WORKING dtype — f32 eps on TPU, f64 eps under x64 where the absolute
+    # test is attainable and the floor correctly recedes to ~1e-11) — the
     # same fixed point to machine precision, measured plateau ~0.2x
     # eps*||es||. 0 restores the reference's pure-absolute test.
     # Measured at the 1e6 bench config (v5e, warm state): 0 -> 13.6 mean
@@ -505,7 +507,10 @@ def make_step(cfg: SheathConfig):
             if cfg.picard_init == "extrapolate" else e0
         )
 
-        eps32 = float(jnp.finfo(jnp.float32).eps)
+        # round-off floor of the WORKING dtype: under x64 the reference's
+        # absolute tol is attainable and the floor must drop to f64 eps
+        # rather than force an early f32-level exit
+        eps_w = float(jnp.finfo(es0.dtype).eps)
 
         def cond(carry):
             r, k = carry[-2], carry[-1]
@@ -513,7 +518,7 @@ def make_step(cfg: SheathConfig):
             if cfg.tol_floor > 0.0:
                 # carry[0] is the field iterate es in both loop layouts
                 keep = keep & (
-                    r > (cfg.tol_floor * eps32) * jnp.linalg.norm(carry[0])
+                    r > (cfg.tol_floor * eps_w) * jnp.linalg.norm(carry[0])
                 )
             return keep & (k < cfg.maxiter)
 

@@ -312,14 +312,16 @@ def make_step(cfg: DomainSheathConfig, mesh: Mesh):
             if cfg.picard_init == "extrapolate" else e0
         )
 
-        eps32 = float(jnp.finfo(jnp.float32).eps)
+        # round-off floor of the WORKING dtype (f64 under x64, where the
+        # reference's absolute tol is attainable — see engines.sheath)
+        eps_w = float(jnp.finfo(es0.dtype).eps)
 
         def cond(carry):
             r, k = carry[-2], carry[-1]
             keep = r > cfg.tol
             if cfg.tol_floor > 0.0:
                 es_n = jnp.sqrt(lax.psum(jnp.sum(carry[0] ** 2), ax))
-                keep = keep & (r > (cfg.tol_floor * eps32) * es_n)
+                keep = keep & (r > (cfg.tol_floor * eps_w) * es_n)
             return keep & (k < cfg.maxiter)
 
         def body(carry):

@@ -308,6 +308,31 @@ def test_bca_iead_channel_full_chain():
     assert 0.0 < stats.total_yield() < 0.5
 
 
+def test_bca_iead_channel_survives_f32_saturation():
+    """A bin holding 2^24 f32 counts no longer freezes the histogram
+    channel: the driver drains the device IEAD every BCA round into an f64
+    host total, so increments never ride on top of a saturated f32 value
+    (the old total-minus-seen delta was silently zero forever there)."""
+    cfg, st, pre = _bca_setup(ppc=10)
+    cfg = dataclasses.replace(cfg, impact_buffer_size=0)
+    sat = np.zeros(np.asarray(st.iead).shape, np.float32)
+    sat[:] = 2.0 ** 24  # every bin saturated: f32 x + 1.0 == x
+    st = st.replace(iead=jnp.asarray(sat))
+    fin, stats, _ = bca_driver.run_bca_from_iead(
+        st, cfg, 60, bca.BinaryCollisionModel(seed=1),
+        bca.BinaryCollisionModel(incident_m_amu=10.81, incident_z=5, seed=2),
+        product_p2c=float(np.asarray(st.p2c)[0]), seed=3,
+        pic_steps_per_bca=10,
+    )
+    # the old total-minus-seen delta was identically zero here (f32
+    # x + 1 == x at 2^24) — the channel saw no flux and injected nothing
+    assert stats.source_incident > 50
+    assert stats.injected > 0
+    # the returned state still carries the running total (f32-rounded per
+    # bin, spacing 2 at 2^24 — never LESS than the saturated baseline)
+    assert np.asarray(fin.iead, np.float64).sum() >= sat.sum() - sat.size
+
+
 def test_bca_iead_dp_matches_single_device():
     """The IEAD channel is mesh-capable: psum'd histograms are replicated, so
     an 8-shard data-parallel hybrid run feeds the surface model the same

@@ -692,6 +692,13 @@ def test_magnetized_dp_config_gates():
                    flux_limit=10, source_sampler="threefry")
     with pytest.raises(ValueError, match="impact_buffer"):
         dc.replace(cfg, axis_name="particles", impact_buffer_size=64)
+    # explicit backend/sampler requests that cannot be honored raise
+    # rather than silently running a different path (module convention)
+    with pytest.raises(ValueError, match="fused"):
+        dc.replace(cfg, pusher="gc", backend="fused")
+    with pytest.raises(ValueError, match="flux"):
+        dc.replace(cfg, reactivate="flux", flux_limit=10,
+                   source_sampler="pallas")
 
 
 # ---------------------------------------------------------------------------
