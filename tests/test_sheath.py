@@ -322,3 +322,19 @@ def test_sheath_dp_config_validation():
         dc.replace(cfg, axis_name="particles", rng_sampler="threefry")
     with pytest.raises(ValueError, match="pallas"):
         dc.replace(cfg, axis_name="particles", rng_sampler="pallas")
+
+
+def test_sheath_tol_floor_uses_working_dtype():
+    """Under x64 the reference's ABSOLUTE Picard tolerance is attainable:
+    the round-off floor must use eps of the working dtype, not hard-coded
+    f32 eps (which forced an early exit at f32-level residuals ~3 orders
+    above tol on sheath-magnitude fields)."""
+    cfg, st, te = _setup(n=4000)
+    st64 = jax.tree.map(
+        lambda a: a.astype(jnp.float64)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, st)
+    _, m = run(sheath.make_step(cfg), st64, 300)
+    r = np.asarray(m.picard_residual, np.float64)
+    # the loop converges below the absolute tol once the field develops
+    # (the f32-floor bug exited at ~tol_floor * eps32 * ||es|| instead)
+    assert (r[-100:] <= cfg.tol).all(), r[-100:].max()
