@@ -204,7 +204,16 @@ def bench_headline(args):
             np.asarray(m.field_energy)
             holder["m"] = m
 
-        elapsed = _time(go)
+        try:
+            elapsed = _time(go)
+        except Exception as e:  # a layout that fails to compile/run on
+            # this backend must not kill the headline — the proven
+            # 'separate' layout runs first and stands alone if needed
+            if len(modes) == 1:
+                raise
+            print(f"bench: window_share={mode} FAILED ({e!r}) — "
+                  "skipping this layout", file=sys.stderr)
+            continue
         if len(modes) > 1:
             print(f"bench: window_share={mode}: "
                   f"{elapsed / args.steps * 1e3:.2f} ms/step",
@@ -654,8 +663,19 @@ def main():
     if args.only:
         matrix[args.only](args)
     elif args.all:
-        for fn in matrix.values():
-            fn(args)
+        # one row's failure (e.g. a kernel Mosaic rejects on this backend)
+        # must not abort the rest of the matrix
+        failed = []
+        for name, fn in matrix.items():
+            try:
+                fn(args)
+            except Exception as e:
+                failed.append(name)
+                print(f"bench[{name}] FAILED: {e!r}", file=sys.stderr)
+        if failed:
+            print(f"bench: {len(failed)} row(s) failed: {failed}",
+                  file=sys.stderr)
+            sys.exit(1)
     else:
         bench_headline(args)
 
