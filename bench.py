@@ -263,7 +263,21 @@ def bench_two_stream(args):
         _, m = explicit.run_resident(cfg, st, steps, steps_per_call=200)
         np.asarray(m.field_energy)
 
-    _emit("two_stream", n, steps, _time(go))
+    try:
+        elapsed = _time(go)
+    except Exception as e:
+        # resident kernel rejected on this backend — fall back to the
+        # scanned one-kernel cycle rather than losing the row
+        print(f"bench[two_stream]: resident path FAILED ({e!r}) — "
+              "scanned fallback", file=sys.stderr)
+        step = explicit.make_step(cfg)
+
+        def go_scan():
+            _, m = run(step, st, steps)
+            np.asarray(m.field_energy)
+
+        elapsed = _time(go_scan)
+    _emit("two_stream", n, steps, elapsed)
 
 
 def bench_landau(args):
@@ -280,6 +294,7 @@ def bench_landau(args):
     # invocation): the scanned path at 1e5 is dominated by per-step XLA
     # dispatch. Falls back to the scanned step for configs the resident
     # kernel doesn't cover (e.g. --picard-accel anderson2).
+    elapsed = None
     try:
         implicit.check_resident_supported(cfg, state)
 
@@ -287,14 +302,22 @@ def bench_landau(args):
             _, m = implicit.run_resident(cfg, state, steps,
                                          steps_per_call=64)
             np.asarray(m.field_energy)
+
+        elapsed = _time(go)
     except ValueError:
+        pass  # config the resident kernel doesn't cover
+    except Exception as e:
+        print(f"bench[landau]: resident path FAILED ({e!r}) — "
+              "scanned fallback", file=sys.stderr)
+    if elapsed is None:
         step = implicit.make_step(cfg)
 
-        def go():
+        def go_scan():
             _, m = run(step, state, steps)
             np.asarray(m.field_energy)
 
-    _emit("landau", n, steps, _time(go))
+        elapsed = _time(go_scan)
+    _emit("landau", n, steps, elapsed)
 
 
 def bench_sheath(args):
