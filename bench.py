@@ -408,7 +408,22 @@ def bench_magnetized(args):
                 + int(np.asarray(m.n_ion_suppressed).sum())
                 + int(np.asarray(m.n_escape_deferred).sum()))
 
-    _emit("magnetized", n, steps, _time(go))
+    try:
+        elapsed = _time(go)
+    except Exception as e:
+        # the one-kernel Pallas Newton ('auto' on TPU) has only compiled
+        # in interpret mode while the tunnel was down — if Mosaic rejects
+        # it (or any fast path) on the real backend, record the row on
+        # the proven XLA/exact paths instead of dying
+        import dataclasses as _dc
+
+        print(f"bench[magnetized]: fast paths FAILED ({e!r}) — retrying "
+              "with newton_backend='xla' + exact paths", file=sys.stderr)
+        cfg = _dc.replace(pre.config, newton_backend="xla")
+        state0 = pre.state
+        step = magnetized.make_step(cfg)
+        elapsed = _time(go)
+    _emit("magnetized", n, steps, elapsed)
     if dropped and max(dropped) > 0:
         print(f"# WARNING: iead_pack dropped {max(dropped)} impacts",
               file=sys.stderr)
