@@ -559,7 +559,21 @@ def bench_domain_explicit(args):
         np.asarray(m.field_energy)
         holder["m"] = m
 
-    elapsed = _time(go)
+    try:
+        elapsed = _time(go)
+    except Exception as e:
+        # the fused gather+push sweep (auto-on-TPU) and carried-rho cycle
+        # have only compiled in interpret mode while the tunnel was down —
+        # fall back to the composed per-step path rather than lose the row
+        import dataclasses as _dc
+
+        print(f"bench[domain_explicit]: fused path FAILED ({e!r}) — "
+              "retrying push_backend='composed', carried off",
+              file=sys.stderr)
+        cfg = _dc.replace(cfg, push_backend="composed", carried_rho="off")
+        step = (dom.make_superstep(cfg, mesh, k_mig) if k_mig > 1
+                else dom.make_step(cfg, mesh))
+        elapsed = _time(go)
     m = holder["m"]
     steps *= k_mig
     n_clamped = int(np.asarray(m.n_halo_clamped).sum())
