@@ -133,8 +133,20 @@ def _newton_dd_kernel(scal_ref, c2_ref, phi0_ref, phi_ref, stat_ref,
     # shift to min 0 over the physical rows (pygcpic.py:1053)
     big = jnp.asarray(np.float32(np.finfo(np.float32).max))
     phi_ref[:] = phi - jnp.min(jnp.where(valid, phi, big))
-    stat_ref[0, 0] = residual
-    stat_ref[0, 1] = it.astype(jnp.float32)
+    _store_stats(stat_ref, residual, it)
+
+
+def _store_stats(stat_ref, residual, it):
+    """Write (residual, iters) into lanes 0/1 of the (1, _LANE) stats row.
+
+    Mosaic rejects scalar stores to VMEM (`stat_ref[0, 0] = residual`
+    raises "Cannot store scalars to VMEM" at lowering), so build the full
+    row with a lane-iota select and store it in one vector write."""
+    scol = lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+    stat_ref[:] = jnp.where(
+        scol == 0, residual,
+        jnp.where(scol == 1, it.astype(jnp.float32), 0.0),
+    )
 
 
 def _newton_dn_kernel(scal_ref, c2_ref, phi0_ref, phi_ref, stat_ref,
@@ -195,8 +207,7 @@ def _newton_dn_kernel(scal_ref, c2_ref, phi0_ref, phi_ref, stat_ref,
     )
     big = jnp.asarray(np.float32(np.finfo(np.float32).max))
     phi_ref[:] = phi - jnp.min(jnp.where(valid, phi, big))
-    stat_ref[0, 0] = residual
-    stat_ref[0, 1] = it.astype(jnp.float32)
+    _store_stats(stat_ref, residual, it)
 
 
 def boltzmann_dn_pallas(n, n0, te, dx, phi0, tol=1e-3, maxiter=100):
