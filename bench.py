@@ -341,9 +341,10 @@ def bench_sheath(args):
         grid, dt, length * density / n,
         kbte=K_BOLTZMANN * te, kbti=K_BOLTZMANN * ti,
         picard_init="extrapolate", picard_accel="anderson",
-        # rank-keyed capped re-injection draw (round 3b; deferred-free
-        # asserted below — --mag-exact restores the full-capacity draw)
-        reinject_batch=0 if args.mag_exact else 16384,
+        # full-capacity draw by default: the rank-keyed table draw
+        # measured 27.25 ms/step vs 0.93 on v5e (the table gathers are
+        # TPU-hostile — PERF.md round 3g); --batch-paths A/Bs it
+        reinject_batch=16384 if args.batch_paths else 0,
     )
     st = sheath.init_state(d["x"], d["v"], d["q"], d["m"], d["species"], cfg)
     step = sheath.make_step(cfg)
@@ -372,14 +373,23 @@ def bench_magnetized(args):
     pre = pic_iead(n_per_species=(args.mag_n or 1_000_000) // 6)
     n = pre.state.p.shape[0]
     cfg = pre.config
-    if not args.mag_exact:
-        # round-3 fast paths (distribution-identical; drop-free asserted
-        # below): rank-keyed capped re-activation draws and packed IEAD
-        # accumulation. --mag-exact restores the reference-exact
-        # full-capacity draw + full-pass histogram semantics.
+    if args.batch_paths:
+        # rank-keyed capped re-activation draws + packed IEAD
+        # accumulation (round 3b; distribution-identical, drop-free
+        # asserted below). NOT the default: both measured far slower on
+        # v5e than the full-capacity paths they replace (+33.8 ms and
+        # +5.8 ms/step at 1e6 — the table gather / pack scatter are
+        # TPU-hostile, PERF.md round 3g).
         import dataclasses as _dc
 
         cfg = _dc.replace(cfg, react_batch=16384, iead_pack=16384)
+    if args.mag_exact:
+        # reference-exact solver path: XLA while_loop Newton instead of
+        # the one-kernel Pallas PCR Newton 'auto' picks on TPU
+        # (0.748 vs 1.522 ms/step at 1e6 — PERF.md round 3g)
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, newton_backend="xla")
     if args.carried:
         # round-3c A/B lead: the rho/n deposit rides the previous step's
         # push kernel (MagnetizedConfig.carried_deposit; exactness
@@ -387,9 +397,10 @@ def bench_magnetized(args):
         import dataclasses as _dc
 
         if args.mag_exact:
-            raise SystemExit("--carried needs the react_batch fast path "
+            raise SystemExit("--carried needs the react_batch table draw "
                              "(incompatible with --mag-exact)")
-        cfg = _dc.replace(cfg, carried_deposit="on")
+        cfg = _dc.replace(cfg, carried_deposit="on",
+                          react_batch=cfg.react_batch or 16384)
     state0 = pre.state
     if args.carried:
         state0 = magnetized.prime_carry(state0, cfg)
@@ -643,10 +654,16 @@ def main():
                          "(make_superstep; halo scales by the same factor "
                          "so k-step excursions stay covered)")
     ap.add_argument("--mag-exact", action="store_true",
-                    help="magnetized row: reference-exact full-capacity "
-                         "re-activation draws + full-pass IEAD histograms "
-                         "(default uses the round-3 rank-keyed capped draw "
-                         "and packed IEAD fast paths)")
+                    help="magnetized row: reference-exact XLA while_loop "
+                         "Newton instead of the one-kernel Pallas PCR "
+                         "Newton (default 'auto' = pallas on TPU, 2.0x "
+                         "faster at the bench scale)")
+    ap.add_argument("--batch-paths", action="store_true",
+                    help="sheath/magnetized rows: rank-keyed capped "
+                         "re-activation/re-injection table draws + packed "
+                         "IEAD accumulation (round-3b experiments; both "
+                         "measured much SLOWER on v5e than the "
+                         "full-capacity paths — PERF.md round 3g)")
     ap.add_argument("--carried", action="store_true",
                     help="magnetized row: carried-deposit step (the rho/n "
                          "deposit rides the previous step's push kernel — "
