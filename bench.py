@@ -215,18 +215,25 @@ def bench_headline(args):
                   "skipping this layout", file=sys.stderr)
             continue
         if len(modes) > 1:
+            mode_clamps = int(np.asarray(holder["m"].picard_clamped).sum())
             print(f"bench: window_share={mode}: "
-                  f"{elapsed / args.steps * 1e3:.2f} ms/step",
-                  file=sys.stderr)
+                  f"{elapsed / args.steps * 1e3:.2f} ms/step "
+                  f"(clamped={mode_clamps})", file=sys.stderr)
         if best is None or elapsed < best[0]:
             best = (elapsed, holder["m"], mode, step)
     elapsed, m, mode, step = best
     if len(modes) > 1:
         print(f"bench: headline uses window_share={mode}", file=sys.stderr)
     iters = np.asarray(m.picard_iters)
+    clamped = int(np.asarray(m.picard_clamped).sum())
     _emit("headline", n, args.steps, elapsed,
           f"(picard mean {iters.mean():.1f}, "
-          f"EE[0]={np.asarray(m.field_energy)[0]:.3e})")
+          f"EE[0]={np.asarray(m.field_energy)[0]:.3e}, "
+          f"clamped={clamped})")
+    if clamped:
+        print(f"# WARNING: {clamped} shared-window deposit clamps — "
+              "charge was misplaced; treat this layout's number as "
+              "invalid for physics", file=sys.stderr)
 
     if args.drift_steps:
         _drift_loop(step, state, args.drift_steps)
@@ -244,7 +251,7 @@ def bench_two_stream(args):
     from pypic_tpu.engines import explicit
     from pypic_tpu.runner import run
 
-    n, steps = 10_000, 2000
+    n, steps = 10_000, args.row_steps or 2000
     density = 1e10
     te = 0.1 * 11600.0
     debye = np.sqrt(K_BOLTZMANN * te * EPSILON_0 / E_CHARGE**2 / density)
@@ -286,7 +293,7 @@ def bench_landau(args):
     from pypic_tpu.engines import implicit
     from pypic_tpu.runner import run
 
-    n, steps = 100_000, 500
+    n, steps = 100_000, args.row_steps or 500
     grid, x, v, cfg = _landau_problem(n, 1e-6)
     state = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
 
@@ -616,6 +623,12 @@ def main():
     ap.add_argument("--maxiter", type=int, default=None,
                     help="Picard iteration cap (with --tol 1e-30: a fixed "
                          "count; default 4 [conserving] / 50 [--throughput])")
+    ap.add_argument("--row-steps", type=int, default=0,
+                    help="two_stream/landau rows: override the timed step "
+                         "count (these rows run as ONE dispatch through "
+                         "the remote tunnel, so the ~30-45 ms round-trip "
+                         "latency is amortized over the step count — the "
+                         "A/B knob behind the row defaults)")
     ap.add_argument("--drift-steps", type=int, default=0,
                     help="additionally measure energy drift over this many steps")
     ap.add_argument("--all", action="store_true",

@@ -89,6 +89,35 @@ def _num_windows(ng: int, stride: int) -> int:
     return (ng - 1) // stride + 1
 
 
+def _choose_window_sw(ng: int):
+    """Shared-window geometry: windows keep a one-row margin on EACH side
+    of the gather span (stride = width - 4, frame offset +1) so the
+    deposit's tent — built at the gather position plus the iterate's
+    nearest-image displacement — lands inside the SAME ``width`` sublane
+    rows whenever |displacement| <= 1 grid cell (larger excursions are
+    clamped and counted). This keeps the deposit tent at the gather
+    tent's row count: the round-3 pad=2 shared pass paid a 12-row deposit
+    tent (Mosaic-tiled to 16) and measured 27% SLOWER than separate on
+    v5e; the frame-shifted form trades that for a denser window set.
+
+    Cost model: the v5e A/B at ng=200 (scratch/sw_frame_ab.log) showed the
+    per-pass cost is K-dominated for this kernel — it runs ONE selector
+    but THREE K-contracting dots (gather, deposit, clamp row) vs the
+    separate pass's two, so small-stride geometries lose. Weight K at 2x
+    the separate fit: minimize ``3*width + 2*K``
+    (ng=200 -> stride 12 / width 16 / K=17)."""
+    best = None
+    for width in (8, 16, 24, 32, 48, 64, 96, 128):
+        stride = width - 4
+        if stride < 1:
+            continue
+        num_k = (ng - 1) // stride + 1
+        cost = 3 * width + 2 * num_k
+        if best is None or cost < best[2]:
+            best = (stride, width, cost)
+    return best[0], best[1]
+
+
 def _window_decompose(p, num_k, stride):
     """(B,) positions -> (window id k (B,) int32, in-window offset d (B,))."""
     cell = jnp.floor(p)
@@ -128,16 +157,22 @@ def _fold_windows(acc, ng: int, periodic: bool, stride: int,
     return jnp.zeros((ng,), acc.dtype).at[g].add(flat)
 
 
-def _window_field_t(field, num_k: int, periodic: bool, stride: int, width: int):
+def _window_field_t(field, num_k: int, periodic: bool, stride: int, width: int,
+                    off: int = 0):
     """(ng,) node field -> transposed window view (width, K):
-    fwin_T[l, k] = F[(stride k + l) % ng]."""
+    fwin_T[l, k] = F[(stride k + l - off) % ng]. ``off`` is the
+    shared-window frame shift (row 0 sits one node BELOW the window base
+    so the deposit tent has a margin row on each side); out-of-range rows
+    in the bounded form are edge-clamped — they carry zero tent weight
+    for any in-range position."""
     ng = field.shape[0]
     kids = jnp.arange(num_k, dtype=jnp.int32)
-    g = jnp.arange(width, dtype=jnp.int32)[:, None] + kids[None, :] * stride
+    g = (jnp.arange(width, dtype=jnp.int32)[:, None] - off
+         + kids[None, :] * stride)
     if periodic:
         g = g % ng
     else:
-        g = jnp.minimum(g, ng - 1)
+        g = jnp.clip(g, 0, ng - 1)
     return field[g]
 
 
@@ -1630,28 +1665,32 @@ def _picard_iter_kernel(
 
 def _picard_iter_sw_kernel(
     scal_ref, fwin_ref, ps_ref, p0_ref, v0_ref, ph_ref, *rest,
-    num_k, ng, block, n_valid, stride, width, pad, emit_v,
+    num_k, ng, block, n_valid, stride, width, emit_v,
 ):
     """Shared-window Picard pass: ONE window decomposition + selector
     serves both the gather (at ps) and the deposit (at ph).
 
     The selector build is the second-largest VPU cost of the separate-
-    window pass (~0.065 ms per column-build pair per 1e8 particles); the
-    midpoint iterate ph never strays more than an acceleration
-    displacement from ps once the engine seeds ps with the free-streaming
-    midpoint, so the deposit lands in ps's window widened by ``pad`` rows
-    on each side (rows cover nodes stride*k - pad .. stride*k + width - 1
-    + pad; _fold_windows(row_offset=-pad) wraps them onto the grid). The
-    nearest-image delta keeps periodic wraps exact; out-of-window
-    excursions (pathological fields only) are clamped to the widened edge
-    and COUNTED into the accumulator's extra row — the engine surfaces
-    the count as a metric so a silent charge misplacement is impossible.
+    window pass (~0.065 ms per column-build pair per 1e8 particles).
+    Frame-shifted geometry (_choose_window_sw): stride = width - 4 and
+    the window's row l maps to node stride*k + l - 1, so the gather span
+    [1, stride + 2) keeps a one-row margin on each side. The midpoint
+    iterate ph never strays more than an acceleration displacement from
+    ps once the engine seeds ps with the free-streaming midpoint, so the
+    deposit's tent — built at d_s plus the nearest-image delta — lands
+    in the SAME width rows whenever |delta| <= 1 cell (the round-3
+    pad=2 variant widened the deposit tent to 12 rows, Mosaic-tiled to
+    16, and measured 27% slower than separate on v5e). The nearest-image
+    delta keeps periodic wraps exact; out-of-window excursions
+    (pathological fields only) are clamped to the frame edge and COUNTED
+    into the accumulator's extra row — the engine surfaces the count as
+    a metric so a silent charge misplacement is impossible.
     """
     if emit_v:
         v1_ref, jh_ref = rest
     else:
         (jh_ref,) = rest
-    wp = width + 2 * pad
+    wp = width
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -1667,8 +1706,10 @@ def _picard_iter_sw_kernel(
     p0 = p0_ref[0, 0, :]
     v0 = v0_ref[0, 0, :]
 
-    # one decomposition + one selector for the whole pass
+    # one decomposition + one selector for the whole pass; +1 shifts into
+    # the margin frame (row l = node stride*k + l - 1)
     k, d_s = _window_decompose(ps, num_k, stride)
+    d_s = d_s + 1.0
     sel_t = _sel_t(k, num_k, ps.dtype)  # (K, B)
     tent_s = _tent_t(d_s, block, width)
     frows_t = lax.dot_general(
@@ -1692,7 +1733,7 @@ def _picard_iter_sw_kernel(
     # periodic seam exactly (ps is wrapped, ph_raw is not)
     delta = ph_raw - ps
     delta = delta - jnp.round(delta * (1.0 / ng)) * ng
-    d_h = d_s + delta + pad
+    d_h = d_s + delta
     mask = _lane_mask(i, block, n_valid, ps.dtype)
     oob = ((d_h < 0.0) | (d_h > wp - 1.0)).astype(ps.dtype) * mask
     d_h = jnp.clip(d_h, 0.0, wp - 1.0)
@@ -1825,19 +1866,20 @@ def _picard_iter_ext_kernel(
 
 def _picard_iter_ext_sw_kernel(
     scal_ref, fwin_ref, ps_ref, p0_ref, v0_ref, w_ref, ph_ref, *rest,
-    num_k, block, stride, width, pad, lo, hi, emit_v,
+    num_k, block, stride, width, lo, hi, emit_v,
 ):
     """Shared-window variant of the extended-slab Picard pass (see
-    _picard_iter_sw_kernel): one decomposition + selector for gather AND
-    deposit. The slab is bounded, so no periodic nearest-image is needed —
-    both positions are clamped to [lo, hi] exactly as the separate-window
+    _picard_iter_sw_kernel, incl. the frame-shifted stride = width - 4
+    geometry): one decomposition + selector for gather AND deposit. The
+    slab is bounded, so no periodic nearest-image is needed — both
+    positions are clamped to [lo, hi] exactly as the separate-window
     pass clamps them, and the deposit offset is their difference.
     Edge-clamped deposits land in the accumulator's extra row."""
     if emit_v:
         v1_ref, jh_ref = rest
     else:
         (jh_ref,) = rest
-    wp = width + 2 * pad
+    wp = width
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -1854,6 +1896,7 @@ def _picard_iter_ext_sw_kernel(
     w = w_ref[0, 0, :]
 
     k, d_s = _window_decompose(psc, num_k, stride)
+    d_s = d_s + 1.0
     sel_t = _sel_t(k, num_k, psc.dtype)
     tent_s = _tent_t(d_s, block, width)
     frows_t = lax.dot_general(
@@ -1875,7 +1918,7 @@ def _picard_iter_ext_sw_kernel(
         v1_ref[0, 0, :] = v1
 
     delta = jnp.clip(ph, lo, hi) - psc
-    d_h = d_s + delta + pad
+    d_h = d_s + delta
     alive = (w != 0.0).astype(psc.dtype)
     oob = ((d_h < 0.0) | (d_h > wp - 1.0)).astype(psc.dtype) * alive
     d_h = jnp.clip(d_h, 0.0, wp - 1.0)
@@ -2072,7 +2115,7 @@ def picard_iteration_ext_pallas(
     field_ext, ps, p0, v0, w, ext_n: int,
     *, qm, dt: float, dx: float, lo: float, hi: float,
     block: int = _DEFAULT_BLOCK, emit_v: bool = False,
-    n_valid: int | None = None, share_window: bool = False, pad: int = 2,
+    n_valid: int | None = None, share_window: bool = False,
 ):
     """Fused Picard inner pass on a bounded extended slab.
 
@@ -2090,19 +2133,23 @@ def picard_iteration_ext_pallas(
     Returns (ph_raw, jh_ext), or (ph_raw, v1, jh_ext) with ``emit_v``;
     with ``share_window=True`` (see picard_iteration_pallas) the return
     gains a trailing ``n_clamped`` count of deposits clamped at the
-    widened shared-window edge.
+    shared-window frame edge (|iterate displacement| > 1 cell).
     """
-    stride, wdth = _choose_window(ext_n)
+    if share_window:
+        stride, wdth = _choose_window_sw(ext_n)
+    else:
+        stride, wdth = _choose_window(ext_n)
     num_k = _num_windows(ext_n, stride)
-    fwin_t = _window_field_t(field_ext, num_k, False, stride, wdth)
+    fwin_t = _window_field_t(field_ext, num_k, False, stride, wdth,
+                             off=1 if share_window else 0)
     (ps_b, p0_b, v0_b, w_b), nb, n, blocked = _as_blocks(
         [ps, p0, v0, w], block, n_valid)
     scal = _ext_scalars(qm, dt, dx, ps.dtype)
     if share_window:
-        acc_rows = wdth + 2 * pad + 1
+        acc_rows = wdth + 1
         kern = functools.partial(
             _picard_iter_ext_sw_kernel, num_k=num_k, block=block,
-            stride=stride, width=wdth, pad=pad, lo=lo, hi=hi, emit_v=emit_v,
+            stride=stride, width=wdth, lo=lo, hi=hi, emit_v=emit_v,
         )
     else:
         acc_rows = wdth
@@ -2135,7 +2182,7 @@ def picard_iteration_ext_pallas(
     acc = outs[-1]
     if share_window:
         jh = _fold_windows(acc[:-1].T.astype(ps.dtype), ext_n, False, stride,
-                           row_offset=-pad)
+                           row_offset=-1)
         n_clamped = jnp.sum(acc[-1]).astype(jnp.int32)
         return parts + (jh, n_clamped)
     return parts + (
@@ -2205,7 +2252,7 @@ def picard_iteration_pallas(
     field_smoothed, ps, p0, v0, ng: int,
     *, qm, w, dt: float, dx: float, block: int = _DEFAULT_BLOCK,
     emit_v: bool = False, n_valid: int | None = None,
-    share_window: bool = False, pad: int = 2,
+    share_window: bool = False,
 ):
     """Fused Picard inner pass. Returns (ph, jh) — the new half-step
     positions (the next iteration's gather guess) and the (ng,) half-step
@@ -2213,26 +2260,30 @@ def picard_iteration_pallas(
     velocity, for the no-extra-sweep finalize).
 
     ``share_window=True`` reuses the gather's window decomposition +
-    selector for the deposit (_picard_iter_sw_kernel): the return gains a
-    trailing ``n_clamped`` scalar counting deposits clamped at the widened
-    window edge (0 in any sane configuration — seed ps with the
-    free-streaming midpoint so the deposit offset is an acceleration
-    displacement).
+    selector for the deposit (_picard_iter_sw_kernel, frame-shifted
+    geometry): the return gains a trailing ``n_clamped`` scalar counting
+    deposits clamped at the window-frame edge (0 in any sane
+    configuration — seed ps with the free-streaming midpoint so the
+    deposit offset is an acceleration displacement under 1 cell).
 
     Particle inputs may be (n,) or pre-blocked (nb, 1, block) from
     ``block_particles`` (then ``n_valid`` is required); blocked inputs
     yield blocked particle outputs with no pad/slice copies per pass."""
-    stride, wdth = _choose_window(ng)
+    if share_window:
+        stride, wdth = _choose_window_sw(ng)
+    else:
+        stride, wdth = _choose_window(ng)
     num_k = _num_windows(ng, stride)
-    fwin_t = _window_field_t(field_smoothed, num_k, True, stride, wdth)
+    fwin_t = _window_field_t(field_smoothed, num_k, True, stride, wdth,
+                             off=1 if share_window else 0)
     (ps_b, p0_b, v0_b), nb, n, blocked = _as_blocks([ps, p0, v0], block,
                                                     n_valid)
     scal = _scalars(qm, dt, dx, w, ps.dtype)
     if share_window:
-        acc_rows = wdth + 2 * pad + 1  # + the clamp-count row
+        acc_rows = wdth + 1  # + the clamp-count row
         kern = functools.partial(
             _picard_iter_sw_kernel, num_k=num_k, ng=ng, block=block,
-            n_valid=n, stride=stride, width=wdth, pad=pad, emit_v=emit_v,
+            n_valid=n, stride=stride, width=wdth, emit_v=emit_v,
         )
     else:
         acc_rows = wdth
@@ -2264,7 +2315,7 @@ def picard_iteration_pallas(
     acc = outs[-1]
     if share_window:
         jh = _fold_windows(acc[:-1].T.astype(ps.dtype), ng, True, stride,
-                           row_offset=-pad)
+                           row_offset=-1)
         n_clamped = jnp.sum(acc[-1]).astype(jnp.int32)
         return parts + (jh, n_clamped)
     return parts + (_fold_windows(acc.T.astype(ps.dtype), ng, True, stride),)
