@@ -184,12 +184,11 @@ def bench_headline(args):
     print(f"bench: backend={jax.default_backend()} n={n:.2e} ng={grid.ng} "
           f"steps={args.steps}", file=sys.stderr)
 
-    # window_share='auto' on TPU: measure BOTH pass layouts and report the
-    # faster (the shared-window pass is drift-verified — ~20x LESS drift
-    # than separate over the 1e4-step protocol, 3 seeds, PERF.md — so the
-    # choice is about speed only; one extra compile, runs reuse the cache)
-    modes = (("separate", "shared") if on_tpu and cfg.window_share == "auto"
-             else (cfg.window_share,))
+    # window_share='auto' resolves to 'separate' in the engine: the v5e
+    # A/B measured every shared geometry 22-45% slower at 1e8 (PERF.md
+    # round 3h), so the in-run two-layout race is retired — pass an
+    # explicit --window-share shared to re-measure the accuracy option.
+    modes = (cfg.window_share,)
     best = None
     for mode in modes:
         import dataclasses

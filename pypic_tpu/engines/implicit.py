@@ -125,10 +125,12 @@ class ImplicitConfig:
     # displacement; deposits clamped at the widened window edge are
     # counted in the picard_clamped metric (0 in any sane configuration —
     # nonzero means the field is violent enough to need 'separate').
-    # 'auto' currently = separate everywhere (pending the TPU A/B +
-    # drift re-verification — flip to shared-on-TPU when it lands);
-    # 'separate' = the round-2c two-decomposition pass (also the
-    # reference-matching ps0 = p0 seed).
+    # 'auto' = separate everywhere: the v5e A/B measured every shared
+    # geometry 22-45% SLOWER at 1e8 (pad=2, frame-8, frame-16 — PERF.md
+    # round 3h), so 'shared' stays an accuracy option (~20x less drift
+    # on the violent 1e4-step protocol, 3 seeds) rather than a speed
+    # default. 'separate' = the round-2c two-decomposition pass (also
+    # the reference-matching ps0 = p0 seed).
     window_share: str = "auto"
 
     def __post_init__(self):
