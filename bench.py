@@ -12,9 +12,9 @@ image — it requires numba).
 
 The default headline is the CONSERVING configuration (fixed 4 Picard
 sweeps + extrapolated init + Anderson mixing): it satisfies both
-north-star clauses at once — measured 2.03e9 pushes/s AND -3.3e-4/1e4
+north-star clauses at once — measured 2.12e9 pushes/s AND -3.5e-4/1e4
 energy drift at 1e8 on v5e (PERF.md round-3 drift table). ``--throughput``
-switches to the faster tol-1e-9 configuration (2.55e9, ~2e-3/1e4 drift).
+switches to the faster tol-1e-9 configuration (2.61e9, ~2e-3/1e4 drift).
 
 ``--all`` additionally runs the full BASELINE.md "configs to report" matrix,
 one JSON line per config:
@@ -334,7 +334,7 @@ def bench_sheath(args):
     from pypic_tpu.engines import sheath
     from pypic_tpu.runner import run
 
-    n, steps, ng = 1_000_000, 400, 51
+    n, steps, ng = args.sheath_n or 1_000_000, args.row_steps or 400, 51
     density, dt, dx = 1e19, 1e-12, 1e-5
     te = ti = 10.0 * 11600.0
     length = dx * (ng - 1)
@@ -375,7 +375,7 @@ def bench_magnetized(args):
     from pypic_tpu.engines import magnetized
     from pypic_tpu.runner import run
 
-    steps = 400
+    steps = args.row_steps or 400
     pre = pic_iead(n_per_species=(args.mag_n or 1_000_000) // 6)
     n = pre.state.p.shape[0]
     cfg = pre.config
@@ -623,11 +623,15 @@ def main():
                     help="Picard iteration cap (with --tol 1e-30: a fixed "
                          "count; default 4 [conserving] / 50 [--throughput])")
     ap.add_argument("--row-steps", type=int, default=0,
-                    help="two_stream/landau rows: override the timed step "
-                         "count (these rows run as ONE dispatch through "
-                         "the remote tunnel, so the ~30-45 ms round-trip "
-                         "latency is amortized over the step count — the "
-                         "A/B knob behind the row defaults)")
+                    help="two_stream/landau/sheath/magnetized rows: "
+                         "override the timed step count (the 1e6 rows run "
+                         "as ONE dispatch through the remote tunnel, so "
+                         "the ~30-45 ms round-trip latency is amortized "
+                         "over the step count — the A/B knob behind the "
+                         "row defaults; also the CPU-smoke knob)")
+    ap.add_argument("--sheath-n", type=int, default=0,
+                    help="sheath row: override the particle count "
+                         "(CPU-smoke knob, like --mag-n)")
     ap.add_argument("--drift-steps", type=int, default=0,
                     help="additionally measure energy drift over this many steps")
     ap.add_argument("--all", action="store_true",

@@ -1,0 +1,54 @@
+"""CPU smoke runs of every bench.py row.
+
+bench.py is the driver's recorded artifact (one JSON line per row, run on
+real TPU hardware at the end of every round) — but between TPU sessions its
+wiring only gets exercised here. Each case runs a row as a subprocess with
+the tiny-size knobs (--particles / --mag-n / --sheath-n / --row-steps) on
+the forced-CPU backend and validates the JSON contract the driver parses.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ROWS = [
+    ("headline", ["--only", "headline", "--steps", "2",
+                  "--particles", "8192"]),
+    ("two_stream", ["--only", "two_stream", "--row-steps", "10"]),
+    ("landau", ["--only", "landau", "--row-steps", "3"]),
+    ("sheath", ["--only", "sheath", "--sheath-n", "8192",
+                "--row-steps", "5"]),
+    ("magnetized", ["--only", "magnetized", "--mag-n", "4096",
+                    "--row-steps", "3"]),
+    ("domain", ["--only", "domain", "--particles", "16384"]),
+    ("domain_explicit", ["--only", "domain_explicit",
+                         "--particles", "16384"]),
+]
+
+
+@pytest.mark.parametrize("name,flags", ROWS, ids=[r[0] for r in ROWS])
+def test_bench_row_smoke(name, flags):
+    env = dict(os.environ)
+    # prepend the repo root but PRESERVE the inherited PYTHONPATH — on the
+    # dev machine it carries the axon sitecustomize jax needs (CLAUDE.md)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--cpu"] + flags,
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, f"bench --only {name} failed:\n{out.stderr}"
+    lines = [ln for ln in out.stdout.splitlines() if ln.strip()]
+    assert lines, f"no stdout from bench --only {name}:\n{out.stderr}"
+    rec = json.loads(lines[-1])
+    # the driver contract: one JSON line with exactly these keys
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    expect = ("particle_pushes_per_sec_per_chip" if name == "headline"
+              else f"{name}_pushes_per_sec_per_chip")
+    assert rec["metric"] == expect
+    assert rec["value"] > 0
+    assert rec["unit"].startswith("pushes/s")
