@@ -47,18 +47,28 @@ _WINDOW_SHARE = "auto"
 _CPU_FALLBACK = False
 
 
-def _emit(name, n, steps, elapsed, extra=""):
+def _emit(name, n, steps, elapsed, extra="", fallback=None):
+    """Print the row's stderr summary + the one JSON line the driver
+    parses. ``fallback`` (a short label) marks a row that was re-recorded
+    on a slower proven configuration after the fast path failed — it goes
+    INTO the JSON artifact (a "fallback" key + a unit tag), not just
+    stderr, so a recorded regression is machine-attributable to the
+    configuration change rather than the fast path."""
     pushes = n * steps / elapsed
     print(f"bench[{name}]: {elapsed / steps * 1e3:.2f} ms/step {extra}",
           file=sys.stderr)
-    print(json.dumps({
+    unit = ("pushes/s [cpu-fallback: no TPU backend reachable]"
+            if _CPU_FALLBACK else "pushes/s")
+    row = {
         "metric": f"{name}_pushes_per_sec_per_chip"
         if name != "headline" else "particle_pushes_per_sec_per_chip",
         "value": pushes,
-        "unit": "pushes/s [cpu-fallback: no TPU backend reachable]"
-        if _CPU_FALLBACK else "pushes/s",
+        "unit": unit if fallback is None else f"{unit} [fallback: {fallback}]",
         "vs_baseline": pushes / NORTH_STAR,
-    }))
+    }
+    if fallback is not None:
+        row["fallback"] = fallback
+    print(json.dumps(row))
     return pushes
 
 
@@ -77,6 +87,21 @@ def _tpu_alive(timeout_s: int = 600) -> bool:
         return r.returncode == 0
     except (subprocess.TimeoutExpired, OSError):
         return False
+
+
+def _time_with_fallback(go, rebuild, row, label):
+    """``_time(go)``, falling back to the closure ``rebuild()`` returns
+    when the fast path fails to compile/run on this backend (e.g. a
+    Mosaic rejection of a kernel that only ever compiled in interpret
+    mode while the tunnel was down). ``rebuild`` must also reset any
+    metric accumulators the failed attempt may have partially filled.
+    Returns ``(elapsed, fallback_label_or_None)`` for ``_emit``."""
+    try:
+        return _time(go), None
+    except Exception as e:
+        print(f"bench[{row}]: fast path FAILED ({e!r}) — falling back "
+              f"to {label}", file=sys.stderr)
+        return _time(rebuild()), label
 
 
 def _time(run_fn, warm=True, reps=2):
@@ -188,41 +213,16 @@ def bench_headline(args):
     # A/B measured every shared geometry 22-45% slower at 1e8 (PERF.md
     # round 3h), so the in-run two-layout race is retired — pass an
     # explicit --window-share shared to re-measure the accuracy option.
-    modes = (cfg.window_share,)
-    best = None
-    for mode in modes:
-        import dataclasses
+    step = implicit.make_step(cfg)
+    holder = {}
 
-        step = implicit.make_step(
-            dataclasses.replace(cfg, window_share=mode)
-            if mode != cfg.window_share else cfg)
-        holder = {}
+    def go():
+        _, m = run(step, state, args.steps)
+        np.asarray(m.field_energy)
+        holder["m"] = m
 
-        def go():
-            _, m = run(step, state, args.steps)
-            np.asarray(m.field_energy)
-            holder["m"] = m
-
-        try:
-            elapsed = _time(go)
-        except Exception as e:  # a layout that fails to compile/run on
-            # this backend must not kill the headline — the proven
-            # 'separate' layout runs first and stands alone if needed
-            if len(modes) == 1:
-                raise
-            print(f"bench: window_share={mode} FAILED ({e!r}) — "
-                  "skipping this layout", file=sys.stderr)
-            continue
-        if len(modes) > 1:
-            mode_clamps = int(np.asarray(holder["m"].picard_clamped).sum())
-            print(f"bench: window_share={mode}: "
-                  f"{elapsed / args.steps * 1e3:.2f} ms/step "
-                  f"(clamped={mode_clamps})", file=sys.stderr)
-        if best is None or elapsed < best[0]:
-            best = (elapsed, holder["m"], mode, step)
-    elapsed, m, mode, step = best
-    if len(modes) > 1:
-        print(f"bench: headline uses window_share={mode}", file=sys.stderr)
+    elapsed = _time(go)
+    m = holder["m"]
     iters = np.asarray(m.picard_iters)
     clamped = int(np.asarray(m.picard_clamped).sum())
     _emit("headline", n, args.steps, elapsed,
@@ -269,21 +269,19 @@ def bench_two_stream(args):
         _, m = explicit.run_resident(cfg, st, steps, steps_per_call=200)
         np.asarray(m.field_energy)
 
-    try:
-        elapsed = _time(go)
-    except Exception as e:
-        # resident kernel rejected on this backend — fall back to the
-        # scanned one-kernel cycle rather than losing the row
-        print(f"bench[two_stream]: resident path FAILED ({e!r}) — "
-              "scanned fallback", file=sys.stderr)
+    def rebuild():
+        # resident kernel rejected on this backend — the scanned
+        # one-kernel cycle keeps the row alive
         step = explicit.make_step(cfg)
 
         def go_scan():
             _, m = run(step, st, steps)
             np.asarray(m.field_energy)
 
-        elapsed = _time(go_scan)
-    _emit("two_stream", n, steps, elapsed)
+        return go_scan
+
+    elapsed, fb = _time_with_fallback(go, rebuild, "two_stream", "scanned")
+    _emit("two_stream", n, steps, elapsed, fallback=fb)
 
 
 def bench_landau(args):
@@ -300,30 +298,31 @@ def bench_landau(args):
     # invocation): the scanned path at 1e5 is dominated by per-step XLA
     # dispatch. Falls back to the scanned step for configs the resident
     # kernel doesn't cover (e.g. --picard-accel anderson2).
-    elapsed = None
     try:
         implicit.check_resident_supported(cfg, state)
-
-        def go():
-            _, m = implicit.run_resident(cfg, state, steps,
-                                         steps_per_call=64)
-            np.asarray(m.field_energy)
-
-        elapsed = _time(go)
+        resident_ok = True
     except ValueError:
-        pass  # config the resident kernel doesn't cover
-    except Exception as e:
-        print(f"bench[landau]: resident path FAILED ({e!r}) — "
-              "scanned fallback", file=sys.stderr)
-    if elapsed is None:
+        resident_ok = False  # config the resident kernel doesn't cover
+
+    def rebuild():
         step = implicit.make_step(cfg)
 
         def go_scan():
             _, m = run(step, state, steps)
             np.asarray(m.field_energy)
 
-        elapsed = _time(go_scan)
-    _emit("landau", n, steps, elapsed)
+        return go_scan
+
+    if resident_ok:
+        def go():
+            _, m = implicit.run_resident(cfg, state, steps,
+                                         steps_per_call=64)
+            np.asarray(m.field_energy)
+
+        elapsed, fb = _time_with_fallback(go, rebuild, "landau", "scanned")
+    else:
+        elapsed, fb = _time(rebuild()), None
+    _emit("landau", n, steps, elapsed, fallback=fb)
 
 
 def bench_sheath(args):
@@ -425,22 +424,30 @@ def bench_magnetized(args):
                 + int(np.asarray(m.n_ion_suppressed).sum())
                 + int(np.asarray(m.n_escape_deferred).sum()))
 
-    try:
-        elapsed = _time(go)
-    except Exception as e:
+    def rebuild():
         # the one-kernel Pallas Newton ('auto' on TPU) has only compiled
         # in interpret mode while the tunnel was down — if Mosaic rejects
         # it (or any fast path) on the real backend, record the row on
-        # the proven XLA/exact paths instead of dying
+        # the proven XLA/exact paths instead of dying. Metric lists are
+        # reset so a partially-successful fast-path warm run can't leak
+        # its iead_dropped/carry counts into the recorded row's warnings.
         import dataclasses as _dc
 
-        print(f"bench[magnetized]: fast paths FAILED ({e!r}) — retrying "
-              "with newton_backend='xla' + exact paths", file=sys.stderr)
-        cfg = _dc.replace(pre.config, newton_backend="xla")
-        state0 = pre.state
-        step = magnetized.make_step(cfg)
-        elapsed = _time(go)
-    _emit("magnetized", n, steps, elapsed)
+        dropped.clear()
+        carried_bad.clear()
+        fb_cfg = _dc.replace(pre.config, newton_backend="xla")
+        fb_step = magnetized.make_step(fb_cfg)
+
+        def go_fb():
+            _, m = run(fb_step, pre.state, steps)
+            np.asarray(m.phi_max)
+            dropped.append(int(np.asarray(m.iead_dropped).sum()))
+
+        return go_fb
+
+    elapsed, fb = _time_with_fallback(
+        go, rebuild, "magnetized", "xla-newton + exact paths")
+    _emit("magnetized", n, steps, elapsed, fallback=fb)
     if dropped and max(dropped) > 0:
         print(f"# WARNING: iead_pack dropped {max(dropped)} impacts",
               file=sys.stderr)
@@ -576,28 +583,33 @@ def bench_domain_explicit(args):
         np.asarray(m.field_energy)
         holder["m"] = m
 
-    try:
-        elapsed = _time(go)
-    except Exception as e:
+    def rebuild():
         # the fused gather+push sweep (auto-on-TPU) and carried-rho cycle
         # have only compiled in interpret mode while the tunnel was down —
         # fall back to the composed per-step path rather than lose the row
         import dataclasses as _dc
 
-        print(f"bench[domain_explicit]: fused path FAILED ({e!r}) — "
-              "retrying push_backend='composed', carried off",
-              file=sys.stderr)
-        cfg = _dc.replace(cfg, push_backend="composed", carried_rho="off")
-        step = (dom.make_superstep(cfg, mesh, k_mig) if k_mig > 1
-                else dom.make_step(cfg, mesh))
-        elapsed = _time(go)
+        fb_cfg = _dc.replace(cfg, push_backend="composed",
+                             carried_rho="off")
+        fb_step = (dom.make_superstep(fb_cfg, mesh, k_mig) if k_mig > 1
+                   else dom.make_step(fb_cfg, mesh))
+
+        def go_fb():
+            _, m = run(fb_step, st, steps)
+            np.asarray(m.field_energy)
+            holder["m"] = m
+
+        return go_fb
+
+    elapsed, fb = _time_with_fallback(
+        go, rebuild, "domain_explicit", "composed push, carried off")
     m = holder["m"]
     steps *= k_mig
     n_clamped = int(np.asarray(m.n_halo_clamped).sum())
     _emit("domain_explicit", n, steps, elapsed,
           f"(shards={n_dev}, migrate_every={k_mig}, "
           f"dropped={int(np.asarray(m.n_dropped).sum())}, "
-          f"halo_clamped={n_clamped})")
+          f"halo_clamped={n_clamped})", fallback=fb)
     if n_clamped:
         print(f"# WARNING: {n_clamped} halo clamps — the superstep halo "
               "does not cover the k-step excursion; this row is not "

@@ -55,7 +55,6 @@ def census(name, fn, *args):
     comp = None
     rows = []
     for line in hlo.splitlines():
-        mcomp = re.match(r"\s*%?([\w.\-]+)\s*\([^)]*\)\s*->", line)
         if line.lstrip().startswith(("ENTRY", "%")) and "{" in line and "->" in line:
             mname = re.search(r"%?([\w.\-]+)\s*\(", line)
             if mname:

@@ -45,10 +45,48 @@ def test_bench_row_smoke(name, flags):
     lines = [ln for ln in out.stdout.splitlines() if ln.strip()]
     assert lines, f"no stdout from bench --only {name}:\n{out.stderr}"
     rec = json.loads(lines[-1])
-    # the driver contract: one JSON line with exactly these keys
+    # the driver contract: one JSON line with exactly these keys (a
+    # "fallback" key appears ONLY when a fast path failed and the row
+    # was re-recorded on a slower proven configuration)
     assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
     expect = ("particle_pushes_per_sec_per_chip" if name == "headline"
               else f"{name}_pushes_per_sec_per_chip")
     assert rec["metric"] == expect
     assert rec["value"] > 0
     assert rec["unit"].startswith("pushes/s")
+
+
+def test_fallback_rows_are_tagged_in_the_artifact(capsys):
+    """A row recorded via _time_with_fallback carries a machine-readable
+    marker in the JSON line (not just a stderr notice), so the driver's
+    artifact can't silently swap configurations under a regression."""
+    sys.path.insert(0, REPO)
+    try:
+        import bench
+    finally:
+        sys.path.pop(0)
+
+    calls = []
+
+    def go_fast():
+        raise RuntimeError("Mosaic rejected the fast path")
+
+    def rebuild():
+        def go_slow():
+            calls.append(1)
+        return go_slow
+
+    elapsed, fb = bench._time_with_fallback(
+        go_fast, rebuild, "rowname", "slow-but-proven")
+    assert fb == "slow-but-proven"
+    assert calls  # the fallback closure actually ran
+    capsys.readouterr()
+    bench._emit("rowname", 100, 10, elapsed or 1e-3, fallback=fb)
+    out = capsys.readouterr().out
+    rec = json.loads(out.strip().splitlines()[-1])
+    assert rec["fallback"] == "slow-but-proven"
+    assert "[fallback: slow-but-proven]" in rec["unit"]
+    # and a clean row has no marker
+    bench._emit("rowname", 100, 10, 1e-3)
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "fallback" not in rec and "[fallback" not in rec["unit"]
