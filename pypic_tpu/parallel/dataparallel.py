@@ -91,10 +91,14 @@ def make_data_parallel_step(
     state_specs = _state_specs(example_state, axis)
     # Metrics are replicated (every scalar is psum'd or grid-derived inside);
     # P() as a pytree prefix covers the whole metrics tuple.
-    return shard_map(
+    # jit the shard_mapped step: an UN-jitted shard_map dispatches
+    # eagerly op-by-op per shard (~1000x slower on the virtual CPU mesh);
+    # callers that wrap it again in jax.jit / lax.scan are unaffected
+    # (nested jit is free).
+    return jax.jit(shard_map(
         inner,
         mesh=mesh,
         in_specs=(state_specs,),
         out_specs=(state_specs, P()),
         check_vma=False,
-    )
+    ))

@@ -808,10 +808,14 @@ def _make_stepper(cfg: DomainImplicitConfig, mesh: Mesh, k_mig):
         return new_state, metrics
 
     spec = _state_specs(cfg)
-    return shard_map(
+    # jit the shard_mapped step: an UN-jitted shard_map dispatches
+    # eagerly op-by-op per shard (~1000x slower on the virtual CPU mesh);
+    # callers that wrap it again in jax.jit / lax.scan are unaffected
+    # (nested jit is free).
+    return jax.jit(shard_map(
         local_step if k_mig is None else local_superstep,
         mesh=mesh,
         in_specs=(spec,),
         out_specs=(spec, P()),
         check_vma=False,
-    )
+    ))

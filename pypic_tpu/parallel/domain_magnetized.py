@@ -633,10 +633,14 @@ def make_step(cfg: DomainMagnetizedConfig, mesh: Mesh):
         return new_state, metrics
 
     spec = state_spec(cfg)
-    return shard_map(
+    # jit the shard_mapped step: an UN-jitted shard_map dispatches
+    # eagerly op-by-op per shard (~1000x slower on the virtual CPU mesh);
+    # callers that wrap it again in jax.jit / lax.scan are unaffected
+    # (nested jit is free).
+    return jax.jit(shard_map(
         local_step,
         mesh=mesh,
         in_specs=(spec,),
         out_specs=(spec, P()),
         check_vma=False,
-    )
+    ))
