@@ -48,6 +48,10 @@ def test_data_parallel_matches_single_device(problem):
     step8 = make_data_parallel_step(
         implicit.make_step, cfg8, mesh, example_state=st
     )
+    # the factory must hand back a COMPILED callable: a bare shard_map
+    # dispatches eagerly op-by-op per shard when called outside jit
+    # (~1000x on this mesh; regression of the round-3 fix)
+    assert hasattr(step8, "lower"), "parallel step factory must jit"
     _, m8 = run(step8, st8, 50)
 
     ee1 = np.asarray(m1.field_energy, np.float64)
