@@ -487,3 +487,74 @@ def test_newton_pallas_maxiter_cap():
                                      2e-5, tol=1e-30, maxiter=2)
     assert int(res.iterations) == 2
     assert float(res.residual) > 1e-30
+
+
+def _adversarial_positions(rng, n, cells):
+    """Uniform positions salted with the geometry's worst cases: exact
+    node hits, window-seam neighborhoods (stride multiples +/- 1 ulp),
+    and the domain edges."""
+    p = rng.uniform(0, cells, n).astype(np.float32)
+    k = n // 4
+    p[:k] = rng.integers(0, cells, k)  # exact nodes (w_R = 0)
+    edge = np.float32(cells) - np.float32(1e-3)
+    p[k:k + 8] = [0.0, edge, np.nextafter(np.float32(cells), np.float32(0)),
+                  1.0, cells - 1, cells / 2, np.nextafter(np.float32(0), np.float32(1)),
+                  min(cells - 1e-3, 2.0)]
+    return p
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_window_geometry_fuzz_deposit_gather(seed):
+    """Randomized sweep of the windowed-tent geometry (_choose_window
+    stride/width envelope + selector/fold) across grid sizes the fixed
+    parametrizations never hit, with adversarial positions (exact nodes,
+    seams, edges). Pallas deposit/gather must match the XLA scatter/take
+    references for every (ng, periodic, n) drawn — including n that is
+    not a multiple of the particle block."""
+    rng = np.random.default_rng(100 + seed)
+    for _ in range(6):
+        ng = int(rng.integers(9, 1200))
+        periodic = bool(rng.integers(0, 2))
+        n = int(rng.integers(100, 9000))
+        cells = ng if periodic else ng - 1
+        p = jnp.asarray(_adversarial_positions(rng, n, cells))
+        val = jnp.asarray(rng.normal(size=n), jnp.float32)
+        a = _deposit_scatter(p, val, ng, periodic)
+        b = deposit_pallas(p, val, ng, periodic=periodic)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b),
+            atol=3e-5 * max(1.0, float(jnp.abs(a).max())),
+            err_msg=f"deposit ng={ng} periodic={periodic} n={n}")
+        f = jnp.asarray(rng.normal(size=ng), jnp.float32)
+        ga = gather(f, p, periodic=periodic, method="take")
+        gb = gather_pallas(f, p, periodic=periodic)
+        np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(gb), atol=1e-5,
+            err_msg=f"gather ng={ng} periodic={periodic} n={n}")
+
+
+@pytest.mark.parametrize("ng", [23, 97, 541])
+def test_fused_picard_fuzz_odd_grids(ng):
+    """The fused Picard pass on grid sizes off the calibrated path (prime
+    ngs force every stride/width remainder case at the last window)."""
+    rng = np.random.default_rng(ng)
+    n = 4097
+    qm, w, dt, dx = -1.7e11, -3.2e-9, 1e-7, 0.05
+    p0 = jnp.asarray(_adversarial_positions(rng, n, ng))
+    v0 = jnp.asarray(rng.normal(size=n) * 1e5, jnp.float32)
+    ps = jnp.asarray(_adversarial_positions(rng, n, ng))
+    e = jnp.asarray(rng.normal(size=ng) * 1e3, jnp.float32)
+
+    ep = gather(e, ps, periodic=True, method="take")
+    dt_dx = dt / dx
+    p1r = p0 + dt_dx * v0 + 0.5 * qm * dt * dt_dx * ep
+    v1r = v0 + qm * dt * ep
+    phr = jnp.mod(0.5 * (p0 + p1r), ng)
+    jhr = _deposit_scatter(phr, w * 0.5 * (v0 + v1r), ng, True)
+
+    ph, jh = picard_iteration_pallas(e, ps, p0, v0, ng, qm=qm, w=w,
+                                     dt=dt, dx=dx)
+    np.testing.assert_allclose(np.asarray(ph), np.asarray(phr), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(jh), np.asarray(jhr),
+        atol=3e-5 * float(jnp.abs(jhr).max()))
