@@ -262,6 +262,10 @@ def run_resident(cfg: ExplicitConfig, state: ExplicitState, steps: int,
         raise ValueError("run_resident requires scalar q/m")
     if ng > 1024:
         raise ValueError("run_resident requires ng <= 1024 (VMEM operators)")
+    if int(steps) <= 0 or int(steps_per_call) <= 0:
+        raise ValueError(
+            f"steps and steps_per_call must be >= 1, got "
+            f"{steps}/{steps_per_call}")
     spc = min(int(steps_per_call), int(steps))
     full, rem = divmod(int(steps), spc)
     scan_full, rem_fn = _resident_fns(cfg, spc, full, rem)

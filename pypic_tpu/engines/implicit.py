@@ -29,6 +29,7 @@ broadcasting covers both with zero code divergence.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple
 
 import jax
@@ -149,6 +150,8 @@ class ImplicitConfig:
             raise ValueError(f"unknown finalize_field {self.finalize_field!r}")
         if self.window_share not in ("auto", "shared", "separate"):
             raise ValueError(f"unknown window_share {self.window_share!r}")
+        if self.backend not in ("auto", "fused", "composed"):
+            raise ValueError(f"unknown backend {self.backend!r}")
 
 
 class ImplicitState(struct.PyTreeNode):
@@ -362,7 +365,12 @@ def make_step(cfg: ImplicitConfig):
         c = lax.while_loop(cond, body, c0)
         e1, r, k = c["e1"], c["r"], c["k"]
         # Field the finalize sweep evaluates the converged update with.
-        ef = 0.5 * (c["eh"] + c["ehp"]) if keep_eh else c["es"]
+        # mean2 averages the last two Picard MAP OUTPUTS — at k == 1 there
+        # is only one (ehp still holds the seed es0, which under
+        # picard_init='extrapolate' is a prediction, not a map output), so
+        # fall back to the single output rather than bias toward the seed.
+        ef = (jnp.where(c["k"] > 1, 0.5 * (c["eh"] + c["ehp"]), c["eh"])
+              if keep_eh else c["es"])
 
         if emit_v:
             # Pad lanes of the blocked iterate hold garbage — slice before
@@ -412,12 +420,13 @@ def make_step(cfg: ImplicitConfig):
         return new_state, metrics
 
     def step(state: ImplicitState):
-        use_fused = cfg.backend == "fused" or (
-            cfg.backend == "auto"
-            and jnp.ndim(state.q) == 0
-            and jnp.ndim(state.m) == 0
-        )
-        if use_fused:
+        scalar_qm = jnp.ndim(state.q) == 0 and jnp.ndim(state.m) == 0
+        if cfg.backend == "fused" and not scalar_qm:
+            raise ValueError(
+                "backend='fused' requires scalar q/m (the fused pass bakes "
+                "them into kernel scalars); use backend='composed' or "
+                "'auto' for per-particle q/m arrays")
+        if cfg.backend == "fused" or (cfg.backend == "auto" and scalar_qm):
             return step_fused(state)
         return step_composed(state)
 
@@ -494,6 +503,13 @@ def check_resident_supported(cfg: ImplicitConfig,
 
     if jnp.ndim(state.q) != 0 or jnp.ndim(state.m) != 0:
         raise ValueError("run_resident requires scalar q/m")
+    if cfg.backend == "composed":
+        # the composed step returns the reference's LAST-ITERATE semantics;
+        # the resident kernel implements the converged-fused math — letting
+        # it through would silently change the trajectory vs runner.run
+        raise ValueError("run_resident implements the fused backend only "
+                         "(backend='composed' selects last-iterate "
+                         "semantics; use the scanned step)")
     if cfg.grid.ng > 1024:
         raise ValueError("run_resident requires ng <= 1024 (VMEM operators)")
     if state.p.shape[0] > _RESIDENT_MAX_N_IMPLICIT:
@@ -544,6 +560,10 @@ def run_resident(cfg: ImplicitConfig, state: ImplicitState, steps: int,
     follow-on extrapolate2 run should take one scanned step first.
     """
     check_resident_supported(cfg, state)
+    if int(steps) <= 0 or int(steps_per_call) <= 0:
+        raise ValueError(
+            f"steps and steps_per_call must be >= 1, got "
+            f"{steps}/{steps_per_call}")
     spc = min(int(steps_per_call), int(steps))
     full, rem = divmod(int(steps), spc)
     scan_full, rem_fn = _resident_fns(cfg, spc, full, rem)
@@ -569,10 +589,7 @@ def run_resident(cfg: ImplicitConfig, state: ImplicitState, steps: int,
     return state, metrics
 
 
-import functools as _functools
-
-
-@_functools.lru_cache(maxsize=16)
+@functools.lru_cache(maxsize=16)
 def _resident_fns(cfg: ImplicitConfig, spc: int, full: int, rem: int):
     """Jitted chunk runners, cached per (config, chunking) so repeated
     run_resident calls reuse the compiled executables (a fresh closure per
@@ -607,6 +624,6 @@ def _resident_fns(cfg: ImplicitConfig, spc: int, full: int, rem: int):
 
         return lax.scan(body, st, None, length=full)
 
-    rem_fn = (jax.jit(_functools.partial(chunk, n_steps=rem))
+    rem_fn = (jax.jit(functools.partial(chunk, n_steps=rem))
               if rem else None)
     return (scan_full if full else None), rem_fn

@@ -452,20 +452,11 @@ def _boris_deposit_kernel(
     const = c_ref[0, 0, :]
     act = act_ref[0, 0, :]
 
-    # one decomposition + selector for the gather AND the deposit
+    # one decomposition + selector for the gather AND the deposit (this
+    # kernel keeps the pad-widened deposit geometry, so no frame shift)
     pc = jnp.clip(p, 0.0, hi)
-    k, d_s = _window_decompose(pc, num_k, stride)
-    sel_t = _sel_t(k, num_k, p.dtype)  # (K, B)
-    tent_s = _tent_t(d_s, block, width)
-    frows_t = lax.dot_general(
-        fwin_ref[:], sel_t, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(p.dtype)  # (width, B)
-    ones = jnp.ones((1, width), p.dtype)
-    ex = lax.dot_general(
-        ones, tent_s * frows_t, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(p.dtype)[0]
+    sel_t, d_s, ex = _shared_gather(fwin_ref, pc, num_k, stride, block,
+                                    width, frame_shift=False)
 
     # Boris-Buneman (pygcpic.py:460-507) — identical to _boris_kernel
     vx = vx0 + const * ex
@@ -752,20 +743,35 @@ def sheath_finalize_pallas(es, ps, p0, u0, qm, w, act, *, dt: float,
 # ---------------------------------------------------------------------------
 
 
-def _gather_at(fwin_ref, ps, num_k, block, stride, width):
-    """Field value at each particle from the transposed window view."""
-    k, d = _window_decompose(ps, num_k, stride)
-    tent_t = _tent_t(d, block, width)  # (width, B)
-    sel_t = _sel_t(k, num_k, ps.dtype)  # (K, B)
+def _shared_gather(fwin_ref, pos, num_k, stride, block, width, frame_shift):
+    """One window decomposition + selector, reusable by a subsequent
+    deposit in the SAME kernel (the shared-window passes and the carried
+    Boris deposit). ``frame_shift`` applies the frame-shifted geometry's
+    +1 row offset (row l = node stride*k + l - 1) to the tent position
+    before the gather. Returns (sel_t (K, B), d_s (B,) — shifted when
+    frame_shift — and the gathered field e_p (B,))."""
+    k, d_s = _window_decompose(pos, num_k, stride)
+    if frame_shift:
+        d_s = d_s + 1.0
+    sel_t = _sel_t(k, num_k, pos.dtype)  # (K, B)
+    tent_s = _tent_t(d_s, block, width)  # (width, B)
     frows_t = lax.dot_general(
         fwin_ref[:], sel_t, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(ps.dtype)  # (width, B)
-    ones = jnp.ones((1, width), ps.dtype)
-    return lax.dot_general(
-        ones, tent_t * frows_t, (((1,), (0,)), ((), ())),
+    ).astype(pos.dtype)  # (width, B)
+    ones = jnp.ones((1, width), pos.dtype)
+    e_p = lax.dot_general(
+        ones, tent_s * frows_t, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(ps.dtype)[0]  # (B,)
+    ).astype(pos.dtype)[0]  # (B,)
+    return sel_t, d_s, e_p
+
+
+def _gather_at(fwin_ref, ps, num_k, block, stride, width):
+    """Field value at each particle from the transposed window view."""
+    _, _, e_p = _shared_gather(fwin_ref, ps, num_k, stride, block, width,
+                               frame_shift=False)
+    return e_p
 
 
 def _gather_kernel(fwin_ref, p_ref, out_ref, *, num_k, block, stride, width):
@@ -1690,7 +1696,6 @@ def _picard_iter_sw_kernel(
         v1_ref, jh_ref = rest
     else:
         (jh_ref,) = rest
-    wp = width
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -1706,21 +1711,10 @@ def _picard_iter_sw_kernel(
     p0 = p0_ref[0, 0, :]
     v0 = v0_ref[0, 0, :]
 
-    # one decomposition + one selector for the whole pass; +1 shifts into
-    # the margin frame (row l = node stride*k + l - 1)
-    k, d_s = _window_decompose(ps, num_k, stride)
-    d_s = d_s + 1.0
-    sel_t = _sel_t(k, num_k, ps.dtype)  # (K, B)
-    tent_s = _tent_t(d_s, block, width)
-    frows_t = lax.dot_general(
-        fwin_ref[:], sel_t, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(ps.dtype)  # (width, B)
-    ones = jnp.ones((1, width), ps.dtype)
-    e_p = lax.dot_general(
-        ones, tent_s * frows_t, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(ps.dtype)[0]
+    # one decomposition + one selector for the whole pass; the frame
+    # shift puts a one-row margin on each side of the gather span
+    sel_t, d_s, e_p = _shared_gather(fwin_ref, ps, num_k, stride, block,
+                                     width, frame_shift=True)
 
     p1 = p0 + dt_dx * v0 + qm_dt2_half * e_p
     v1 = v0 + qm_dt * e_p
@@ -1735,10 +1729,10 @@ def _picard_iter_sw_kernel(
     delta = delta - jnp.round(delta * (1.0 / ng)) * ng
     d_h = d_s + delta
     mask = _lane_mask(i, block, n_valid, ps.dtype)
-    oob = ((d_h < 0.0) | (d_h > wp - 1.0)).astype(ps.dtype) * mask
-    d_h = jnp.clip(d_h, 0.0, wp - 1.0)
+    oob = ((d_h < 0.0) | (d_h > width - 1.0)).astype(ps.dtype) * mask
+    d_h = jnp.clip(d_h, 0.0, width - 1.0)
     vals = (w * vh) * mask
-    m_t = _tent_t(d_h, block, wp) * vals[None, :]  # (wp, B)
+    m_t = _tent_t(d_h, block, width) * vals[None, :]  # (width, B)
     contrib = lax.dot_general(
         m_t, sel_t, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -1879,7 +1873,6 @@ def _picard_iter_ext_sw_kernel(
         v1_ref, jh_ref = rest
     else:
         (jh_ref,) = rest
-    wp = width
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -1895,19 +1888,8 @@ def _picard_iter_ext_sw_kernel(
     v0 = v0_ref[0, 0, :]
     w = w_ref[0, 0, :]
 
-    k, d_s = _window_decompose(psc, num_k, stride)
-    d_s = d_s + 1.0
-    sel_t = _sel_t(k, num_k, psc.dtype)
-    tent_s = _tent_t(d_s, block, width)
-    frows_t = lax.dot_general(
-        fwin_ref[:], sel_t, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(psc.dtype)
-    ones = jnp.ones((1, width), psc.dtype)
-    e_p = lax.dot_general(
-        ones, tent_s * frows_t, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(psc.dtype)[0]
+    sel_t, d_s, e_p = _shared_gather(fwin_ref, psc, num_k, stride, block,
+                                     width, frame_shift=True)
 
     p1 = p0 + dt_dx * v0 + qm_dt2_half * e_p
     v1 = v0 + qm_dt * e_p
@@ -1920,9 +1902,9 @@ def _picard_iter_ext_sw_kernel(
     delta = jnp.clip(ph, lo, hi) - psc
     d_h = d_s + delta
     alive = (w != 0.0).astype(psc.dtype)
-    oob = ((d_h < 0.0) | (d_h > wp - 1.0)).astype(psc.dtype) * alive
-    d_h = jnp.clip(d_h, 0.0, wp - 1.0)
-    m_t = _tent_t(d_h, block, wp) * (w * vh)[None, :]
+    oob = ((d_h < 0.0) | (d_h > width - 1.0)).astype(psc.dtype) * alive
+    d_h = jnp.clip(d_h, 0.0, width - 1.0)
+    m_t = _tent_t(d_h, block, width) * (w * vh)[None, :]
     contrib = lax.dot_general(
         m_t, sel_t, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,

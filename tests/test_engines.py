@@ -439,3 +439,66 @@ def test_window_share_single_step_deposit_matches():
         np.asarray(outs["shared"][0].e), np.asarray(outs["separate"][0].e),
         rtol=2e-5, atol=1e-8,
     )
+
+
+def test_backend_validation_and_fused_scalar_qm_guard():
+    """Config rejects backend typos (a misspelling used to silently select
+    the composed last-iterate path); backend='fused' with per-particle q/m
+    arrays raises a clear error instead of an opaque reshape failure deep
+    in the kernel scalars pack."""
+    grid, x, v, params = _two_stream_setup(n=2_000, ng=64)
+    dt = 0.1 / params.wp
+    with pytest.raises(ValueError, match="backend"):
+        implicit.ImplicitConfig(grid, dt, params.p2c, backend="fuesd")
+    cfg = implicit.ImplicitConfig(grid, dt, params.p2c, backend="fused")
+    n = x.shape[0]
+    st = implicit.init_state(
+        x, v, np.full(n, -E_CHARGE), np.full(n, M_ELECTRON), cfg)
+    with pytest.raises(ValueError, match="scalar q/m"):
+        implicit.make_step(cfg)(st)
+
+
+def test_run_resident_rejects_composed_and_zero_steps():
+    """run_resident implements the converged-fused math — letting a
+    backend='composed' config through would silently swap the reference's
+    last-iterate semantics for the converged ones; steps/steps_per_call
+    below 1 raise instead of ZeroDivisionError."""
+    from pypic_tpu.engines import explicit
+
+    grid, x, v, params = _two_stream_setup(n=2_000, ng=64)
+    dt = 0.1 / params.wp
+    cfg = implicit.ImplicitConfig(grid, dt, params.p2c, backend="composed")
+    st = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
+    with pytest.raises(ValueError, match="fused backend only"):
+        implicit.run_resident(cfg, st, 4)
+    cfg_ok = implicit.ImplicitConfig(grid, dt, params.p2c)
+    st_ok = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg_ok)
+    with pytest.raises(ValueError, match=">= 1"):
+        implicit.run_resident(cfg_ok, st_ok, 0)
+    with pytest.raises(ValueError, match=">= 1"):
+        implicit.run_resident(cfg_ok, st_ok, 4, steps_per_call=0)
+    ecfg = explicit.ExplicitConfig(grid, dt, params.p2c)
+    est = explicit.init_state(x, v, -E_CHARGE, M_ELECTRON, ecfg)
+    with pytest.raises(ValueError, match=">= 1"):
+        explicit.run_resident(ecfg, est, 0)
+
+
+def test_finalize_field_mean2_single_iteration_equals_last():
+    """At a one-iteration Picard exit there is only ONE map output, so
+    'mean2' must finalize with it alone — averaging with the seed would
+    bias the finalize field toward the (extrapolated) initial guess."""
+    grid, x, v, params = _two_stream_setup(n=4_000, ng=64)
+    dt = 0.1 / params.wp
+    runs = {}
+    for label in ("last", "mean2"):
+        cfg = implicit.ImplicitConfig(
+            grid, dt, params.p2c, tol=1e30, maxiter=50,
+            picard_init="extrapolate", backend="fused",
+            finalize_field=label)
+        st = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
+        runs[label] = run(implicit.make_step(cfg), st, 20)
+    assert int(np.asarray(runs["mean2"][1].picard_iters).max()) == 1
+    np.testing.assert_array_equal(np.asarray(runs["mean2"][0].p),
+                                  np.asarray(runs["last"][0].p))
+    np.testing.assert_array_equal(np.asarray(runs["mean2"][0].v),
+                                  np.asarray(runs["last"][0].v))
