@@ -706,11 +706,12 @@ def main():
                     help="force the CPU backend (wiring smoke tests; the "
                          "axon env var override is ignored by design)")
     ap.add_argument("--finalize-field", default="last",
-                    choices=("last", "mean2"),
+                    choices=("last", "mean2", "map", "aitken"),
                     help="field the finalize sweep gathers with (see "
                          "ImplicitConfig.finalize_field; 'mean2' averages "
-                         "the last two Picard map outputs to cancel the "
-                         "spiral alternation bias)")
+                         "the last two Picard map outputs, 'map' is the "
+                         "raw Ampere-consistent eh_k, 'aitken' the Δ² "
+                         "extrapolation of the last three map outputs)")
     args = ap.parse_args()
     if args.cpu:
         # env JAX_PLATFORMS is force-set by the axon sitecustomize; this is

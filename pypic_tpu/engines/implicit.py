@@ -111,11 +111,25 @@ class ImplicitConfig:
     #     drift resonance, PERF.md) by exiting on a two-history average.
     picard_accel: str = "none"
     # Field the finalize sweep gathers with (fused backend, finalize !=
-    # 'iterate'): 'last' = the latest map output eh_k (round-2 behavior);
-    # 'mean2' = (eh_k + eh_{k-1})/2 — averaging consecutive iterates cancels
-    # the first-order component of the Picard spiral around the fixed point,
-    # aiming the conserving fixed-count configs at fewer iterations for the
-    # same drift (measured on the violent headline workload, PERF.md).
+    # 'iterate'):
+    #   'last'  — the final Picard ITERATE es (round-2 behavior). Under
+    #     picard_accel='none' this equals the latest map output eh_k; under
+    #     Anderson mixing it is the secant-accelerated fixed-point estimate;
+    #   'mean2' — (eh_k + eh_{k-1})/2: averaging consecutive map outputs
+    #     cancels the first-order component of the Picard spiral around the
+    #     fixed point (measured: does NOT cure the fixed-odd-count drift
+    #     resonance, PERF.md);
+    #   'map'   — the raw last map output eh_k = (e0 + e1)/2 exactly: the
+    #     unique choice consistent with the Ampere advance that produced
+    #     state.e, so the finalize velocity update uses the same field whose
+    #     current actually advanced the energy bookkeeping;
+    #   'aitken' — scalar-secant Aitken Δ² extrapolation of the last three
+    #     map outputs toward the fixed point: with the contraction factor
+    #     ρ = <Δ1,Δ2>/<Δ2,Δ2> estimated per step, ef = eh_k + ρ/(1−ρ) Δ1.
+    #     Generalizes 'mean2' (which assumes ρ = −1); targets the
+    #     alternation bias behind the fixed-odd-count resonance without
+    #     assuming its ratio. Falls back to eh_k while fewer than three map
+    #     outputs exist or when ρ is out of its trust region.
     finalize_field: str = "last"
     # Shared-window Picard deposit (fused backend): reuse the gather's
     # window decomposition + one-hot selector for the deposit
@@ -146,7 +160,7 @@ class ImplicitConfig:
             raise ValueError(f"unknown finalize {self.finalize!r}")
         if self.picard_accel not in ("none", "anderson", "anderson2", "damped"):
             raise ValueError(f"unknown picard_accel {self.picard_accel!r}")
-        if self.finalize_field not in ("last", "mean2"):
+        if self.finalize_field not in ("last", "mean2", "map", "aitken"):
             raise ValueError(f"unknown finalize_field {self.finalize_field!r}")
         if self.window_share not in ("auto", "shared", "separate"):
             raise ValueError(f"unknown window_share {self.window_share!r}")
@@ -317,6 +331,8 @@ def make_step(cfg: ImplicitConfig):
                        aux=aux)
             if share:
                 nxt["ncl"] = ncl
+            if keep_eh2:
+                nxt["ehpp"] = c["ehp"]
             if keep_eh:
                 nxt["ehp"], nxt["eh"] = c["eh"], eh
             if keep_jh:
@@ -338,7 +354,9 @@ def make_step(cfg: ImplicitConfig):
         # with their average, cancelling the first-order component of the
         # Picard spiral around the fixed point (the alternation bias behind
         # the fixed-odd-count drift resonance, PERF.md).
-        keep_eh = cfg.finalize_field == "mean2" and not emit_v
+        keep_eh = (cfg.finalize_field in ("mean2", "map", "aitken")
+                   and not emit_v)
+        keep_eh2 = cfg.finalize_field == "aitken" and not emit_v
         es0 = _es0(state)
         if share:
             # free-streaming midpoint seed: keeps the deposit offset from
@@ -358,6 +376,8 @@ def make_step(cfg: ImplicitConfig):
         if keep_eh:
             c0["eh"] = es0
             c0["ehp"] = es0
+        if keep_eh2:
+            c0["ehpp"] = es0
         if keep_jh:
             c0["jh"] = state.j
         if emit_v:
@@ -369,8 +389,23 @@ def make_step(cfg: ImplicitConfig):
         # is only one (ehp still holds the seed es0, which under
         # picard_init='extrapolate' is a prediction, not a map output), so
         # fall back to the single output rather than bias toward the seed.
-        ef = (jnp.where(c["k"] > 1, 0.5 * (c["eh"] + c["ehp"]), c["eh"])
-              if keep_eh else c["es"])
+        # aitken likewise needs three map outputs before the Δ² model is
+        # meaningful; outside its trust region it falls back to eh_k.
+        if not keep_eh:
+            ef = c["es"]
+        elif cfg.finalize_field == "map":
+            ef = c["eh"]
+        elif cfg.finalize_field == "mean2":
+            ef = jnp.where(c["k"] > 1, 0.5 * (c["eh"] + c["ehp"]), c["eh"])
+        else:  # 'aitken'
+            d1 = c["eh"] - c["ehp"]
+            d2 = c["ehp"] - c["ehpp"]
+            den = jnp.sum(d2 * d2)
+            rho = jnp.sum(d1 * d2) / jnp.where(den > 0.0, den, 1.0)
+            rho = jnp.clip(rho, -0.95, 0.95)
+            trust = (c["k"] > 2) & (den > 0.0)
+            corr = (rho / (1.0 - rho)) * d1
+            ef = c["eh"] + jnp.where(trust, corr, jnp.zeros_like(corr))
 
         if emit_v:
             # Pad lanes of the blocked iterate hold garbage — slice before

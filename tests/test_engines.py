@@ -502,3 +502,69 @@ def test_finalize_field_mean2_single_iteration_equals_last():
                                   np.asarray(runs["last"][0].p))
     np.testing.assert_array_equal(np.asarray(runs["mean2"][0].v),
                                   np.asarray(runs["last"][0].v))
+
+
+def test_finalize_field_map_and_aitken_same_fixed_point():
+    """finalize_field='map' (raw last map output eh_k — the unique choice
+    Ampere-consistent with the field advance that produced state.e) and
+    'aitken' (scalar-secant Δ² extrapolation of the last three map outputs)
+    converge to the same fixed point at tight tolerance. Sharp property:
+    under picard_accel='none' the mixed iterate IS the map output, so
+    'map' must match 'last' bit-exactly at ANY iteration count."""
+    grid, x, v, params = _two_stream_setup(n=10_000, ng=64)
+    dt = 0.1 / params.wp
+    runs = {}
+    for label, kw in {
+        "base": dict(tol=1e-10, maxiter=50),
+        "map": dict(tol=1e-10, maxiter=50, finalize_field="map"),
+        "aitken": dict(tol=1e-10, maxiter=50, finalize_field="aitken"),
+        "map_fixed4": dict(tol=1e-30, maxiter=4, finalize_field="map"),
+        "aitken_fixed4": dict(tol=1e-30, maxiter=4, finalize_field="aitken"),
+        "aitken_fixed4_and": dict(tol=1e-30, maxiter=4,
+                                  finalize_field="aitken",
+                                  picard_accel="anderson"),
+    }.items():
+        cfg = implicit.ImplicitConfig(grid, dt, params.p2c,
+                                      picard_init="extrapolate",
+                                      backend="fused", **kw)
+        st = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
+        runs[label] = run(implicit.make_step(cfg), st, 200)
+    ee_b = np.asarray(runs["base"][1].field_energy, np.float64)
+    # accel='none': es <- eh each iteration, so 'map' == 'last' bit-exactly
+    np.testing.assert_array_equal(np.asarray(runs["map"][0].p),
+                                  np.asarray(runs["base"][0].p))
+    np.testing.assert_array_equal(np.asarray(runs["map"][0].v),
+                                  np.asarray(runs["base"][0].v))
+    # tight-tol aitken: same fixed point (the Δ² correction -> 0 with the
+    # residual)
+    ee_a = np.asarray(runs["aitken"][1].field_energy, np.float64)
+    np.testing.assert_allclose(ee_a, ee_b, rtol=2e-3)
+    # fixed-count runs stay physical and conserve total energy at the
+    # percent level on this short horizon
+    for label in ("map_fixed4", "aitken_fixed4", "aitken_fixed4_and"):
+        ee = np.asarray(runs[label][1].field_energy, np.float64)
+        np.testing.assert_allclose(ee, ee_b, rtol=5e-2)
+        tot = ee + np.asarray(runs[label][1].kinetic_energy, np.float64)
+        assert abs(tot[-1] / tot[0] - 1.0) < 1e-2
+
+
+def test_finalize_field_map_aitken_single_iteration_equals_last():
+    """At a one-iteration Picard exit 'map' and 'aitken' both fall back to
+    the single map output, which (accel='none') equals the final iterate —
+    bit-exact with 'last'."""
+    grid, x, v, params = _two_stream_setup(n=4_000, ng=64)
+    dt = 0.1 / params.wp
+    runs = {}
+    for label in ("last", "map", "aitken"):
+        cfg = implicit.ImplicitConfig(
+            grid, dt, params.p2c, tol=1e30, maxiter=50,
+            picard_init="extrapolate", backend="fused",
+            finalize_field=label)
+        st = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
+        runs[label] = run(implicit.make_step(cfg), st, 20)
+    for label in ("map", "aitken"):
+        assert int(np.asarray(runs[label][1].picard_iters).max()) == 1
+        np.testing.assert_array_equal(np.asarray(runs[label][0].p),
+                                      np.asarray(runs["last"][0].p))
+        np.testing.assert_array_equal(np.asarray(runs[label][0].v),
+                                      np.asarray(runs["last"][0].v))
