@@ -481,6 +481,7 @@ def bench_domain(args):
         grid, 1e-5, grid.length * 1e5 / n, num_shards=n_dev,
         tol=args.tol, maxiter=args.maxiter, halo=halo,
         picard_init=_PICARD_INIT, finalize=_FINALIZE, picard_accel=_ACCEL,
+        finalize_field=_FINALIZE_FIELD,
         migrate_cap=max(4096, 4 * (n // max(1, grid.ng))),
     )
     k_mig = max(1, args.migrate_every)

@@ -78,6 +78,15 @@ class DomainImplicitConfig:
     # its last-iterate drift bias (see engines.implicit.ImplicitConfig
     # .finalize and PERF.md's drift table). Fused backend only.
     finalize: str = "converged"
+    # Field the finalize sweep gathers with (fused backend, finalize !=
+    # 'iterate'): 'last' | 'mean2' | 'map' | 'aitken' — see
+    # engines.implicit.ImplicitConfig.finalize_field. The aitken Δ²
+    # contraction estimate psums its two inner products over the slab
+    # axis, so the slab-sharded extrapolation equals the global one.
+    # Accuracy/diagnostics option: fixed-3 + 'aitken' measured 2.60e9 on
+    # v5e but FAILS the 1e4-step drift criterion at 1e8 (PERF.md
+    # round-3j), so the headline stays maxiter=4 + 'last'.
+    finalize_field: str = "last"
     # 'fused' runs each local Picard pass as one Pallas sweep over the shard's
     # particles (gather from the halo-extended slab + CN + extended-slab
     # deposit — the domain form of engines.implicit's fused backend);
@@ -132,6 +141,8 @@ class DomainImplicitConfig:
             raise ValueError(f"unknown picard_init {self.picard_init!r}")
         if self.finalize not in ("converged", "converged-deposit", "iterate"):
             raise ValueError(f"unknown finalize {self.finalize!r}")
+        if self.finalize_field not in ("last", "mean2", "map", "aitken"):
+            raise ValueError(f"unknown finalize_field {self.finalize_field!r}")
         if self.window_share not in ("auto", "shared", "separate"):
             raise ValueError(f"unknown window_share {self.window_share!r}")
         if self.picard_accel not in ("none", "anderson", "anderson2",
@@ -325,6 +336,11 @@ def _make_stepper(cfg: DomainImplicitConfig, mesh: Mesh, k_mig):
     )
     if cfg.backend not in ("auto", "fused", "composed"):
         raise ValueError(f"unknown backend {cfg.backend!r}")
+    if not use_fused and cfg.finalize_field != "last":
+        raise ValueError(
+            "finalize_field != 'last' requires the fused backend (the "
+            "composed path returns the last Picard iterate's arrays and "
+            "has no finalize sweep to redirect)")
     # clamp bounds in shifted (halo/deposit) coordinates: xi in [-h, c+h]
     clamp_lo_s = float(hw - h)
     clamp_hi_s = float(c + h + hw)
@@ -386,6 +402,12 @@ def _make_stepper(cfg: DomainImplicitConfig, mesh: Mesh, k_mig):
 
     emit_v = cfg.finalize == "iterate"
     share = cfg.window_share == "shared"
+    # finalize_field history: the last Picard map outputs ride the carry
+    # (slab-sharded like every field leaf); 'iterate' has no finalize
+    # sweep to redirect, so the history is skipped (engines.implicit
+    # semantics).
+    keep_eh = cfg.finalize_field in ("mean2", "map", "aitken") and not emit_v
+    keep_eh2 = cfg.finalize_field == "aitken" and not emit_v
 
     def make_body_composed(p0l, v0, w, e0, qm):
         """Picard map as individual ops, closing over this micro-step's
@@ -439,9 +461,51 @@ def _make_stepper(cfg: DomainImplicitConfig, mesh: Mesh, k_mig):
             if emit_v:
                 return (es_next, outs[0], ncl, outs[1], e1, jh, aux, r,
                         carry[-1] + 1)
+            if keep_eh:
+                # shift the map-output history: carry[3] = eh_k, [4] = eh_{k-1}
+                # (+ [5] = eh_{k-2} for aitken)
+                hist = (eh, carry[3]) + ((carry[4],) if keep_eh2 else ())
+                return (es_next, outs[0], ncl) + hist + (
+                    e1, jh, aux, r, carry[-1] + 1)
             return es_next, outs[0], ncl, e1, jh, aux, r, carry[-1] + 1
 
         return body_fused
+
+    def _hist0(es0):
+        """Carry seeds for the finalize_field map-output history."""
+        if not keep_eh:
+            return ()
+        return (es0, es0) + ((es0,) if keep_eh2 else ())
+
+    def _unpack_fused(out):
+        """Unpack the non-emit_v fused Picard carry and resolve the field
+        the finalize sweep gathers with (engines.implicit.step_fused
+        semantics; the aitken ρ inner products psum over the slab axis so
+        the slab-sharded Δ² extrapolation equals the global one — fields
+        are replicated across the dp axis, no dp psum needed)."""
+        es, pss, ncl = out[0], out[1], out[2]
+        e1, jh, r, k = out[-5], out[-4], out[-2], out[-1]
+        ef = es
+        if keep_eh:
+            ehl, ehp = out[3], out[4]
+            if cfg.finalize_field == "map":
+                ef = ehl
+            elif cfg.finalize_field == "mean2":
+                # at k == 1 ehp still holds the seed es0 (a prediction, not
+                # a map output) — fall back to the single output
+                ef = jnp.where(k > 1, 0.5 * (ehl + ehp), ehl)
+            else:  # 'aitken'
+                ehpp = out[5]
+                d1 = ehl - ehp
+                d2 = ehp - ehpp
+                den = lax.psum(jnp.sum(d2 * d2), ax)
+                rho = lax.psum(jnp.sum(d1 * d2), ax)
+                rho = rho / jnp.where(den > 0.0, den, 1.0)
+                rho = jnp.clip(rho, -0.95, 0.95)
+                trust = (k > 2) & (den > 0.0)
+                corr = (rho / (1.0 - rho)) * d1
+                ef = ehl + jnp.where(trust, corr, jnp.zeros_like(corr))
+        return es, pss, ncl, ef, e1, jh, r, k
 
     def local_step(state: DomainImplicitState):
         d = lax.axis_index(ax)
@@ -504,12 +568,12 @@ def _make_stepper(cfg: DomainImplicitConfig, mesh: Mesh, k_mig):
                 j1 = jh
                 mean_j1 = lax.psum(jnp.sum(w * v1), axes_all) / ng
             else:
-                carry0 = (
-                    es0, ps_seed, ncl0, e0, state.j, aux0,
+                carry0 = (es0, ps_seed, ncl0) + _hist0(es0) + (
+                    e0, state.j, aux0,
                     jnp.asarray(jnp.inf, e0.dtype), jnp.asarray(0, jnp.int32),
                 )
-                es, pss, ncl, e1, jh, _, r, k = lax.while_loop(
-                    cond, body_fused, carry0
+                es, pss, ncl, ef, e1, jh, r, k = _unpack_fused(
+                    lax.while_loop(cond, body_fused, carry0)
                 )
                 # finalize from the converged field (engines.implicit fused
                 # semantics): one extra sweep yields (p1, v1). Stats mode:
@@ -519,7 +583,7 @@ def _make_stepper(cfg: DomainImplicitConfig, mesh: Mesh, k_mig):
                 lo_shift = lo - hw
                 if cfg.finalize == "converged":
                     p1_b, v1_b, st = picard_finalize_ext_nodep_pallas(
-                        smoothed_ext(es), pss, p0s_b, v0_b, ext_n,
+                        smoothed_ext(ef), pss, p0s_b, v0_b, ext_n,
                         qm=qm, dt=dt, dx=dx, lo=clamp_lo_s, hi=clamp_hi_s,
                         n_valid=n_cap, w=w_b, lo_shift=lo_shift, ng=ng,
                     )
@@ -527,7 +591,7 @@ def _make_stepper(cfg: DomainImplicitConfig, mesh: Mesh, k_mig):
                     mean_j1 = lax.psum(jnp.sum(st[0, :]), axes_all) / ng
                 else:  # 'converged-deposit'
                     p1_b, v1_b, j1_ext, st = picard_finalize_ext_pallas(
-                        smoothed_ext(es), pss, p0s_b, v0_b, w_b, ext_n,
+                        smoothed_ext(ef), pss, p0s_b, v0_b, w_b, ext_n,
                         qm=qm, dt=dt, dx=dx, lo=clamp_lo_s, hi=clamp_hi_s,
                         n_valid=n_cap, lo_shift=lo_shift, ng=ng,
                     )
@@ -674,10 +738,10 @@ def _make_stepper(cfg: DomainImplicitConfig, mesh: Mesh, k_mig):
                         axes_all,
                     )
                 else:
-                    carry0 = (es0, ps_seed, zero_i, e0, j_in, aux0,
-                              inf_r, zero_i)
-                    es, pss, ncl, e1, jh, _, r, k = lax.while_loop(
-                        cond, body, carry0
+                    carry0 = (es0, ps_seed, zero_i) + _hist0(es0) + (
+                        e0, j_in, aux0, inf_r, zero_i)
+                    es, pss, ncl, ef, e1, jh, r, k = _unpack_fused(
+                        lax.while_loop(cond, body, carry0)
                     )
                     # Finalize from the converged field; ng=0 keeps the
                     # position raw/shifted on non-last micro-steps (the
@@ -686,7 +750,7 @@ def _make_stepper(cfg: DomainImplicitConfig, mesh: Mesh, k_mig):
                     ng_k = ng if last else 0
                     if cfg.finalize == "converged":
                         p1_b, v1_b, st = picard_finalize_ext_nodep_pallas(
-                            smoothed_ext(es), pss, p_b, v_b, ext_n,
+                            smoothed_ext(ef), pss, p_b, v_b, ext_n,
                             qm=qm, dt=dt, dx=dx, lo=clamp_lo_s,
                             hi=clamp_hi_s, n_valid=n_cap, w=w_b,
                             lo_shift=lo_shift, ng=ng_k,
@@ -695,7 +759,7 @@ def _make_stepper(cfg: DomainImplicitConfig, mesh: Mesh, k_mig):
                         mean_j1 = lax.psum(jnp.sum(st[0, :]), axes_all) / ng
                     else:  # 'converged-deposit'
                         p1_b, v1_b, j1_ext, st = picard_finalize_ext_pallas(
-                            smoothed_ext(es), pss, p_b, v_b, w_b, ext_n,
+                            smoothed_ext(ef), pss, p_b, v_b, w_b, ext_n,
                             qm=qm, dt=dt, dx=dx, lo=clamp_lo_s,
                             hi=clamp_hi_s, n_valid=n_cap,
                             lo_shift=lo_shift, ng=ng_k,

@@ -1077,3 +1077,90 @@ def test_domain_implicit_superstep_rejects_bad_k(problem):
     mesh = make_mesh(8, axis="slabs")
     with pytest.raises(ValueError, match="migrate_every"):
         di.make_superstep(cfg, mesh, 0)
+
+
+@pytest.mark.parametrize("ff", ["map", "aitken"])
+def test_domain_implicit_finalize_field_matches_single_device(problem, ff):
+    """finalize_field on the slab-sharded engine == the single-device fused
+    engine in the headline fixed-count configuration (the aitken Δ² inner
+    products psum over the slab axis, so the sharded extrapolation equals
+    the global one up to f32 reduction order)."""
+    from pypic_tpu.engines import implicit
+    from pypic_tpu.parallel import domain_implicit as di
+
+    grid, x, v, params = problem
+    dt = 0.1 / params.wp
+    kw = dict(tol=1e-30, maxiter=3, picard_init="extrapolate",
+              picard_accel="anderson", finalize_field=ff, backend="fused")
+
+    cfg1 = implicit.ImplicitConfig(grid, dt, params.p2c, **kw)
+    st1 = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg1)
+    _, m1 = run(implicit.make_step(cfg1), st1, 50)
+
+    mesh = make_mesh(8, axis="slabs")
+    cfg8 = di.DomainImplicitConfig(
+        grid, dt, params.p2c, num_shards=8, halo=4, migrate_cap=2048, **kw
+    )
+    st8 = di.shard_state(
+        di.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg8), mesh, cfg8
+    )
+    _, m8 = run(di.make_step(cfg8, mesh), st8, 50)
+
+    ee1 = np.asarray(m1.field_energy, np.float64)
+    ee8 = np.asarray(m8.field_energy, np.float64)
+    np.testing.assert_allclose(ee8, ee1, rtol=1e-4)
+    ke1 = np.asarray(m1.kinetic_energy, np.float64)
+    ke8 = np.asarray(m8.kinetic_energy, np.float64)
+    np.testing.assert_allclose(ke8, ke1, rtol=1e-5)
+    assert (np.asarray(m8.n_alive) == 16_000).all()
+    assert np.asarray(m8.n_dropped).sum() == 0
+    # both run the fixed count; trajectories stay bounded and conservative
+    assert (np.asarray(m8.picard_iters) == 3).all()
+    tot8 = ee8 + ke8
+    assert abs(tot8[-1] / tot8[0] - 1.0) < 1e-2
+
+
+def test_domain_implicit_finalize_field_superstep_k1_bitexact(problem):
+    """make_superstep(k=1) with finalize_field='aitken' is bit-exact with
+    make_step — the shared micro-step builder carries the same map-output
+    history through both entry points."""
+    from pypic_tpu.parallel import domain_implicit as di
+
+    grid, x, v, params = problem
+    dt = 0.1 / params.wp
+    mesh = make_mesh(8, axis="slabs")
+    cfg = di.DomainImplicitConfig(
+        grid, dt, params.p2c, num_shards=8, tol=1e-30, maxiter=3,
+        picard_init="extrapolate", picard_accel="anderson",
+        finalize_field="aitken", backend="fused", halo=4, migrate_cap=2048,
+    )
+    st0 = di.shard_state(
+        di.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg), mesh, cfg
+    )
+    s_a, m_a = run(di.make_step(cfg, mesh), st0, 10)
+    s_b, m_b = run(di.make_superstep(cfg, mesh, 1), st0, 10)
+    np.testing.assert_array_equal(np.asarray(s_a.p), np.asarray(s_b.p))
+    np.testing.assert_array_equal(np.asarray(s_a.v), np.asarray(s_b.v))
+    np.testing.assert_array_equal(np.asarray(s_a.e), np.asarray(s_b.e))
+    np.testing.assert_array_equal(
+        np.asarray(m_a.field_energy), np.asarray(m_b.field_energy).reshape(-1)
+    )
+
+
+def test_domain_implicit_finalize_field_composed_rejected(problem):
+    """The composed backend has no finalize sweep to redirect."""
+    from pypic_tpu.parallel import domain_implicit as di
+
+    grid, x, v, params = problem
+    cfg = di.DomainImplicitConfig(
+        grid, 0.1 / params.wp, params.p2c, num_shards=8,
+        finalize_field="aitken", backend="composed",
+    )
+    mesh = make_mesh(8, axis="slabs")
+    with pytest.raises(ValueError, match="fused backend"):
+        di.make_step(cfg, mesh)
+    with pytest.raises(ValueError, match="unknown finalize_field"):
+        di.DomainImplicitConfig(
+            grid, 0.1 / params.wp, params.p2c, num_shards=8,
+            finalize_field="nope",
+        )
