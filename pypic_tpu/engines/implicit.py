@@ -162,6 +162,12 @@ class ImplicitConfig:
             raise ValueError(f"unknown picard_accel {self.picard_accel!r}")
         if self.finalize_field not in ("last", "mean2", "map", "aitken"):
             raise ValueError(f"unknown finalize_field {self.finalize_field!r}")
+        if self.finalize == "iterate" and self.finalize_field != "last":
+            raise ValueError(
+                "finalize='iterate' has no finalize sweep to redirect — "
+                f"finalize_field={self.finalize_field!r} would be silently "
+                "ignored; use finalize='converged' (or finalize_field='last')"
+            )
         if self.window_share not in ("auto", "shared", "separate"):
             raise ValueError(f"unknown window_share {self.window_share!r}")
         if self.backend not in ("auto", "fused", "composed"):

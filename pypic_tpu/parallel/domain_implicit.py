@@ -143,6 +143,12 @@ class DomainImplicitConfig:
             raise ValueError(f"unknown finalize {self.finalize!r}")
         if self.finalize_field not in ("last", "mean2", "map", "aitken"):
             raise ValueError(f"unknown finalize_field {self.finalize_field!r}")
+        if self.finalize == "iterate" and self.finalize_field != "last":
+            raise ValueError(
+                "finalize='iterate' has no finalize sweep to redirect — "
+                f"finalize_field={self.finalize_field!r} would be silently "
+                "ignored; use finalize='converged' (or finalize_field='last')"
+            )
         if self.window_share not in ("auto", "shared", "separate"):
             raise ValueError(f"unknown window_share {self.window_share!r}")
         if self.picard_accel not in ("none", "anderson", "anderson2",
@@ -340,7 +346,9 @@ def _make_stepper(cfg: DomainImplicitConfig, mesh: Mesh, k_mig):
         raise ValueError(
             "finalize_field != 'last' requires the fused backend (the "
             "composed path returns the last Picard iterate's arrays and "
-            "has no finalize sweep to redirect)")
+            "has no finalize sweep to redirect); backend='auto' resolves "
+            "to composed off-TPU — set backend='fused' explicitly (it "
+            "works in CPU interpret mode too)")
     # clamp bounds in shifted (halo/deposit) coordinates: xi in [-h, c+h]
     clamp_lo_s = float(hw - h)
     clamp_hi_s = float(c + h + hw)

@@ -56,6 +56,54 @@ def test_bench_row_smoke(name, flags):
     assert rec["unit"].startswith("pushes/s")
 
 
+def test_bench_default_combined_artifact():
+    """The driver default (no --only/--all) prints ONE JSON line: the
+    headline row with every other measured matrix row folded in under
+    "rows" — the artifact the driver records must carry the full matrix,
+    not just the headline (round-4 contract)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--cpu",
+         "--steps", "2", "--particles", "8192", "--row-steps", "3",
+         "--sheath-n", "8192", "--mag-n", "4096", "--budget-s", "1e9"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200,
+    )
+    assert out.returncode == 0, f"bench default failed:\n{out.stderr}"
+    lines = [ln for ln in out.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, f"default mode must print ONE line:\n{out.stdout}"
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "particle_pushes_per_sec_per_chip"
+    assert rec["value"] > 0
+    assert "skipped" not in rec and "failed" not in rec, rec
+    expect_rows = {"two_stream", "landau", "sheath", "magnetized",
+                   "domain", "domain_explicit"}
+    assert set(rec["rows"]) == expect_rows, rec["rows"]
+    for name, row in rec["rows"].items():
+        assert row["metric"] == f"{name}_pushes_per_sec_per_chip"
+        assert row["value"] > 0
+        assert row["unit"].startswith("pushes/s")
+
+
+def test_bench_default_budget_skips_rows_not_headline():
+    """With no budget left, the non-headline rows are skipped (and listed
+    in the artifact) but the headline row still runs and is recorded."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--cpu",
+         "--steps", "2", "--particles", "8192", "--budget-s", "0"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, f"bench default failed:\n{out.stderr}"
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["metric"] == "particle_pushes_per_sec_per_chip"
+    assert rec["value"] > 0
+    assert rec["rows"] == {}
+    assert set(rec["skipped"]) == {"two_stream", "landau", "sheath",
+                                   "magnetized", "domain", "domain_explicit"}
+
+
 def test_fallback_rows_are_tagged_in_the_artifact(capsys):
     """A row recorded via _time_with_fallback carries a machine-readable
     marker in the JSON line (not just a stderr notice), so the driver's

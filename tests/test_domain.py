@@ -1079,7 +1079,7 @@ def test_domain_implicit_superstep_rejects_bad_k(problem):
         di.make_superstep(cfg, mesh, 0)
 
 
-@pytest.mark.parametrize("ff", ["map", "aitken"])
+@pytest.mark.parametrize("ff", ["map", "mean2", "aitken"])
 def test_domain_implicit_finalize_field_matches_single_device(problem, ff):
     """finalize_field on the slab-sharded engine == the single-device fused
     engine in the headline fixed-count configuration (the aitken Δ² inner
@@ -1163,4 +1163,12 @@ def test_domain_implicit_finalize_field_composed_rejected(problem):
         di.DomainImplicitConfig(
             grid, 0.1 / params.wp, params.p2c, num_shards=8,
             finalize_field="nope",
+        )
+    # finalize='iterate' + non-default finalize_field rejected at config
+    # time (it would otherwise be silently ignored — the composed-backend
+    # combination raises loudly, this one now matches)
+    with pytest.raises(ValueError, match="no finalize sweep"):
+        di.DomainImplicitConfig(
+            grid, 0.1 / params.wp, params.p2c, num_shards=8,
+            finalize="iterate", finalize_field="aitken",
         )

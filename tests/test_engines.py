@@ -348,6 +348,11 @@ def test_finalize_field_mean2_and_damped_same_fixed_point():
     assert abs(tot[-1] / tot[0] - 1.0) < 1e-2
     with pytest.raises(ValueError):
         implicit.ImplicitConfig(grid, dt, params.p2c, finalize_field="nope")
+    # finalize='iterate' has no finalize sweep: a non-default finalize_field
+    # would be silently ignored, so the config rejects the combination
+    with pytest.raises(ValueError, match="no finalize sweep"):
+        implicit.ImplicitConfig(grid, dt, params.p2c, finalize="iterate",
+                                finalize_field="aitken")
 
 
 def test_picard_extrapolated_init_same_physics_fewer_iters():
