@@ -172,17 +172,11 @@ class MagnetizedConfig:
     iead_bins: Tuple[int, int] = (40, 40)  # (energies, angles)
     iead_energy_max: float = 0.0  # [eV]; 0 disables IEAD accumulation
     iead_angle_max: float = 90.0
-    # IEAD accumulation path: 0 = histogram every particle's (masked) bin
-    # each step (the reference's exact semantics; a full-capacity Pallas
-    # delta-deposit pass, ~0.22 ms of the 1e6 step on v5e for ~0.1% hit
-    # rows). > 0 = UNCONDITIONALLY pack the wall-hit rows into a buffer of
-    # this capacity and histogram the packed buffer (~0.1 ms): bit-
-    # identical histograms while hits/step <= iead_pack; beyond that,
-    # surplus impacts are dropped from the histograms and counted in the
-    # iead_dropped metric (the lax.cond overflow fallback was measured
-    # 6 ms SLOWER in the scanned step — it materializes its captured
-    # full-capacity operands every step, PERF.md round 3).
-    iead_pack: int = 0
+    # (An iead_pack>0 packed-accumulation path existed through round 3:
+    # pack wall-hit rows, histogram the packed buffer. Measured +5.8 ms/
+    # step at 1e6 on v5e — the pack scatter is TPU-hostile — and deleted
+    # round 4; PERF.md round 3g keeps the record. The full-capacity
+    # delta-deposit pass below IS the reference's exact semantics.)
     deposit_method: str = "auto"
     # Wall-impact extraction for the BCA surface coupling (pypic_tpu.bca):
     # when > 0, each step returns up to this many (energy_eV, angle_deg,
@@ -220,6 +214,16 @@ class MagnetizedConfig:
     # there is no reference trajectory to reproduce; the op keeps the
     # quirk for doctest-level parity.
     gc_eom: str = "physical"
+    # The reference's Dirichlet E gather SWAPS the intra-cell CIC weights
+    # (pygcpic.py:343-347: w_l = frac, E = E[ind] w_l + E[ind+1] w_r —
+    # inverted relative to the standard tent, and relative to the
+    # reference's own deposits at pygcpic.py:858-864, which are correct).
+    # Materially affects dynamics (the E draw lands on the wrong side of
+    # steep sheath gradients). 'reference' (default) reproduces it by
+    # gathering at the cell-mirrored position 2 floor(p) + 1 - p; 'cic' is
+    # the corrected standard interpolation. Found (and pinned forever) by
+    # the side-by-side golden harness, tests/test_reference_parity.py.
+    gather_weights: str = "reference"
     # The reference's eta = exp(phi/Te/11600) divides by Te *in Kelvin* and
     # then by 11600 again (pygcpic.py:890, 895), i.e. eta ~ 1 everywhere —
     # and that near-unity eta is precisely what keeps its adaptive-n0
@@ -256,6 +260,8 @@ class MagnetizedConfig:
             raise ValueError(f"unknown source_sampler {self.source_sampler!r}")
         if self.newton_warm not in ("extrapolate", "previous"):
             raise ValueError(f"unknown newton_warm {self.newton_warm!r}")
+        if self.gather_weights not in ("reference", "cic"):
+            raise ValueError(f"unknown gather_weights {self.gather_weights!r}")
         if self.newton_backend not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown newton_backend {self.newton_backend!r}")
         if self.pusher not in ("boris", "gc"):
@@ -387,9 +393,6 @@ class StepMetrics(NamedTuple):
     impacts: jax.Array
     n_impacts: jax.Array
     n_escaped: jax.Array  # BCA products deactivated mid-domain
-    # impacts dropped from the IEAD histograms this step (iead_pack > 0
-    # overflow only; always 0 on the exact full-pass path)
-    iead_dropped: jax.Array = 0
     # carried-deposit bookkeeping (carried_deposit='on' only; the carry is
     # exact while ALL three stay 0 — see MagnetizedConfig.carried_deposit)
     carry_clamped: jax.Array = 0
@@ -645,7 +648,7 @@ def boltzmann_n0_update(step, n0_prev, p_old, added, q_new, p_new, *,
 
 
 def iead_update(iead, species_idx, m, vdx, vdy, vdz, hit, *, bins,
-                energy_max, angle_max, pack, deposit_method, allreduce):
+                energy_max, angle_max, deposit_method, allreduce):
     """Wall-impact energy-angle histogram update (pygcpic.py:1239-1262) —
     shared by this engine and the slab-sharded one
     (parallel/domain_magnetized.py) so the reference's binning quirks live
@@ -660,8 +663,10 @@ def iead_update(iead, species_idx, m, vdx, vdy, vdz, hit, *, bins,
 
     ``allreduce`` sums the per-shard update before it lands on the
     replicated histogram state (identity on a single device). Returns
-    (iead + allreduce(update), n_dropped); ``pack > 0`` enables the packed
-    fast path with overflow rows dropped and counted.
+    iead + allreduce(update). The histogram runs as a width-0 tent
+    deposit over EVERY particle (the XLA scatter serializes and dominated
+    the whole step, 8.8 ms at 1e6 on v5e; a packed-buffer fast path was
+    measured +5.8 ms/step and deleted round 4 — PERF.md round 3g).
     """
     ne, na = bins
     energy_ev = (0.5 * m * (vdx * vdx + vdy * vdy + vdz * vdz)
@@ -680,30 +685,14 @@ def iead_update(iead, species_idx, m, vdx, vdy, vdz, hit, *, bins,
     )
     flat = (species_idx * (ne * na) + ei * na + ai)
     contributes = hit & in_range
-    n_dropped = jnp.asarray(0, jnp.int32)
-    if pack > 0:
-        # pack the ~0.1% contributing rows UNCONDITIONALLY (a lax.cond
-        # overflow fallback measured 6 ms slower in the scanned step —
-        # it materializes its captured full-capacity operands every
-        # step) and histogram the packed buffer; overflow rows are
-        # dropped and counted (PERF.md round 3)
-        from ..utils import pack_rows
-
-        (flat_p,), n_valid, n_dropped = pack_rows(contributes, [flat], pack)
-        vals = (jnp.arange(pack) < n_valid).astype(iead.dtype)
-        upd = histogram_add(flat_p, vals, iead.size, method=deposit_method)
-    else:
-        # histogram as a width-0 tent deposit over every particle (TPU
-        # path; the XLA scatter serializes and dominated the whole
-        # step, 8.8 ms at 1e6 on v5e) — the cast also avoids the x64
-        # float64-into-float32 scatter error.
-        upd = histogram_add(
-            flat,
-            jnp.where(contributes, 1.0, 0.0).astype(iead.dtype),
-            iead.size,
-            method=deposit_method,
-        )
-    return iead + allreduce(upd.reshape(iead.shape)), n_dropped
+    # the cast also avoids the x64 float64-into-float32 scatter error
+    upd = histogram_add(
+        flat,
+        jnp.where(contributes, 1.0, 0.0).astype(iead.dtype),
+        iead.size,
+        method=deposit_method,
+    )
+    return iead + allreduce(upd.reshape(iead.shape))
 
 
 def make_step(cfg: MagnetizedConfig):
@@ -712,7 +701,21 @@ def make_step(cfg: MagnetizedConfig):
     dx = grid.dx
     dt = cfg.dt
     cells = float(grid.num_cells)
-    b = jnp.asarray(cfg.b, jnp.float32)
+    def b_vec(dtype):
+        # follow the state dtype (a hard f32 cast would truncate B under
+        # float64 parity runs; f32 states see the identical f32 values)
+        return jnp.asarray(cfg.b, dtype)
+
+    swap_gather = cfg.gather_weights == "reference"
+
+    def gather_pos(p):
+        """E-gather position: the reference's Dirichlet interpolation swaps
+        the intra-cell weights (pygcpic.py:343-347), which equals gathering
+        at the cell-mirrored position (see cfg.gather_weights)."""
+        if not swap_gather:
+            return p
+        pc = jnp.clip(p, 0.0, cells)
+        return jnp.clip(2.0 * jnp.floor(pc) + 1.0 - pc, 0.0, cells)
     # eta normalization: reference formula phi/Te/11600 with Te in Kelvin
     # (pygcpic.py:890 — see cfg.eta_in_volts) vs intended phi/(Te/11600).
     te_volts = (cfg.te / EV_TO_K) if cfg.eta_in_volts else (cfg.te * EV_TO_K)
@@ -734,7 +737,7 @@ def make_step(cfg: MagnetizedConfig):
         return iead_update(
             iead, species_idx, m, vdx, vdy, vdz, hit,
             bins=cfg.iead_bins, energy_max=cfg.iead_energy_max,
-            angle_max=cfg.iead_angle_max, pack=cfg.iead_pack,
+            angle_max=cfg.iead_angle_max,
             deposit_method=cfg.deposit_method, allreduce=_allreduce,
         )
 
@@ -849,15 +852,16 @@ def make_step(cfg: MagnetizedConfig):
             from ..push import gc_push_rk4
 
             e_p = jnp.where(
-                is_active, gather(e_field, state.p, periodic=False), 0.0
+                is_active,
+                gather(e_field, gather_pos(state.p), periodic=False), 0.0
             )
             x_si = state.p * dx
             v_st = state.v  # stacked views (cold path: GC mixes 6D/GC)
             yz_st = state.yz
             # 6D Boris for neutral / not-yet-promoted particles
             x1_b, yz1_b, v1_b = boris_push_dt(
-                x_si, yz_st, v_st, e_p, b, state.charge_state,
-                state.m, dt,
+                x_si, yz_st, v_st, e_p, b_vec(state.vx.dtype),
+                state.charge_state, state.m, dt,
             )
             # GC RK4 for mode-1 particles: v packs [v_par, mu, 0]
             pos3 = jnp.stack([x_si, state.y, state.z], axis=-1)
@@ -869,8 +873,8 @@ def make_step(cfg: MagnetizedConfig):
                                   jnp.ones_like(state.vx)) \
                 if cfg.gc_eom == "reference" else state.vx
             x1_g3, vpar1, _ = gc_push_rk4(
-                pos3, vpar_safe, state.vy, e3, b, cs_safe, state.m,
-                dt, eom_form=cfg.gc_eom,
+                pos3, vpar_safe, state.vy, e3, b_vec(state.vx.dtype),
+                cs_safe, state.m, dt, eom_form=cfg.gc_eom,
             )
             p1 = jnp.where(
                 is_gc, x1_g3[:, 0] / dx,
@@ -899,6 +903,7 @@ def make_step(cfg: MagnetizedConfig):
                 state.vx, state.vy, state.vz,
                 const, act_f, w_rho, w_n,
                 b=cfg.b, dt=dt, dt_dx=dt / dx, pad=cfg.carried_pad,
+                swap_weights=swap_gather,
             )
             y1 = jnp.where(is_active, state.y + dt * vy1, state.y)
             z1 = jnp.where(is_active, state.z + dt * vz1, state.z)
@@ -911,17 +916,19 @@ def make_step(cfg: MagnetizedConfig):
                 e_field, state.p,
                 state.vx, state.vy, state.vz,
                 const, act_f, b=cfg.b, dt=dt, dt_dx=dt / dx,
+                swap_weights=swap_gather,
             )
             y1 = jnp.where(is_active, state.y + dt * vy1, state.y)
             z1 = jnp.where(is_active, state.z + dt * vz1, state.z)
         else:
             e_p = jnp.where(
-                is_active, gather(e_field, state.p, periodic=False), 0.0
+                is_active,
+                gather(e_field, gather_pos(state.p), periodic=False), 0.0
             )
             x_si = state.p * dx
             x1, yz1, v1 = boris_push_dt(
-                x_si, state.yz, state.v, e_p, b, state.charge_state,
-                state.m, dt,
+                x_si, state.yz, state.v, e_p, b_vec(state.vx.dtype),
+                state.charge_state, state.m, dt,
             )
             p1 = jnp.where(is_active, x1 / dx, state.p)
             y1 = jnp.where(is_active, yz1[:, 0], state.y)
@@ -949,9 +956,8 @@ def make_step(cfg: MagnetizedConfig):
             vdx, vdy, vdz = vx1, vy1, vz1
 
         iead = state.iead
-        iead_dropped = jnp.asarray(0, jnp.int32)
         if cfg.iead_energy_max > 0.0:
-            iead, iead_dropped = _iead_accumulate(
+            iead = _iead_accumulate(
                 iead, state.species_idx, state.m, vdx, vdy, vdz, hit)
 
         # Wall-impact (E, theta) rows for the BCA coupling (fixed-shape form
@@ -1013,10 +1019,9 @@ def make_step(cfg: MagnetizedConfig):
                     escaped, [p1, w_rho, w_n], cfg.carried_ion_cap)
             active = jnp.where(escaped, 0, active)
             if cfg.iead_energy_max > 0.0:
-                iead_out, out_dropped = _iead_accumulate(
+                iead_out = _iead_accumulate(
                     iead_out, state.species_idx, state.m, vdx, vdy, vdz,
                     escaped)
-                iead_dropped = iead_dropped + out_dropped
             n_escaped = jnp.sum(escaped.astype(jnp.int32))
             if cap > 0:
                 # per-event rows for the {source,wall}_out.dat streams
@@ -1303,7 +1308,6 @@ def make_step(cfg: MagnetizedConfig):
             impacts=impacts,
             n_impacts=n_impacts,
             n_escaped=_allreduce(n_escaped),
-            iead_dropped=_allreduce(iead_dropped),
             carry_clamped=_allreduce(carry_clamped),
             n_ion_suppressed=_allreduce(n_ion_suppressed),
             n_escape_deferred=_allreduce(n_escape_deferred),

@@ -133,7 +133,15 @@ def _tent_t(d, block, width):
 
 
 def _sel_t(k, num_k, dtype):
-    """(K, B) window one-hot (k stays lanes-major; no relayout)."""
+    """(K, B) window one-hot (k stays lanes-major; no relayout).
+
+    The int8-packed variant (4x denser VPU compares) is IMPOSSIBLE on
+    v5e: i8 iota has no Mosaic lowering, and an i32-built-then-cast i8
+    compare dies in the backend with "Target does not support this
+    comparison" (scratch/sel_int8_ab.py, round 4) — consistent with the
+    round-3 findings that the VPU has no native u32 multiply and bf16
+    elementwise chains convert rather than pack. The i32 compare + f32
+    cast below is the hardware floor for this construction."""
     kid = lax.broadcasted_iota(jnp.int32, (num_k, 1), 0)
     return (k[None, :] == kid).astype(dtype)
 
@@ -333,7 +341,7 @@ def deposit2_pallas(p, va, vb, ng: int, *, periodic: bool,
 def _boris_kernel(
     fwin_ref, p_ref, vx_ref, vy_ref, vz_ref, c_ref, act_ref,
     p1_ref, vx1_ref, vy1_ref, vz1_ref,
-    *, num_k, block, stride, width, bx, by, bz, dt, dt_dx, hi,
+    *, num_k, block, stride, width, bx, by, bz, dt, dt_dx, hi, swap,
 ):
     p = p_ref[0, 0, :]
     vx0 = vx_ref[0, 0, :]
@@ -342,8 +350,13 @@ def _boris_kernel(
     const = c_ref[0, 0, :]
     act = act_ref[0, 0, :]
 
-    ex = _gather_at(fwin_ref, jnp.clip(p, 0.0, hi), num_k, block, stride,
-                    width)
+    pc = jnp.clip(p, 0.0, hi)
+    if swap:
+        # reference quirk (pygcpic.py:343-347): the Dirichlet E gather
+        # swaps the intra-cell weights — equivalent to gathering at the
+        # cell-mirrored position 2 floor(p) + 1 - p
+        pc = jnp.clip(2.0 * jnp.floor(pc) + 1.0 - pc, 0.0, hi)
+    ex = _gather_at(fwin_ref, pc, num_k, block, stride, width)
     # Boris-Buneman: half E kick, (t, s) rotation, half E kick, drift
     # (pygcpic.py:460-507; E has only an x component on the 1D grid).
     vx = vx0 + const * ex
@@ -371,11 +384,11 @@ def _boris_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("b", "dt", "dt_dx", "block")
+    jax.jit, static_argnames=("b", "dt", "dt_dx", "block", "swap_weights")
 )
 def boris_gather_push_pallas(
     field, p, vx, vy, vz, const, act, *, b, dt: float, dt_dx: float,
-    block: int = _DEFAULT_BLOCK,
+    block: int = _DEFAULT_BLOCK, swap_weights: bool = False,
 ):
     """Fused bounded CIC gather + Boris-Buneman push (one particle sweep).
 
@@ -401,7 +414,7 @@ def boris_gather_push_pallas(
     kern = functools.partial(
         _boris_kernel, num_k=num_k, block=block, stride=stride, width=width,
         bx=float(b[0]), by=float(b[1]), bz=float(b[2]),
-        dt=dt, dt_dx=dt_dx, hi=float(ng - 1),
+        dt=dt, dt_dx=dt_dx, hi=float(ng - 1), swap=bool(swap_weights),
     )
     outs = pl.pallas_call(
         kern,
@@ -420,7 +433,7 @@ def boris_gather_push_pallas(
 def _boris_deposit_kernel(
     fwin_ref, p_ref, vx_ref, vy_ref, vz_ref, c_ref, act_ref, wr_ref, wn_ref,
     p1_ref, vx1_ref, vy1_ref, vz1_ref, rho_ref, n_ref,
-    *, num_k, block, stride, width, pad, bx, by, bz, dt, dt_dx, hi,
+    *, num_k, block, stride, width, pad, bx, by, bz, dt, dt_dx, hi, swap,
 ):
     """Boris push + carried dual deposit sharing ONE window decomposition.
 
@@ -455,6 +468,12 @@ def _boris_deposit_kernel(
     # one decomposition + selector for the gather AND the deposit (this
     # kernel keeps the pad-widened deposit geometry, so no frame shift)
     pc = jnp.clip(p, 0.0, hi)
+    if swap:
+        # reference quirk (pygcpic.py:343-347): gather at the cell-mirrored
+        # position (swapped intra-cell weights); the deposit below is
+        # expressed relative to pc so it keeps the reference's CORRECT
+        # weights (pygcpic.py:858-864)
+        pc = jnp.clip(2.0 * jnp.floor(pc) + 1.0 - pc, 0.0, hi)
     sel_t, d_s, ex = _shared_gather(fwin_ref, pc, num_k, stride, block,
                                     width, frame_shift=False)
 
@@ -510,11 +529,12 @@ def _boris_deposit_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("b", "dt", "dt_dx", "block", "pad")
+    jax.jit, static_argnames=("b", "dt", "dt_dx", "block", "pad",
+                              "swap_weights")
 )
 def boris_gather_push_deposit_pallas(
     field, p, vx, vy, vz, const, act, wr, wn, *, b, dt: float, dt_dx: float,
-    block: int = _DEFAULT_BLOCK, pad: int = 2,
+    block: int = _DEFAULT_BLOCK, pad: int = 2, swap_weights: bool = False,
 ):
     """Fused bounded gather + Boris push + carried dual deposit.
 
@@ -538,7 +558,7 @@ def boris_gather_push_deposit_pallas(
     kern = functools.partial(
         _boris_deposit_kernel, num_k=num_k, block=block, stride=stride,
         width=width, pad=pad, bx=float(b[0]), by=float(b[1]), bz=float(b[2]),
-        dt=dt, dt_dx=dt_dx, hi=float(ng - 1),
+        dt=dt, dt_dx=dt_dx, hi=float(ng - 1), swap=bool(swap_weights),
     )
     outs = pl.pallas_call(
         kern,

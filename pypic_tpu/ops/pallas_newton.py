@@ -270,8 +270,14 @@ def boltzmann_dirichlet_pallas(rho, n0, te, dx, tol=1e-9, maxiter=1000,
     scal = jnp.reshape(c0, (1, 1))
     pad = ngp - ng
     c2 = jnp.pad(rho / np.float32(EPSILON_0), (0, pad))[None, :]
-    p0 = jnp.zeros((ng,), jnp.float32) if phi0 is None else phi0
-    p0 = jnp.pad(p0.astype(jnp.float32), (0, pad))[None, :]
+    if phi0 is None:
+        p0 = jnp.zeros((ng,), jnp.float32)
+    else:
+        # pin the warm start's wall entries to 0 (ops.poisson.
+        # solve_boltzmann_dirichlet semantics: the frozen boundary rows
+        # never move the walls — see that docstring)
+        p0 = phi0.astype(jnp.float32).at[0].set(0.0).at[-1].set(0.0)
+    p0 = jnp.pad(p0, (0, pad))[None, :]
 
     kernel = functools.partial(
         _newton_dd_kernel, ng=ng, ngp=ngp, c1=np.float32(c1),

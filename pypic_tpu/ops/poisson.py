@@ -111,10 +111,18 @@ def solve_boltzmann_dirichlet(rho, n0, te, dx, tol=1e-9, maxiter=1000,
         n0: Boltzmann electron reference density [1/m^3].
         te: electron temperature [K].
         dx: grid spacing [m].
-        phi0: optional warm start (the reference warm-starts its inner
-            bicgstab at the previous phi, pygcpic.py:1046; the converged
-            Newton answer is start-independent within tol, but a previous-step
-            phi roughly halves the iteration count in quasi-steady sheaths).
+        phi0: optional warm start (the reference warm-starts only its inner
+            bicgstab at the previous phi, pygcpic.py:1046 — the NEWTON loop
+            cold-starts at zeros, pygcpic.py:1025). The wall entries of the
+            warm start are pinned to 0 here: the frozen boundary rows
+            (f[0] = f[-1] = 0 with decoupled Jacobian rows) never move the
+            walls, so an unpinned warm start would bake the previous step's
+            min-shifted wall value into the converged answer — a compounding
+            offset, not an accelerant (caught by the reference-golden
+            harness, tests/test_reference_parity.py). With the pin, the
+            converged answer is start-independent within tol and a
+            previous-step phi roughly halves the iteration count in
+            quasi-steady sheaths.
 
     Returns:
         NewtonResult(phi shifted to min 0, iterations, residual |dphi|^2).
@@ -145,7 +153,11 @@ def solve_boltzmann_dirichlet(rho, n0, te, dx, tol=1e-9, maxiter=1000,
         phi = phi - dphi
         return phi, jnp.dot(dphi, dphi), it + 1
 
-    phi0 = jnp.zeros((ng,), dtype) if phi0 is None else phi0.astype(dtype)
+    phi0 = jnp.zeros((ng,), dtype) if phi0 is None else (
+        # pin the walls: the frozen boundary rows would otherwise keep the
+        # warm start's (min-shifted) wall value forever — see docstring
+        phi0.astype(dtype).at[0].set(0.0).at[-1].set(0.0)
+    )
     phi, residual, it = lax.while_loop(
         cond, body, (phi0, jnp.asarray(1.0, dtype), jnp.asarray(0, jnp.int32))
     )

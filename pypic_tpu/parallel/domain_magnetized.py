@@ -92,6 +92,10 @@ class DomainMagnetizedConfig:
     iead_energy_max: float = 0.0  # [eV]; 0 disables IEAD accumulation
     iead_angle_max: float = 90.0
     eta_in_volts: bool = False  # see engines.magnetized (pygcpic.py:890)
+    # 'reference' reproduces the swapped-intra-cell-weight Dirichlet E
+    # gather (pygcpic.py:343-347 — see engines.magnetized.gather_weights);
+    # 'cic' is the corrected standard interpolation.
+    gather_weights: str = "reference"
     deposit_method: str = "auto"
     halo: int = 2  # max intra-step excursion, cells
     migrate_cap: int = 4096
@@ -148,6 +152,8 @@ class DomainMagnetizedConfig:
             )
         if self.solver not in ("distributed", "replicated"):
             raise ValueError(f"unknown solver {self.solver!r}")
+        if self.gather_weights not in ("reference", "cic"):
+            raise ValueError(f"unknown gather_weights {self.gather_weights!r}")
         object.__setattr__(self, "num_replicas", int(self.num_replicas))
         if (self.num_replicas > 1) != (self.dp_axis_name is not None):
             raise ValueError(
@@ -334,6 +340,11 @@ def _make_distributed_newton(cfg: DomainMagnetizedConfig):
             _, residual, it = carry
             return (residual > cfg.newton_tol) & (it < cfg.newton_maxiter)
 
+        # pin the warm start's wall entries to 0 (ops.poisson.
+        # solve_boltzmann_dirichlet semantics: the frozen boundary rows
+        # never move the walls, so an unpinned warm start would bake the
+        # previous min-shift into the converged answer)
+        phi0_own = jnp.where(interior, phi0_own, 0.0)
         phi, residual, it = lax.while_loop(
             cond, body,
             (phi0_own, jnp.asarray(1.0, rho_own.dtype),
@@ -468,8 +479,16 @@ def make_step(cfg: DomainMagnetizedConfig, mesh: Mesh):
 
         # --- gather + Boris push in local coordinates
         e_ext = halo_extend(e_own, hw, ax, perm_r, perm_l)
+        pg = clamp_loc(p_loc) + hw
+        if cfg.gather_weights == "reference":
+            # reference quirk: swapped intra-cell gather weights ==
+            # gathering at the cell-mirrored position (the integer shift
+            # +hw preserves the intra-cell fraction, so the local-frame
+            # mirror equals the global one — see engines.magnetized)
+            pg = jnp.clip(2.0 * jnp.floor(pg) + 1.0 - pg,
+                          0.0, float(ext_n - 1))
         e_p = jnp.where(
-            is_active, gather(e_ext, clamp_loc(p_loc) + hw, periodic=False),
+            is_active, gather(e_ext, pg, periodic=False),
             0.0,
         )
         x_si = p_loc * dx
@@ -497,10 +516,10 @@ def make_step(cfg: DomainMagnetizedConfig, mesh: Mesh):
         # binning quirks live in the single-device engine's shared helper)
         iead = state.iead
         if cfg.iead_energy_max > 0.0:
-            iead, _ = iead_update(
+            iead = iead_update(
                 iead, state.species_idx, state.m, vx1, vy1, vz1, hit,
                 bins=cfg.iead_bins, energy_max=cfg.iead_energy_max,
-                angle_max=cfg.iead_angle_max, pack=0,
+                angle_max=cfg.iead_angle_max,
                 deposit_method=cfg.deposit_method,
                 allreduce=lambda u: lax.psum(u, axes_all),
             )

@@ -748,11 +748,18 @@ def test_domain_magnetized_matches_single_device():
     st = _domain_mag_state(pre, cfg, mesh)
     stf, m8 = run(dm.make_step(cfg, mesh), st, steps)
 
+    # tight while correlated — 2 steps since round 4: the reference's
+    # swapped-weight gather quirk (gather_weights='reference') samples the
+    # STEEPER cross-cell field near the walls, so f32 lsb differences
+    # amplify through the absorb/re-activate feedback faster than the
+    # pre-quirk dynamics did (measured: step 2 is already ~1e-2 apart;
+    # steps 0-1 agree to ~2e-6)
+    np.testing.assert_allclose(
+        np.asarray(m8.phi_max, np.float64)[:2],
+        np.asarray(m1.phi_max, np.float64)[:2], rtol=5e-4)
     np.testing.assert_allclose(
         np.asarray(m8.phi_max, np.float64)[:10],
-        np.asarray(m1.phi_max, np.float64)[:10], rtol=5e-4)
-    # tight while correlated; the re-activation slot order differs (slab
-    # grouping), so later steps decorrelate faster than the dp engine's
+        np.asarray(m1.phi_max, np.float64)[:10], rtol=2e-1)
     np.testing.assert_allclose(
         np.asarray(m8.n0, np.float64)[:10], np.asarray(m1.n0, np.float64)[:10],
         rtol=1e-2)

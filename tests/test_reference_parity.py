@@ -1,0 +1,412 @@
+"""Reference-golden equivalence: run the ACTUAL upstream code side-by-side.
+
+Everything else in the suite validates the rebuild against re-implemented
+cases, ported doctests, and analytic rates. These tests instead import the
+reference sources from /root/reference (read-only; bytecode writes disabled)
+and compare, in float64 on CPU:
+
+  * pypic.particle_push_p (pypic.py:216-300) vs engines.implicit's composed
+    backend over a multi-step Landau-style run — trajectories, fields and
+    fixed Picard iteration counts;
+  * the L1 grid kernels (interpolate_p / weight_*_p / smooth_field_p /
+    differentiate_p) vs ops.cic / ops.fd one call at a time;
+  * pygcpic.Grid.solve_for_phi_dirichlet_boltzmann (pygcpic.py:1005-1053)
+    vs ops.poisson.solve_boltzmann_dirichlet on identical rho, and the
+    dirichlet-neumann variant (pygcpic.py:1062-1108) likewise;
+  * the pic_iead step cycle (pygcpic.py:1200-1264: Boltzmann weighting with
+    the adaptive-n0 recurrence, Newton solve, E differentiation, the
+    swapped-weight Dirichlet gather, Boris push, wall BCs) vs
+    engines.magnetized over several steps on a wall-free population (no
+    RNG fires on either side, so the comparison is deterministic).
+
+The reference needs numba only as a decorator; a stub that returns the
+undecorated (plain numpy) functions makes it runnable in this image.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference"
+
+
+class _AnySig:
+    """Stands in for numba type objects: supports [:] and call chaining
+    (nb.float64[:], nb.types.UniTuple(...)(...)) and always yields itself."""
+
+    def __getitem__(self, item):
+        return self
+
+    def __call__(self, *args, **kwargs):
+        return self
+
+
+def _jit(*args, **kwargs):
+    """numba.jit stub: both @jit and @jit(signature, **opts) forms return
+    the undecorated function. Signature objects are _AnySig instances or
+    strings — never plain Python functions, so the isfunction test is an
+    unambiguous discriminator."""
+    import inspect
+
+    if args and inspect.isfunction(args[0]):
+        return args[0]
+
+    def deco(fn):
+        return fn
+
+    return deco
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference modules with numba stubbed and matplotlib on
+    Agg. Returns (pypic, pygcpic)."""
+    sys.dont_write_bytecode = True  # /root/reference is read-only
+    if "numba" not in sys.modules or not hasattr(sys.modules["numba"], "jit"):
+        nb = types.ModuleType("numba")
+        nb.jit = _jit
+        nb.njit = _jit
+        nb.prange = range
+        sig = _AnySig()
+        nb.float64 = sig
+        nb.float32 = sig
+        nb.int32 = sig
+        nb.int64 = sig
+        tmod = types.ModuleType("numba.types")
+        tmod.UniTuple = sig
+        nb.types = tmod
+        sys.modules["numba"] = nb
+        sys.modules["numba.types"] = tmod
+    import matplotlib
+
+    matplotlib.use("Agg")
+    sys.path.insert(0, REF)
+    try:
+        import pypic as ref_pypic
+        import pygcpic as ref_pygcpic
+    finally:
+        sys.path.remove(REF)
+        # pypic.py sets usetex at import; undo so unrelated viz tests
+        # don't start requiring a TeX install
+        matplotlib.rcParams["text.usetex"] = False
+    # the reference targets an old scipy that re-exported numpy's diag as
+    # scipy.diag (pypic.py:347); shim it on the module's OWN namespace only
+    if not hasattr(ref_pypic.sp, "diag"):
+        import scipy
+
+        class _ScipyShim:
+            diag = staticmethod(np.diag)
+
+            def __getattr__(self, name):
+                return getattr(scipy, name)
+
+        ref_pypic.sp = _ScipyShim()
+    return ref_pypic, ref_pygcpic
+
+
+# ---------------------------------------------------------------------------
+# L1 grid kernels, one call at a time
+# ---------------------------------------------------------------------------
+
+
+def test_grid_kernels_match_reference(ref):
+    """gather / deposit / smooth / derivative vs the reference's numpy
+    kernels on random f64 inputs (pypic.py:28-214)."""
+    ref_pypic, _ = ref
+    from pypic_tpu.ops import cic, fd
+
+    rng = np.random.default_rng(3)
+    ng, n = 37, 2000
+    L = 1.7
+    dx = L / ng
+    x = rng.uniform(0.0, L - 1e-9, n)
+    q = np.full(n, -1.602e-19)
+    v = rng.normal(0.0, 1.0, n)
+    F = rng.normal(0.0, 1.0, ng)
+    p2c = 1e7
+
+    # interpolate_p gathers from a periodic field at x
+    got = np.asarray(cic.gather(jnp.asarray(F), jnp.asarray(x / dx),
+                                periodic=True), np.float64)
+    want = ref_pypic.interpolate_p(F, x, ng, n, dx)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-15)
+
+    # weight_density_p == deposit of q p2c / dx
+    got = np.asarray(
+        cic.deposit(jnp.asarray(x / dx), jnp.asarray(q * p2c / dx), ng,
+                    periodic=True), np.float64)
+    want = ref_pypic.weight_density_p(x, q, p2c, ng, n, dx)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    # weight_current_p == deposit of q v p2c / dx
+    got = np.asarray(
+        cic.deposit(jnp.asarray(x / dx), jnp.asarray(q * v * p2c / dx), ng,
+                    periodic=True), np.float64)
+    want = ref_pypic.weight_current_p(x, q, v, p2c, ng, n, dx)
+    np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-18)
+
+    # binomial smoother and centered periodic derivative
+    np.testing.assert_allclose(
+        np.asarray(fd.smooth_periodic(jnp.asarray(F)), np.float64),
+        ref_pypic.smooth_field_p(F), rtol=1e-15)
+    np.testing.assert_allclose(
+        np.asarray(fd.grad_periodic(jnp.asarray(F), dx), np.float64),
+        ref_pypic.differentiate_p(F, dx, ng), rtol=1e-12, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Implicit CN-Picard engine vs pypic.particle_push_p
+# ---------------------------------------------------------------------------
+
+
+def test_implicit_engine_matches_reference_particle_push(ref):
+    """200 steps of the composed implicit step vs the reference pusher
+    (pypic.py:216-300) from an identical f64 state.
+
+    Both sides run a FIXED Picard count (tol=1e-30, maxiter=5) so the exit
+    criterion can't diverge on last-ulp residual differences; remaining
+    deviations are pure fp reassociation (ours works in grid coordinates)
+    and grow slowly on this stable Landau workload."""
+    ref_pypic, _ = ref
+    from pypic_tpu.constants import (
+        E_CHARGE, EPSILON_0, K_BOLTZMANN, M_ELECTRON,
+    )
+    from pypic_tpu.engines import implicit
+    from pypic_tpu.grid import GridSpec
+
+    rng = np.random.default_rng(11)
+    ng, n, steps = 64, 4096, 200
+    density, te = 1e10, 0.1 * 11600.0
+    debye = np.sqrt(K_BOLTZMANN * te * EPSILON_0 / E_CHARGE**2 / density)
+    L = 20.0 * debye
+    dx = L / ng
+    p2c = L * density / n
+    wp = np.sqrt(density * E_CHARGE**2 / (M_ELECTRON * EPSILON_0))
+    dt = 0.1 / wp
+    tol, maxiter = 1e-30, 5
+
+    x0 = rng.uniform(0.0, L, n)
+    # mild sinusoidal density perturbation as a displacement
+    k1 = 2.0 * np.pi / L
+    x0 = (x0 + 0.05 / k1 * np.sin(k1 * x0)) % L
+    v0 = rng.normal(0.0, np.sqrt(K_BOLTZMANN * te / M_ELECTRON), n)
+    q = np.full(n, -E_CHARGE)
+    m = np.full(n, M_ELECTRON)
+
+    # reference initial field chain (pypic.py:549-554)
+    rho0 = ref_pypic.weight_density_p(x0, q, p2c, ng, n, dx)
+    j0 = ref_pypic.weight_current_p(x0, q, v0, p2c, ng, n, dx)
+    phi0 = ref_pypic.solve_poisson_p(dx, ng, rho0, np.zeros(ng))
+    phi0 = phi0 - np.max(phi0)
+    E0 = -ref_pypic.differentiate_p(phi0, dx, ng)
+
+    grid = GridSpec(ng, L, "periodic")
+    cfg = implicit.ImplicitConfig(
+        grid, dt, p2c, tol=tol, maxiter=maxiter, backend="composed",
+        picard_init="field", picard_accel="none",
+    )
+    f64 = jnp.float64
+    st = implicit.ImplicitState(
+        p=jnp.asarray(x0 / dx, f64), v=jnp.asarray(v0, f64),
+        q=jnp.asarray(q, f64), m=jnp.asarray(m, f64),
+        e=jnp.asarray(E0, f64), j=jnp.asarray(j0, f64),
+        e_prev=jnp.asarray(E0, f64), e_prev2=jnp.asarray(E0, f64),
+        step=jnp.asarray(0, jnp.int32),
+    )
+    step = jax.jit(implicit.make_step(cfg))
+
+    xr, vr, Er, jr = x0, v0, E0, j0
+    iters = []
+    for _ in range(steps):
+        xr, vr, Er, jr = ref_pypic.particle_push_p(
+            xr, vr, q, m, Er, jr, n, ng, p2c, dx, dt, L, tol, maxiter)
+        st, mtr = step(st)
+        iters.append(int(mtr.picard_iters))
+
+    assert iters == [maxiter] * steps  # fixed count on our side too
+
+    e_ours = np.asarray(st.e, np.float64)
+    v_ours = np.asarray(st.v, np.float64)
+    x_ours = np.asarray(st.p, np.float64) * dx
+    e_scale = np.max(np.abs(Er))
+    v_scale = np.sqrt(K_BOLTZMANN * te / M_ELECTRON)
+    # measured deviation after 200 steps: E ~1e-10 of scale, v ~1e-10 of
+    # vth, x ~1e-10 of L (fp reassociation growth); assert 100x margins
+    np.testing.assert_allclose(e_ours, Er, atol=1e-7 * e_scale, rtol=0)
+    np.testing.assert_allclose(v_ours, vr, atol=1e-7 * v_scale, rtol=0)
+    # positions compare modulo the periodic wrap
+    dxp = np.abs(x_ours - xr)
+    dxp = np.minimum(dxp, L - dxp)
+    np.testing.assert_array_less(dxp, 1e-7 * L)
+
+
+# ---------------------------------------------------------------------------
+# Newton-Boltzmann field solve vs pygcpic.Grid
+# ---------------------------------------------------------------------------
+
+
+def test_boltzmann_dirichlet_solver_matches_reference(ref):
+    """solve_boltzmann_dirichlet vs Grid.solve_for_phi_dirichlet_boltzmann
+    (pygcpic.py:1005-1053) on identical rho: different Newton inner solvers
+    (our direct tridiagonal vs the reference's warm-started bicgstab), same
+    converged potential."""
+    _, ref_gc = ref
+    from pypic_tpu.ops.poisson import solve_boltzmann_dirichlet
+
+    rng = np.random.default_rng(5)
+    ng = 65
+    te = 10.0 * 11600.0
+    density = 1e16
+    debye = np.sqrt(1.38e-23 * te * 8.854e-12 / 1.602e-19**2 / density)
+    L = 100.0 * debye
+
+    grid = ref_gc.Grid(ng, L, te)
+    prof = 1.0 + 0.3 * np.sin(np.linspace(0.0, np.pi, ng)) \
+        + 0.05 * rng.normal(size=ng)
+    rho = 1.602e-19 * density * prof
+    grid.n0 = 0.9 * density
+    grid.rho[:] = rho
+    grid.solve_for_phi_dirichlet_boltzmann()
+
+    res = solve_boltzmann_dirichlet(
+        jnp.asarray(rho, jnp.float64), 0.9 * density, te, grid.dx)
+    phi_ours = np.asarray(res.phi, np.float64)
+    scale = np.max(np.abs(grid.phi))
+    assert scale > 1.0  # the workload actually produces a sheath-scale phi
+    np.testing.assert_allclose(phi_ours, grid.phi, atol=1e-6 * scale, rtol=0)
+
+
+def test_boltzmann_dirichlet_neumann_solver_matches_reference(ref):
+    """solve_boltzmann_dirichlet_neumann vs
+    Grid.solve_for_phi_dirichlet_neumann_boltzmann (pygcpic.py:1062-1108)
+    on identical number density: both warm-start the whole Newton at the
+    previous phi (the reference's own semantics for this variant)."""
+    _, ref_gc = ref
+    from pypic_tpu.ops.poisson import solve_boltzmann_dirichlet_neumann
+
+    rng = np.random.default_rng(9)
+    ng = 65
+    te = 10.0 * 11600.0
+    density = 1e16
+    debye = np.sqrt(1.38e-23 * te * 8.854e-12 / 1.602e-19**2 / density)
+    L = 100.0 * debye
+
+    grid = ref_gc.Grid(ng, L, te, bc="dirichlet-neumann")
+    prof = 1.0 + 0.3 * np.sin(np.linspace(0.0, np.pi, ng)) \
+        + 0.05 * rng.normal(size=ng)
+    grid.n0 = 0.9 * density
+    grid.n[:] = density * prof
+    grid.phi[:] = 0.0
+    grid.solve_for_phi_dirichlet_neumann_boltzmann()
+
+    res = solve_boltzmann_dirichlet_neumann(
+        jnp.asarray(density * prof, jnp.float64), 0.9 * density, te,
+        grid.dx, jnp.zeros((ng,), jnp.float64))
+    phi_ours = np.asarray(res.phi, np.float64)
+    scale = np.max(np.abs(grid.phi))
+    assert scale > 1.0
+    # this variant's Newton stops at |dphi| < 1e-3 (pygcpic.py:1080), so
+    # the two implementations can legitimately sit ~1e-3 V apart
+    np.testing.assert_allclose(phi_ours, grid.phi, atol=1e-2, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# pic_iead step cycle vs engines.magnetized
+# ---------------------------------------------------------------------------
+
+
+def test_magnetized_cycle_matches_reference_pic_iead_body(ref):
+    """Five pic_iead step cycles (pygcpic.py:1214-1244) vs the magnetized
+    engine: Boltzmann weighting incl. the adaptive-n0 recurrence and its
+    eta = exp(phi/Te/11600) quirk (pygcpic.py:889-904), the Newton solve,
+    differentiate_phi_to_E_dirichlet, the SWAPPED-weight Dirichlet field
+    gather (pygcpic.py:343-347), Boris push_6D (pygcpic.py:460-507) and the
+    Dirichlet wall BCs. The population starts mid-domain with thermal
+    velocities so nothing reaches a wall and no reactivation RNG fires on
+    either side."""
+    _, ref_gc = ref
+    from pypic_tpu.engines import magnetized
+    from pypic_tpu.grid import GridSpec
+
+    rng = np.random.default_rng(7)
+    ng, n, steps = 64, 256, 5
+    te = ti = 10.0 * 11600.0
+    density = 1e16
+    debye = np.sqrt(1.38e-23 * te * 8.854e-12 / 1.602e-19**2 / density)
+    L = 100.0 * debye
+    dt = 1e-10
+    p2c = density * L / n
+    mass = 2.0 * 1.67e-27  # deuterium, reference mp
+    alpha = 86.0 * np.pi / 180.0
+    B0 = np.array([2.0 * np.cos(alpha), 2.0 * np.sin(alpha), 0.0])
+
+    x0 = rng.uniform(0.4 * L, 0.6 * L, n)
+    vth = np.sqrt(1.38e-23 * ti / mass)
+    v0 = rng.normal(0.0, vth, (n, 3))
+
+    # reference side: Grid + Particle list with deterministic overrides
+    grid_ref = ref_gc.Grid(ng, L, te, bc="dirichlet-dirichlet")
+    parts = []
+    for i in range(n):
+        pt = ref_gc.Particle(mass, 1, p2c, ti, Z=1, B0=B0.copy(),
+                             E0=np.zeros(3), grid=grid_ref)
+        pt.r[:] = 0.0
+        pt.r[0] = x0[i]
+        pt.r[3:6] = v0[i]
+        parts.append(pt)
+
+    # our side: f64 state, composed backend, XLA Newton
+    cfg = magnetized.MagnetizedConfig(
+        grid=GridSpec(ng, L, "dirichlet-dirichlet"), dt=dt, te=te,
+        b=tuple(B0), species_z=(1,), reactivate="none",
+        backend="composed", newton_backend="xla",
+        newton_tol=1e-9, newton_maxiter=1000,
+    )
+    st = magnetized.init_state(
+        x0, v0, m=mass, charge_state=1.0, p2c=p2c, species_idx=0,
+        cfg=cfg, dtype=jnp.float64,
+    )
+    step = jax.jit(magnetized.make_step(cfg))
+
+    for t in range(steps):
+        grid_ref.weight_particles_to_grid_boltzmann(parts, dt)
+        grid_ref.reset_added_particles()
+        grid_ref.solve_for_phi_dirichlet_boltzmann()
+        grid_ref.differentiate_phi_to_E_dirichlet()
+        for pt in parts:
+            assert pt.is_active()
+            pt.interpolate_electric_field_dirichlet(grid_ref)
+            pt.push_6D(dt)
+            pt.apply_BCs_dirichlet(grid_ref)
+
+        st, mtr = step(st)
+        assert int(mtr.n_hit_wall) == 0
+        phi_scale = max(np.max(np.abs(grid_ref.phi)), 1.0)
+        # both Newtons stop at |dphi|^2 < 1e-9, but the reference's inner
+        # bicgstab (default rtol 1e-5) leaves O(1e-4) of self-error per
+        # solve that random-walks through the rho feedback — measured
+        # 1.4e-4 worst-node at step 1 growing to 1.4e-3 by step 4; assert
+        # with ~4x margin (still 4 orders below the 63 V scale)
+        np.testing.assert_allclose(
+            np.asarray(mtr.phi, np.float64), grid_ref.phi,
+            atol=1e-4 * phi_scale, rtol=0,
+            err_msg=f"phi mismatch at step {t}")
+        np.testing.assert_allclose(
+            float(mtr.n0), grid_ref.n0, rtol=1e-9,
+            err_msg=f"n0 mismatch at step {t}")
+
+    x_ref = np.array([pt.r[0] for pt in parts])
+    v_ref = np.array([pt.r[3:6] for pt in parts])
+    x_ours = np.asarray(st.p, np.float64) * cfg.grid.dx  # dx = L/(ng-1)
+    v_ours = np.stack(
+        [np.asarray(st.vx, np.float64), np.asarray(st.vy, np.float64),
+         np.asarray(st.vz, np.float64)], axis=-1)[:n]
+    # solver-tolerance phi noise propagates into E and then v at the
+    # ~1e-3 m/s/step level (vth ~ 2e4 m/s); assert well above that floor
+    np.testing.assert_allclose(x_ours[:n], x_ref, atol=1e-8 * L, rtol=0)
+    np.testing.assert_allclose(v_ours, v_ref, atol=1e-5 * vth, rtol=0)
