@@ -265,7 +265,12 @@ def bench_two_stream(args):
     from pypic_tpu.engines import explicit
     from pypic_tpu.runner import run
 
-    n, steps = 10_000, args.row_steps or 2000
+    # steps: the ~1e4-particle row pays a ~27 ms wall floor per timed
+    # region on the remote tunnel REGARDLESS of dispatch count (measured:
+    # 2000 steps cost 27-32 ms whether run as 1 or 10 kernels —
+    # scratch/two_stream_s.py, round 4), so the row amortizes 20k steps
+    # (2e8 pushes, comparable work to the other rows; 3.14e9 measured)
+    n, steps = 10_000, args.row_steps or 20_000
     density = 1e10
     te = 0.1 * 11600.0
     debye = np.sqrt(K_BOLTZMANN * te * EPSILON_0 / E_CHARGE**2 / density)
@@ -276,12 +281,14 @@ def bench_two_stream(args):
     cfg = explicit.ExplicitConfig(grid, 0.1 / params.wp, params.p2c)
     st = explicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
 
+    spc = min(2000, steps)
+
     def go():
-        # resident multi-step path: the whole population runs S=200 full
+        # resident multi-step path: the whole population runs S=2000 full
         # PIC cycles per kernel invocation (bit-exact with the scanned
         # one-kernel cycle — tests/test_pallas.py); at 1e4 particles the
         # scanned path is ~90% per-step dispatch overhead
-        _, m = explicit.run_resident(cfg, st, steps, steps_per_call=200)
+        _, m = explicit.run_resident(cfg, st, steps, steps_per_call=spc)
         np.asarray(m.field_energy)
 
     def rebuild():
@@ -296,7 +303,18 @@ def bench_two_stream(args):
         return go_scan
 
     elapsed, fb = _time_with_fallback(go, rebuild, "two_stream", "scanned")
-    _emit("two_stream", n, steps, elapsed, fallback=fb)
+    _emit("two_stream", n, steps, elapsed, fallback=fb, note={
+        "floor_model": {
+            "steps_per_kernel": spc,
+            "dispatches": -(-steps // spc),
+            "tunnel_sync_floor_ms": 27.0,
+            "note": "a ~27 ms wall floor per timed region (remote-tunnel "
+                    "sync, measured invariant from 1 to 10 dispatches at "
+                    "2000 steps) bounds this small-n row; the rate is "
+                    "floor-dominated below ~1e4 amortized steps "
+                    "(scratch/two_stream_s.py)",
+        },
+    })
 
 
 def bench_landau(args):
@@ -361,25 +379,18 @@ def bench_sheath(args):
         grid, dt, length * density / n,
         kbte=K_BOLTZMANN * te, kbti=K_BOLTZMANN * ti,
         picard_init="extrapolate", picard_accel="anderson",
-        # full-capacity draw by default: the rank-keyed table draw
-        # measured 27.25 ms/step vs 0.93 on v5e (the table gathers are
-        # TPU-hostile — PERF.md round 3g); --batch-paths A/Bs it
-        reinject_batch=16384 if args.batch_paths else 0,
+        # full-capacity re-injection draws: the rank-keyed table-draw
+        # alternative measured 27.25 ms/step vs 0.93 on v5e and was
+        # deleted round 4 (PERF.md round 3g keeps the record)
     )
     st = sheath.init_state(d["x"], d["v"], d["q"], d["m"], d["species"], cfg)
     step = sheath.make_step(cfg)
 
-    deferred = []
-
     def go():
         _, m = run(step, st, steps)
         np.asarray(m.field_energy)
-        deferred.append(int(np.asarray(m.n_reinject_deferred).sum()))
 
     _emit("sheath", n, steps, _time(go))
-    if deferred and max(deferred) > 0:
-        print(f"# WARNING: reinject_batch deferred {max(deferred)} "
-              "re-injections", file=sys.stderr)
 
 
 def bench_magnetized(args):
@@ -393,16 +404,6 @@ def bench_magnetized(args):
     pre = pic_iead(n_per_species=(args.mag_n or 1_000_000) // 6)
     n = pre.state.p.shape[0]
     cfg = pre.config
-    if args.batch_paths:
-        # rank-keyed capped re-activation draws + packed IEAD
-        # accumulation (round 3b; distribution-identical, drop-free
-        # asserted below). NOT the default: both measured far slower on
-        # v5e than the full-capacity paths they replace (+33.8 ms and
-        # +5.8 ms/step at 1e6 — the table gather / pack scatter are
-        # TPU-hostile, PERF.md round 3g).
-        import dataclasses as _dc
-
-        cfg = _dc.replace(cfg, react_batch=16384, iead_pack=16384)
     if args.mag_exact:
         # reference-exact solver path: XLA while_loop Newton instead of
         # the one-kernel Pallas PCR Newton 'auto' picks on TPU
@@ -426,13 +427,11 @@ def bench_magnetized(args):
         state0 = magnetized.prime_carry(state0, cfg)
     step = magnetized.make_step(cfg)
 
-    dropped = []
     carried_bad = []
 
     def go():
         _, m = run(step, state0, steps)
         np.asarray(m.phi_max)
-        dropped.append(int(np.asarray(m.iead_dropped).sum()))
         if args.carried:
             carried_bad.append(
                 int(np.asarray(m.carry_clamped).sum())
@@ -445,10 +444,9 @@ def bench_magnetized(args):
         # it (or any fast path) on the real backend, record the row on
         # the proven XLA/exact paths instead of dying. Metric lists are
         # reset so a partially-successful fast-path warm run can't leak
-        # its iead_dropped/carry counts into the recorded row's warnings.
+        # its carry counts into the recorded row's warnings.
         import dataclasses as _dc
 
-        dropped.clear()
         carried_bad.clear()
         fb_cfg = _dc.replace(pre.config, newton_backend="xla")
         fb_step = magnetized.make_step(fb_cfg)
@@ -456,16 +454,12 @@ def bench_magnetized(args):
         def go_fb():
             _, m = run(fb_step, pre.state, steps)
             np.asarray(m.phi_max)
-            dropped.append(int(np.asarray(m.iead_dropped).sum()))
 
         return go_fb
 
     elapsed, fb = _time_with_fallback(
         go, rebuild, "magnetized", "xla-newton + exact paths")
     _emit("magnetized", n, steps, elapsed, fallback=fb)
-    if dropped and max(dropped) > 0:
-        print(f"# WARNING: iead_pack dropped {max(dropped)} impacts",
-              file=sys.stderr)
     if carried_bad and max(carried_bad) > 0:
         print(f"# WARNING: carried deposit clamped/suppressed "
               f"{max(carried_bad)} events — the carry is inexact at this "
@@ -709,12 +703,6 @@ def main():
                          "Newton instead of the one-kernel Pallas PCR "
                          "Newton (default 'auto' = pallas on TPU, 2.0x "
                          "faster at the bench scale)")
-    ap.add_argument("--batch-paths", action="store_true",
-                    help="sheath/magnetized rows: rank-keyed capped "
-                         "re-activation/re-injection table draws + packed "
-                         "IEAD accumulation (round-3b experiments; both "
-                         "measured much SLOWER on v5e than the "
-                         "full-capacity paths — PERF.md round 3g)")
     ap.add_argument("--carried", action="store_true",
                     help="magnetized row: carried-deposit step (the rho/n "
                          "deposit rides the previous step's push kernel — "

@@ -120,19 +120,12 @@ class SheathConfig:
     # engine's shard-invariant sampler). All samplers: same distributions,
     # different draws.
     rng_sampler: str = "auto"
-    # Capped rank-keyed re-injection draw (engines.magnetized.react_batch
-    # analog): 0 = full-capacity draws (the reference semantics — every
-    # absorbed particle re-injects at step start, PIC_L_DD.py:429-450;
-    # the (3, n) threefry chain is ~0.2 ms of the 1e6 step on v5e for
-    # ~0.1% absorbed slots). > 0 = draw only this many samples keyed on
-    # the slot's re-injection RANK and gather batch[rank] into the
-    # absorbed slots. NOT drop-free when losses/step exceed the cap: the
-    # surplus stays absorbed one more step and RE-DEPOSITS its wall
-    # surface charge (the reference never defers) — size the cap so the
-    # n_reinject_deferred metric stays 0 (bench asserts it). Under
-    # data-parallel sharding the ranks are GLOBAL (exclusive prefix of
-    # per-shard lost counts), so the capped draw is shard-invariant.
-    reinject_batch: int = 0
+    # (A reinject_batch>0 rank-keyed capped re-injection draw existed
+    # through round 3 — measured 27.25 vs 0.93 ms/step at 1e6 on v5e (the
+    # batch-table gather is TPU-hostile) and deleted round 4; PERF.md
+    # round 3g keeps the record. Full-capacity draws ARE the reference
+    # semantics: every absorbed particle re-injects at step start,
+    # PIC_L_DD.py:429-450.)
     # Data-parallel particle sharding over a 1D mesh axis (the magnetized
     # engine's pattern — wrap make_step with parallel.make_data_parallel_
     # step): per-shard current deposits INCLUDING the wall surface-charge
@@ -143,10 +136,7 @@ class SheathConfig:
     # sampler (slot counters offset by the shard's global position —
     # thermostat, re-injection positions and velocities all reproduce the
     # single-device draws bit-for-bit; 'auto' resolves to hash under dp)
-    # and on reinject_batch > 0 rank-keyed draws (global slot ranks over
-    # the replicated threefry table); with reinject_batch > 0 and
-    # gamma > 0 the thermostat folds the axis index into its threefry key
-    # instead — valid independent streams, not shard-invariant. For the
+    # For the
     # sheath's reference-sized grids (ng ~ 51-200) dp is the natural
     # scaling axis: the slab-sharded variant (parallel.domain_sheath)
     # caps at ng shards.
@@ -156,16 +146,8 @@ class SheathConfig:
         for f in ("dt", "p2c", "kbte", "kbti", "tol", "tol_floor", "gamma",
                   "exit_hist_vmax"):
             object.__setattr__(self, f, float(getattr(self, f)))
-        for f in ("maxiter", "exit_hist_bins", "record_exit_after_step",
-                  "reinject_batch"):
+        for f in ("maxiter", "exit_hist_bins", "record_exit_after_step"):
             object.__setattr__(self, f, int(getattr(self, f)))
-        if self.reinject_batch < 0:
-            raise ValueError("reinject_batch must be >= 0")
-        if self.reinject_batch and self.rng_sampler in ("hash", "pallas"):
-            raise ValueError(
-                "reinject_batch > 0 supports the threefry sampler only "
-                "(the hash/pallas paths are slot-keyed full-capacity draws)"
-            )
         if self.picard_init not in ("field", "extrapolate"):
             raise ValueError(f"unknown picard_init {self.picard_init!r}")
         if self.picard_accel not in ("none", "anderson", "anderson2"):
@@ -184,14 +166,13 @@ class SheathConfig:
                     "data-parallel sharding (hardware-PRNG draws are not "
                     "shard-invariant); use 'hash' or 'auto'"
                 )
-            if self.reinject_batch == 0 and self.rng_sampler == "threefry":
+            if self.rng_sampler == "threefry":
                 raise ValueError(
                     "data-parallel full-capacity re-injection needs "
                     "rng_sampler='hash' (slot-offset counters give "
                     "shard-invariant draws; a replicated threefry key "
                     "would draw the SAME randoms on every shard) — 'auto' "
-                    "resolves to hash here, or set reinject_batch > 0 "
-                    "(rank-keyed draws from the replicated table)"
+                    "resolves to hash here"
                 )
 
 
@@ -238,9 +219,6 @@ class StepMetrics(NamedTuple):
     n_lost_left: jax.Array
     n_lost_right: jax.Array
     phi: jax.Array  # (ng,) potential from integrated E (PIC_L_DD.py:522-523)
-    # absorbed slots whose re-injection deferred to the next step
-    # (reinject_batch overflow only; always 0 on the full-draw paths)
-    n_reinject_deferred: jax.Array = 0
 
 
 def init_state(
@@ -318,20 +296,16 @@ def make_step(cfg: SheathConfig):
             # materialization at the pallas_call boundary; threefry wins
             # on both backends. Under dp the full-capacity draws must be
             # shard-invariant -> hash with slot offsets (config contract).
-            sampler = "hash" if (ax and not cfg.reinject_batch) \
-                else "threefry"
+            sampler = "hash" if ax else "threefry"
         use_hash = sampler == "hash"
         if use_hash:
             from ..sources import hash_normals, hash_uniforms, seed_from_key
         if ax and not use_hash:
             # per-shard threefry streams (a replicated key would draw the
-            # SAME randoms on every shard); the reinject_batch table draw
-            # below intentionally keeps the replicated k_reinj_* keys —
-            # rank-keyed gathers from the shared table are shard-invariant
+            # SAME randoms on every shard)
             k_therm_u = jax.random.fold_in(k_therm_u, lax.axis_index(ax))
             k_therm_v = jax.random.fold_in(k_therm_v, lax.axis_index(ax))
 
-        n_deferred = jnp.asarray(0, jnp.int32)
         p0, active = state.p, state.active
         u0, vy0, vz0 = state.u, state.vy, state.vz
         q, m, species = state.q, state.m, state.species
@@ -389,46 +363,16 @@ def make_step(cfg: SheathConfig):
             # get a fresh uniform position and species-temperature
             # Maxwellian.
             lost = active != ACTIVE
-            nb_re = cfg.reinject_batch
-            if nb_re and not use_hash:
-                # rank-keyed capped draw: batch tables of nb_re samples,
-                # slot i takes row rank(i); surplus absorbed slots defer
-                # one step (counted — see SheathConfig.reinject_batch)
-                rank = jnp.cumsum(lost.astype(jnp.int32)) - 1
-                if ax:
-                    # global slot ranks: shard r's lost slots rank after
-                    # every lost slot of shards 0..r-1 — the capped take
-                    # set and table rows match the single-device run
-                    n_lost_loc = jnp.sum(lost.astype(jnp.int32))
-                    counts = lax.all_gather(n_lost_loc, ax)
-                    rank = rank + jnp.sum(jnp.where(
-                        jnp.arange(counts.shape[0]) < lax.axis_index(ax),
-                        counts, 0,
-                    ))
-                take = lost & (rank < nb_re)
-                n_deferred = _allreduce(
-                    jnp.sum(lost.astype(jnp.int32))
-                    - jnp.sum(take.astype(jnp.int32)))
-                idx = jnp.clip(rank, 0, nb_re - 1)
-                x_b = jax.random.uniform(k_reinj_x, (nb_re,), p0.dtype,
-                                         0.0, cells)
-                z_b = jax.random.normal(k_reinj_v, (3, nb_re), p0.dtype)
-                x_new = jnp.take(x_b, idx)
-                z0 = jnp.take(z_b[0], idx)
-                z1 = jnp.take(z_b[1], idx)
-                z2 = jnp.take(z_b[2], idx)
-                lost = take
+            if use_hash:
+                x_new = (
+                    hash_uniforms(seed_from_key(k_reinj_x), n_slots, 1,
+                                  p0.dtype.type, offset=slot_off)[0]
+                    * p0.dtype.type(cells)
+                )
             else:
-                if use_hash:
-                    x_new = (
-                        hash_uniforms(seed_from_key(k_reinj_x), n_slots, 1,
-                                      p0.dtype.type, offset=slot_off)[0]
-                        * p0.dtype.type(cells)
-                    )
-                else:
-                    x_new = jax.random.uniform(k_reinj_x, p0.shape,
-                                               p0.dtype, 0.0, cells)
-                z0, z1, z2 = _normals3(k_reinj_v)
+                x_new = jax.random.uniform(k_reinj_x, p0.shape,
+                                           p0.dtype, 0.0, cells)
+            z0, z1, z2 = _normals3(k_reinj_v)
             sig_re = jnp.sqrt(kbt_per / m)
             p0 = jnp.where(lost, x_new, p0)
             u0 = jnp.where(lost, z0 * sig_re, u0)
@@ -642,7 +586,6 @@ def make_step(cfg: SheathConfig):
             n_lost_right=_allreduce(
                 jnp.sum((active == LOST_RIGHT).astype(jnp.int32))),
             phi=phi,
-            n_reinject_deferred=n_deferred,
         )
         new_state = state.replace(
             p=x1, u=u1s, vy=vy1, vz=vz1, active=active, e=e1, j=j1,

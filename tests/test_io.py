@@ -174,10 +174,14 @@ def test_cli_end_to_end(tmp_path):
 
 
 def test_bench_contract(tmp_path):
-    """bench.py prints exactly one JSON line with the driver's schema."""
+    """bench.py prints exactly one JSON line with the driver's schema —
+    since round 4 the default carries the whole matrix under "rows"
+    (--budget-s 0 keeps this contract check to the headline + skip list;
+    test_bench_smoke.py covers the full combined artifact)."""
     code = (
         "import jax; jax.config.update('jax_platforms','cpu');"
-        "import sys; sys.argv=['bench.py','--particles','20000','--steps','2'];"
+        "import sys; sys.argv=['bench.py','--particles','20000',"
+        "'--steps','2','--budget-s','0'];"
         "import runpy; runpy.run_path('bench.py', run_name='__main__')"
     )
     res = subprocess.run(
@@ -188,7 +192,8 @@ def test_bench_contract(tmp_path):
     lines = [l for l in res.stdout.strip().splitlines() if l.strip()]
     assert len(lines) == 1, res.stdout
     row = json.loads(lines[0])
-    assert set(row) == {"metric", "value", "unit", "vs_baseline"}
+    assert set(row) == {"metric", "value", "unit", "vs_baseline",
+                        "rows", "skipped"}
     assert row["value"] > 0 and row["vs_baseline"] == row["value"] / 1e9
 
 
@@ -222,6 +227,29 @@ def test_cli_particle_dump_and_bca_postprocess(tmp_path):
     stats = json.load(open(pp))
     assert (stats["num_deposited_wall"] + stats["num_reflected_wall"]
             == stats["num_incident_wall"])
+
+
+def test_cli_pic_iead_plot_figures(tmp_path):
+    """--plot on the magnetized preset writes the IEAD heatmap and the BCA
+    run dashboard — the offline equivalents of pic_iead's pcolormesh
+    figures (pygcpic.py:1283-1298) and the pic_bca_aps 8-figure dashboard
+    (pygcpic.py:1634-1702)."""
+    outdir = str(tmp_path / "plots")
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from pypic_tpu.cli import main;"
+        f"main(['run','pic_iead','--steps','10',"
+        f"'--outdir',r'{outdir}','--clean','--plot'])"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    for name in ("iead.png", "bca_dashboard.png"):
+        p = os.path.join(outdir, name)
+        assert os.path.exists(p), f"{name} not written"
+        assert os.path.getsize(p) > 1000
 
 
 def test_run_thinned_keeps_scalars_full_cadence():

@@ -218,34 +218,6 @@ def test_sheath_fused_backend_matches_composed():
                                   np.asarray(st_c.active))
 
 
-def test_sheath_reinject_batch_matches_full_draw_semantics():
-    """reinject_batch > 0: same set of slots re-injects when the cap is
-    not binding (rank-keyed values, identical distribution); a binding cap
-    defers the surplus and says so."""
-    import dataclasses as dc
-
-    cfg, st, _ = _setup(n=20_000)
-    cfgb = dc.replace(cfg, reinject_batch=4096)
-    st0, m0 = run(sheath.make_step(cfg), st, 30)
-    stb, mb = run(sheath.make_step(cfgb), st, 30)
-    assert int(np.asarray(mb.n_reinject_deferred).sum()) == 0
-    # every absorbed slot re-injects both ways; the drawn VALUES differ
-    # (rank- vs slot-keyed), so absorption fluctuates — statistical match
-    a0 = np.asarray(m0.n_active, np.float64)
-    ab = np.asarray(mb.n_active, np.float64)
-    assert abs(a0.mean() - ab.mean()) < 10
-    assert np.abs(a0 - ab).max() < 30
-    # binding cap defers and counts
-    cfg1 = dc.replace(cfg, reinject_batch=1)
-    st1, m1 = run(sheath.make_step(cfg1), st, 30)
-    defer = np.asarray(m1.n_reinject_deferred)
-    assert (defer >= 0).all()
-    # population still eventually refills one per step at most
-    assert np.asarray(m1.n_active)[-1] <= 20_000
-    with pytest.raises(ValueError, match="threefry"):
-        dc.replace(cfg, reinject_batch=8, rng_sampler="hash")
-
-
 @pytest.mark.parametrize("backend,steps", [("composed", 60), ("fused", 25)])
 def test_sheath_data_parallel_matches_single_device(backend, steps):
     """Data-parallel sheath (round 3c): per-shard current deposits incl.
@@ -282,36 +254,6 @@ def test_sheath_data_parallel_matches_single_device(backend, steps):
     k1 = np.asarray(m1.kinetic_energy, np.float64)
     k8 = np.asarray(m8.kinetic_energy, np.float64)
     np.testing.assert_allclose(k8, k1, rtol=1e-4)
-
-
-def test_sheath_dp_reinject_batch_global_rank():
-    """reinject_batch under dp: the cap allocates by GLOBAL slot rank over
-    the replicated table — take counts match the single-device capped run
-    and the deferred metric is global."""
-    import dataclasses as dc
-
-    from pypic_tpu.parallel import make_mesh, make_data_parallel_step
-    from pypic_tpu.parallel.dataparallel import shard_state
-
-    cfg, st, te = _setup(n=8192)
-    cfg1 = dc.replace(cfg, rng_sampler="threefry", backend="composed",
-                      reinject_batch=16)
-    _, m1 = run(sheath.make_step(cfg1), st, 40)
-
-    mesh = make_mesh(8)
-    cfg8 = dc.replace(cfg1, axis_name="particles")
-    step8 = make_data_parallel_step(
-        sheath.make_step, cfg8, mesh, example_state=st)
-    _, m8 = run(step8, shard_state(st, mesh), 40)
-
-    d1 = np.asarray(m1.n_reinject_deferred).astype(int)
-    d8 = np.asarray(m8.n_reinject_deferred).astype(int)
-    # same table, same global ranks -> identical capped take/defer counts
-    np.testing.assert_array_equal(d8, d1)
-    assert d1.max() >= 0
-    a1 = np.asarray(m1.n_active).astype(int)
-    a8 = np.asarray(m8.n_active).astype(int)
-    np.testing.assert_array_equal(a8, a1)
 
 
 def test_sheath_dp_config_validation():
