@@ -365,6 +365,34 @@ def _cmd_run(args):
             viz.phase_space_replay(gif_path, xs, vs)
             print(f"wrote {gif_path}", file=sys.stderr)
 
+    # IEAD heatmap + BCA run dashboard for the magnetized states — the
+    # offline equivalents of pic_iead's live pcolormesh figures
+    # (pygcpic.py:1283-1298) and the pic_bca_aps 8-figure dashboard
+    # (pygcpic.py:1634-1702)
+    if (args.plot and hasattr(final, "iead")
+            and preset.config.iead_energy_max > 0):
+        cfg = preset.config
+        labels = preset.meta.get("species_labels") or [
+            f"Z{z}" for z in cfg.species_z
+        ]
+        viz.iead_figure(
+            os.path.join(outdir, "iead.png"), np.asarray(final.iead),
+            cfg.iead_energy_max, cfg.iead_angle_max, labels,
+        )
+        act = np.asarray(final.active) == 1
+        xp = np.asarray(final.p)[act] * cfg.grid.dx
+        vxp = np.asarray(final.vx)[act]
+        rho = (np.asarray(mdict["rho"])[-1] if "rho" in mdict
+               else np.asarray(final.rho))
+        viz.bca_figure(
+            os.path.join(outdir, "bca_dashboard.png"), xp, vxp,
+            np.sqrt(vxp.var()) + 1e-300, np.asarray(final.phi), rho,
+            np.asarray(final.iead), np.asarray(final.iead_out),
+            cfg.iead_energy_max, cfg.iead_angle_max, cfg.grid.length, labels,
+        )
+        print(f"wrote {outdir}/iead.png + {outdir}/bca_dashboard.png",
+              file=sys.stderr)
+
     # summary plot for the periodic engines
     if args.plot and hasattr(final, "v") and np.asarray(final.v).ndim == 1:
         params = preset.meta.get("params")

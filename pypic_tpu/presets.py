@@ -201,7 +201,8 @@ def pic_iead(n_per_species: int = 1000, ng: int = 600, seed: int = 1) -> Preset:
     st = magnetized.init_state(x, v, m, cs, p2c_arr, sp, cfg, seed=seed)
     return Preset("pic_iead", magnetized, cfg, st,
                   dict(floating_potential=phi_f,
-                       bca_incident=((2.0, 1), (10.81, 5))))
+                       bca_incident=((2.0, 1), (10.81, 5)),
+                       species_labels=("D", "B")))
 
 
 def pic_iead_gc(n_per_species: int = 1000, ng: int = 600, seed: int = 1) -> Preset:

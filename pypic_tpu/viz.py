@@ -11,6 +11,11 @@ stacked metrics afterwards):
   profiles (pypic.py:580-631).
 * ``sheath_figure``: the gen-2 panels — per-species phase space in
   signed-energy units, potential, field, current (PIC_L_DD.py:554-624).
+* ``iead_figure``: per-species ion energy-angle heatmaps — pic_iead's live
+  pcolormesh figures (pygcpic.py:1283-1298) as one offline panel.
+* ``bca_figure``: the pic_bca_aps 8-figure run dashboard (pygcpic.py:
+  1634-1702) — wall-folded + zoomed phase space, phi/rho profiles,
+  incident and flux-out IEADs per species.
 * ``save_frames`` + ``convert``: png sequence + animated gif assembly at the
   reference's 0.2 s/frame (convert.py:4-12).
 * ``phase_space_replay``: offline animation of dumped particle positions,
@@ -98,6 +103,105 @@ def sheath_figure(path, x, v_x, m, species, phi, e_field, current, length):
     ax2 = ax[1, 1].twinx()
     ax2.plot(xs, np.asarray(current), lw=1, color="k", label="J")
     ax[1, 1].set_title("E / J")
+    fig.savefig(path, dpi=80)
+    plt.close(fig)
+    return path
+
+
+def iead_figure(path, iead, energy_max, angle_max, species_labels=None):
+    """Per-species ion energy-angle distribution heatmaps — the offline
+    equivalent of pic_iead's live pcolormesh figures (pygcpic.py:1283-1298:
+    ``pcolormesh(angle_range, energy_range, iead.T)``, saved as iead_D /
+    iead_B).
+
+    Args:
+        iead: (S, ne, na) accumulated histograms (MagnetizedState.iead).
+        energy_max / angle_max: histogram ranges (MagnetizedConfig); axes
+            span [0, energy_max] eV x [0, angle_max] degrees.
+        species_labels: S display names (default S0, S1, ...).
+    """
+    iead = np.asarray(iead)
+    s, ne, na = iead.shape
+    labels = species_labels or [f"S{i}" for i in range(s)]
+    fig, axes = plt.subplots(1, s, figsize=(5.5 * s, 4.5), squeeze=False)
+    energies = np.linspace(0.0, energy_max, ne + 1)
+    angles = np.linspace(0.0, angle_max, na + 1)
+    for i, ax in enumerate(axes[0]):
+        pm = ax.pcolormesh(angles, energies, iead[i])
+        fig.colorbar(pm, ax=ax)
+        ax.set_title(f"{labels[i]} IEAD (n={iead[i].sum():.0f})")
+        ax.set_xlabel("angle [deg]")
+        ax.set_ylabel("energy [eV]")
+    fig.tight_layout()
+    fig.savefig(path, dpi=80)
+    plt.close(fig)
+    return path
+
+
+def bca_figure(path, x, v_x, vth, phi, rho, iead, iead_out, energy_max,
+               angle_max, length, species_labels=None):
+    """The pic_bca_aps 8-figure run dashboard as one offline panel
+    (pygcpic.py:1634-1702): wall-folded phase space, phi and rho profiles,
+    per-species incident IEADs, per-species sheath-escape ("flux out")
+    IEADs, and the zoomed near-wall phase space.
+
+    Args:
+        x: (n,) particle positions [m] (active rows).
+        v_x: (n,) x velocities [m/s].
+        vth: thermal-speed normalization for the phase-space axes.
+        phi / rho: (ng,) grid profiles.
+        iead / iead_out: (S, ne, na) incident / escape histograms
+            (MagnetizedState.iead / .iead_out).
+        length: domain length [m].
+    """
+    iead = np.asarray(iead)
+    iead_out = np.asarray(iead_out)
+    s, ne, na = iead.shape
+    labels = species_labels or [f"S{i}" for i in range(s)]
+    x = np.asarray(x)
+    vn = np.asarray(v_x) / (vth + 1e-300)
+    # fold about the midplane: both sheaths overlay (pygcpic.py:1638-1639)
+    vf = np.where(x < length / 2.0, vn, -vn)
+    xf = np.where(x < length / 2.0, x, length - x)
+
+    ncol = max(2 + s, 4)
+    fig, ax = plt.subplots(2, ncol, figsize=(4.5 * ncol, 8), squeeze=False)
+    ax[0, 0].scatter(xf, vf, s=0.5)
+    ax[0, 0].set_xlim([0.0, length / 4.0])
+    ax[0, 0].set_ylim([-8.0, 8.0])
+    ax[0, 0].set_title("Phase Space (wall-folded)")
+    ax[0, 0].set_xlabel("x [m]")
+    ax[0, 0].set_ylabel("v [thermal]")
+
+    ax[1, 0].scatter(xf, vf, s=0.5)
+    ax[1, 0].set_xlim([0.0, length / 8.0])
+    ax[1, 0].set_ylim([-6.0, 6.0])
+    ax[1, 0].set_title("Phase Space (zoomed)")
+    ax[1, 0].set_xlabel("x [m]")
+
+    xs = np.linspace(0.0, length, len(np.asarray(phi)))
+    ax[0, 1].plot(xs, np.asarray(phi), lw=2)
+    ax[0, 1].set_xlim([0.0, length])
+    ax[0, 1].set_title("phi [V]")
+    ax[1, 1].plot(xs, np.asarray(rho), lw=2)
+    ax[1, 1].set_xlim([0.0, length])
+    ax[1, 1].set_title("rho [C/m^3]")
+
+    energies = np.linspace(0.0, energy_max, ne + 1)
+    angles = np.linspace(0.0, angle_max, na + 1)
+    for i in range(s):
+        col = 2 + i
+        pm = ax[0, col].pcolormesh(angles, energies, iead[i])
+        fig.colorbar(pm, ax=ax[0, col])
+        ax[0, col].set_title(f"{labels[i]} IEAD")
+        pm = ax[1, col].pcolormesh(angles, energies, iead_out[i])
+        fig.colorbar(pm, ax=ax[1, col])
+        ax[1, col].set_title(f"{labels[i]} Flux Out")
+        ax[1, col].set_xlabel("angle [deg]")
+    for i in range(2 + s, ncol):
+        ax[0, i].axis("off")
+        ax[1, i].axis("off")
+    fig.tight_layout()
     fig.savefig(path, dpi=80)
     plt.close(fig)
     return path

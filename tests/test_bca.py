@@ -414,3 +414,93 @@ def test_bca_driver_with_carried_deposit():
     assert abs(stats1.source_incident - stats0.source_incident) \
         <= max(3, 0.1 * stats0.source_incident)
     assert stats1.dropped == 0
+
+
+def test_ftridyn_seam_fixture_contract():
+    """bca.FTridynBCA against a recorded fake ``fractal_tridyn`` module:
+    pins the exact constructor/call/file contract the reference uses
+    (pygcpic.py:1389-1390 constructor symbols; 1571-1572
+    run_tridyn_simulations_from_list(energies, angles, number_histories=N);
+    1299-1300 run_tridyn_simulations_from_iead(energy_range, angle_range,
+    iead, number_histories=N); products thinned by [::number_histories]
+    into 6-field (energy, ca, cb, cg, m, Z) rows consumed by
+    particle_from_energy_angle_coordinates, pygcpic.py:35-68) — so the
+    seam stays testable without the external Fortran package."""
+    import sys
+    import types
+
+    calls = {}
+
+    class _FakeInterface:
+        def __init__(self, source, wall):
+            calls["ctor"] = (source, wall)
+
+        def run_tridyn_simulations_from_list(self, energies, angles,
+                                             number_histories=100):
+            calls["from_list"] = (energies, angles, number_histories)
+            assert isinstance(energies, list) and isinstance(angles, list)
+            assert len(energies) == len(angles)
+            # the real package returns number_histories rows PER incident
+            # particle: [energy, ca, cb, cg, m, Z] each
+            row_s = [8.5, 0.9, 0.3, 0.3, 196.97, 79]
+            row_r = [40.0, 0.8, 0.4, 0.4, 2.014, 1]
+            sput = [list(row_s) for _ in range(2 * number_histories)]
+            refl = [list(row_r)
+                    for _ in range(len(energies) * number_histories)]
+            return sput, refl
+
+        def run_tridyn_simulations_from_iead(self, energy_edges, angle_edges,
+                                             iead, number_histories=100):
+            calls["from_iead"] = (np.asarray(energy_edges),
+                                  np.asarray(angle_edges),
+                                  np.asarray(iead), number_histories)
+            row = [8.5, 0.9, 0.3, 0.3, 196.97, 79]
+            return ([list(row) for _ in range(3 * number_histories)],
+                    [list(row) for _ in range(number_histories)])
+
+    pkg = types.ModuleType("fractal_tridyn")
+    utils = types.ModuleType("fractal_tridyn.utils")
+    gen = types.ModuleType("fractal_tridyn.utils.generate_ftridyn_input")
+    gen.tridyn_interface = _FakeInterface
+    pkg.utils = utils
+    utils.generate_ftridyn_input = gen
+    saved = {k: sys.modules.get(k) for k in
+             ("fractal_tridyn", "fractal_tridyn.utils",
+              "fractal_tridyn.utils.generate_ftridyn_input")}
+    sys.modules["fractal_tridyn"] = pkg
+    sys.modules["fractal_tridyn.utils"] = utils
+    sys.modules["fractal_tridyn.utils.generate_ftridyn_input"] = gen
+    try:
+        iface = bca.FTridynBCA("He", "Au")
+        assert calls["ctor"] == ("He", "Au")
+
+        sput, refl = iface.run(np.array([30.0, 55.0, 80.0]),
+                               np.array([10.0, 45.0, 60.0]),
+                               num_histories=50)
+        energies, angles, nh = calls["from_list"]
+        assert energies == [30.0, 55.0, 80.0] and nh == 50
+        # [::number_histories] thinning -> one row per simulated history
+        # batch, 6 fields each
+        assert sput.shape == (2, 6) and refl.shape == (3, 6)
+        assert sput.dtype == np.float64
+        np.testing.assert_allclose(sput[0], [8.5, 0.9, 0.3, 0.3, 196.97, 79])
+
+        ne, na = 5, 4
+        iead = np.zeros((ne, na))
+        iead[2, 1] = 7.0
+        e_edges = np.linspace(0.0, 100.0, ne + 1)
+        a_edges = np.linspace(0.0, 90.0, na + 1)
+        sput, refl = iface.run_from_iead(e_edges, a_edges, iead,
+                                         num_histories=25)
+        ee, aa, hist, nh = calls["from_iead"]
+        np.testing.assert_array_equal(ee, e_edges)
+        np.testing.assert_array_equal(aa, a_edges)
+        np.testing.assert_array_equal(hist, iead)
+        assert nh == 25
+        assert sput.shape == (3, 6) and refl.shape == (1, 6)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                del sys.modules[k]
+            else:
+                sys.modules[k] = v
