@@ -810,6 +810,17 @@ def make_step(cfg: MagnetizedConfig):
             2.0 * state.phi - state.phi_prev
             if cfg.newton_warm == "extrapolate" else state.phi
         )
+        if not dirichlet_neumann:
+            # Wall-reference the D-D warm start: the solve's frozen
+            # boundary rows keep the walls at exactly 0 pre-shift and the
+            # min-shift is uniform, so phi_shifted - phi_shifted[0] IS the
+            # previous converged (unshifted) Newton point — the best seed
+            # (measured 5.6 -> ~3.4 mean iterations on pic_iead vs pinning
+            # the shifted seed's walls alone). The solvers still pin the
+            # wall entries as a guard; it is a no-op on this seed. The D-N
+            # branch keeps the shifted seed: the reference itself
+            # warm-starts that Newton from self.phi (pygcpic.py:1083).
+            phi_warm = phi_warm - phi_warm[0]
         use_pallas_newton = (
             cfg.newton_backend == "pallas"
             or (cfg.newton_backend == "auto"

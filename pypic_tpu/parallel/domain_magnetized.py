@@ -449,9 +449,17 @@ def make_step(cfg: DomainMagnetizedConfig, mesh: Mesh):
                 (d == d_tot - 1) & (li0 == c - 1))
             rho = jnp.where(keep_raw, rho, sm)
 
-        # --- Newton-Boltzmann solve (slab-sharded or replicated)
+        # --- Newton-Boltzmann solve (slab-sharded or replicated).
+        # Wall-reference the warm start (engines.magnetized semantics):
+        # phi_shifted - phi_shifted[wall] reconstructs the previous
+        # UNSHIFTED Newton point exactly (uniform min-shift + frozen-0
+        # walls); the wall value lives on shard 0 local 0 — one psum.
+        gi = d * c + jnp.arange(c, dtype=jnp.int32)
+        wall0 = lax.psum(
+            jnp.sum(jnp.where(gi == 0, state.phi, 0.0)), ax)
+        phi_warm = state.phi - wall0
         if cfg.solver == "distributed":
-            phi, n_it, resid = newton_dist(rho, n0, state.phi)
+            phi, n_it, resid = newton_dist(rho, n0, phi_warm)
         else:
             from ..ops.poisson import solve_boltzmann_dirichlet
 
@@ -459,7 +467,7 @@ def make_step(cfg: DomainMagnetizedConfig, mesh: Mesh):
             res = solve_boltzmann_dirichlet(
                 rho_full, n0, cfg.te, dx, tol=cfg.newton_tol,
                 maxiter=cfg.newton_maxiter,
-                phi0=lax.all_gather(state.phi, ax, tiled=True),
+                phi0=lax.all_gather(phi_warm, ax, tiled=True),
             )
             phi = lax.dynamic_slice(res.phi, (d * c,), (c,))
             n_it, resid = res.iterations, res.residual

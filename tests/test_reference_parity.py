@@ -315,6 +315,188 @@ def test_boltzmann_dirichlet_neumann_solver_matches_reference(ref):
     np.testing.assert_allclose(phi_ours, grid.phi, atol=1e-2, rtol=0)
 
 
+def test_explicit_push_matches_reference_pic_l(ref):
+    """One explicit step vs PIC_L.py's pushParticlesExplicit
+    (PIC_L.py:248-259): both half-kicks use E at the OLD position (the
+    gathered field is never re-evaluated at the drifted position), i.e.
+    v1 = v + qm dt E(x0), x1 = x0 + (v + qm dt/2 E(x0)) dt — the exact
+    integrator form our explicit engine reproduces, compared here on the
+    reference's own (Ng+1)-entry duplicated-node periodic field layout
+    (PIC_L.py:100-117: arrays carry node Ng == node 0). The gen-1 main's
+    full cycle is not driven side-by-side: its % (L+dx) wrap can index
+    rho[Ng+1] out of bounds (a catalogued known-broken path)."""
+    sys.path.insert(0, REF)
+    try:
+        import PIC_L as ref_l
+    finally:
+        sys.path.remove(REF)
+    from pypic_tpu.ops import cic
+    from pypic_tpu.push import leapfrog_push
+
+    rng = np.random.default_rng(17)
+    ng, n = 64, 3000
+    dx = 0.04
+    dt = 1e-8
+    me, qe = 9.11e-31, -1.602e-19
+    F = rng.normal(0.0, 50.0, ng)
+    F_ref = np.concatenate([F, F[:1]])  # duplicated-node layout (Ng+1)
+    # interior band: no wrap ambiguity in the single compared step
+    x = rng.uniform(2.0 * dx, (ng - 2.0) * dx, n)
+    v = rng.normal(0.0, 4e5, n)
+    q = np.full(n, qe)
+    m = np.full(n, me)
+
+    x1_ref, v1_ref = ref_l.pushParticlesExplicit(
+        x.copy(), v.copy(), q, m, n, ng, dt, dx, F_ref)
+
+    e_p = cic.gather(jnp.asarray(F), jnp.asarray(x / dx), periodic=True)
+    p1, v1 = leapfrog_push(jnp.asarray(x / dx), jnp.asarray(v), e_p,
+                           jnp.asarray(q / m), dt, dt / dx)
+    np.testing.assert_allclose(np.asarray(v1, np.float64), v1_ref,
+                               rtol=1e-12, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(p1, np.float64) * dx, x1_ref,
+                               rtol=1e-12, atol=1e-14)
+
+
+# ---------------------------------------------------------------------------
+# gen-2 bounded sheath (PIC_L_DD.py main_i) vs engines.sheath
+# ---------------------------------------------------------------------------
+
+
+def test_sheath_engine_matches_reference_main_i_cycle(ref):
+    """Side-by-side f64 run of the gen-2 sheath CN-Picard cycle: the
+    reference loop is driven here exactly as main_i drives it
+    (PIC_L_DD.py:455-545 — interpolateField gather at xs, CN push,
+    mid-Picard wall absorption on (x0, xh, x1), weightCurrents with the
+    wall surface-charge terms, the unsmoothed Ampere advance, r =
+    ||Es - Eh||_2) against engines.sheath's composed backend.
+
+    Determinism: gamma = 0 (the thermostat never triggers) and the
+    comparison stops at the first step that absorbs a particle — the
+    reference re-initializes lost rows with np.random draws at the TOP of
+    the next step (PIC_L_DD.py:430-450), which our engine replaces with
+    its own RNG streams, so later steps are distribution-equal but not
+    trajectory-equal. Planted wall-bound ions guarantee the absorption
+    (and with it the wall surface-charge deposit path) happens inside the
+    compared window."""
+    ref_pypic, _ = ref  # ensures the stubbed import environment is set up
+    sys.path.insert(0, REF)
+    try:
+        import PIC_L_DD as ref_dd
+    finally:
+        sys.path.remove(REF)
+
+    from pypic_tpu.constants import K_BOLTZMANN
+    from pypic_tpu.engines import sheath
+    from pypic_tpu.grid import GridSpec
+
+    rng = np.random.default_rng(13)
+    ng, n = 51, 4096
+    dx = 1e-5
+    L = dx * (ng - 1)
+    dt = 1e-12
+    te = ti = 10.0 * 11600.0
+    density = 1e19
+    p2c = density * L / n
+    tol, maxiter = 1e-5, 10
+
+    me = 9.11e-31
+    mi = 1.67e-27
+    half = n // 2
+    m = np.concatenate([np.full(half, mi), np.full(n - half, me)])
+    q = np.concatenate([np.full(half, 1.602e-19),
+                        np.full(n - half, -1.602e-19)])
+    species = np.concatenate([np.full(half, 2, np.int32),
+                              np.full(n - half, 1, np.int32)])
+    x0 = rng.uniform(0.08 * L, 0.92 * L, n)
+    kbt = np.where(species == 1, K_BOLTZMANN * te, K_BOLTZMANN * ti)
+    u0 = rng.normal(0.0, np.sqrt(kbt / m))
+    v0 = rng.normal(0.0, np.sqrt(kbt / m))
+    w0 = rng.normal(0.0, np.sqrt(kbt / m))
+    # plant four wall-bound ions (~0.5 dx/step towards the left wall)
+    x0[:4] = 0.6 * dx
+    u0[:4] = -5e6
+
+    # --- our engine: f64 state with the reference's zero initial field
+    grid = GridSpec(ng, L, "dirichlet-dirichlet")
+    cfg = sheath.SheathConfig(
+        grid, dt, p2c, kbte=K_BOLTZMANN * te, kbti=K_BOLTZMANN * ti,
+        tol=tol, maxiter=maxiter, gamma=0.0, tol_floor=0.0,
+        backend="composed", picard_init="field", picard_accel="none",
+    )
+    v3 = np.stack([u0, v0, w0], axis=-1)
+    st = sheath.init_state(x0, v3, q, m, species, cfg, dtype=jnp.float64)
+    st = st.replace(e=jnp.zeros((ng,), jnp.float64))
+    step = jax.jit(sheath.make_step(cfg))
+
+    # --- reference loop state
+    xr, ur, vr, wr = x0.copy(), u0.copy(), v0.copy(), w0.copy()
+    Er = np.zeros(ng)
+    active = np.ones(n, np.int64)
+
+    def ref_step(xr, ur, vr, wr, Er, active):
+        """One main_i step body (PIC_L_DD.py:455-545), RNG-free paths."""
+        Es, xs = Er, xr
+        r, k = 1.0, 0
+        while (r > tol) and (k < maxiter):
+            E_interp = np.zeros(n)
+            for i in range(n):
+                if active[i] == 1:
+                    E_interp[i] = ref_dd.interpolateField(Es, xs[i], ng, dx)
+            x1 = np.zeros(n)
+            u1 = np.zeros(n)
+            xh = np.zeros(n)
+            uh = np.zeros(n)
+            act = active == 1
+            x1[act] = (xr[act] + dt * ur[act]
+                       + dt * dt * (q[act] / m[act]) * E_interp[act] * 0.5)
+            u1[act] = ur[act] + dt * (q[act] / m[act]) * E_interp[act]
+            xh[act] = 0.5 * (xr[act] + x1[act])
+            uh[act] = 0.5 * (ur[act] + u1[act])
+            hit_r = act & ((xr >= L) | (xh >= L) | (x1 >= L))
+            active[hit_r] = 0
+            hit_l = (active == 1) & ((xr <= 0.0) | (xh <= 0.0)
+                                     | (x1 <= 0.0))
+            active[hit_l] = -1
+            jh = ref_dd.weightCurrents(xh, q, uh, p2c, ng, n, dx, dt,
+                                       active)
+            j1 = ref_dd.weightCurrents(x1, q, u1, p2c, ng, n, dx, dt,
+                                       active)
+            E1 = Er + (dt / ref_dd.epsilon0) * (np.average(jh) - jh)
+            Eh = 0.5 * (E1 + Er)
+            r = np.linalg.norm(Es - Eh)
+            Es, xs = Eh, xh
+            k += 1
+        return x1, u1, E1, active, k
+
+    for t in range(8):
+        xr, ur, Er, active, k_ref = ref_step(xr, ur, vr, wr, Er, active)
+        st, mtr = step(st)
+        n_lost = int(np.sum(active != 1))
+        n_lost_ours = int(mtr.n_lost_left) + int(mtr.n_lost_right)
+        assert n_lost_ours == n_lost, (t, n_lost_ours, n_lost)
+        assert int(mtr.picard_iters) == k_ref, (t, int(mtr.picard_iters),
+                                                k_ref)
+        e_ours = np.asarray(st.e, np.float64)
+        e_scale = max(np.max(np.abs(Er)), 1.0)
+        np.testing.assert_allclose(e_ours, Er, atol=1e-9 * e_scale, rtol=0,
+                                   err_msg=f"E mismatch at step {t}")
+        act = active == 1
+        x_ours = np.asarray(st.p, np.float64) * dx
+        u_ours = np.asarray(st.u, np.float64)
+        np.testing.assert_allclose(x_ours[act], xr[act], atol=1e-9 * L,
+                                   rtol=0, err_msg=f"x mismatch at step {t}")
+        u_scale = float(np.sqrt(K_BOLTZMANN * te / me))
+        np.testing.assert_allclose(u_ours[act], ur[act],
+                                   atol=1e-9 * u_scale, rtol=0,
+                                   err_msg=f"u mismatch at step {t}")
+        if n_lost > 0:
+            # wall path exercised; the reference re-injects these rows
+            # with np.random at the top of the NEXT step — stop here
+            break
+    assert n_lost > 0, "no absorption happened — the wall path went untested"
+
+
 # ---------------------------------------------------------------------------
 # pic_iead step cycle vs engines.magnetized
 # ---------------------------------------------------------------------------
