@@ -796,8 +796,11 @@ def main():
         global _COLLECT
         _COLLECT = True
         t_start = time.perf_counter()
-        order = ["headline", "two_stream", "landau", "sheath", "magnetized",
-                 "domain", "domain_explicit"]
+        # importance order: budget exhaustion drops the tail first (the
+        # 1e8 domain rows are the flagship configs[4] story; the small
+        # rows are cheap but least informative)
+        order = ["headline", "domain", "domain_explicit", "magnetized",
+                 "sheath", "landau", "two_stream"]
         # rough per-row wall cost floors (compile-dominated; v5e logs):
         # the 1e8 domain rows recompile big programs, the small rows don't
         reserve = {"domain": 240.0, "domain_explicit": 240.0}

@@ -592,3 +592,89 @@ def test_magnetized_cycle_matches_reference_pic_iead_body(ref):
     # ~1e-3 m/s/step level (vth ~ 2e4 m/s); assert well above that floor
     np.testing.assert_allclose(x_ours[:n], x_ref, atol=1e-8 * L, rtol=0)
     np.testing.assert_allclose(v_ours, v_ref, atol=1e-5 * vth, rtol=0)
+
+
+def test_magnetized_iead_bins_match_reference_histogram2d(ref):
+    """IEAD accumulation vs the reference's per-impact collection +
+    np.histogram2d (pygcpic.py:1240-1262): planted wall-bound ions hit in
+    step 1; the engine's per-step histogram deposit must reproduce the
+    reference's kinetic_energy/get_angle_wrt_wall binning
+    (pygcpic.py:228-275) bin-for-bin, including the range-discard
+    semantics for an impact planted beyond energy_max."""
+    _, ref_gc = ref
+    from pypic_tpu.engines import magnetized
+    from pypic_tpu.grid import GridSpec
+
+    rng = np.random.default_rng(23)
+    ng, n_bg = 64, 128
+    te = ti = 10.0 * 11600.0
+    density = 1e16
+    debye = np.sqrt(1.38e-23 * te * 8.854e-12 / 1.602e-19**2 / density)
+    L = 100.0 * debye
+    dt = 1e-10
+    mass = 2.0 * 1.67e-27
+    B0 = np.array([0.5, 1.5, 0.0])
+    e_max, a_max, bins = 120.0, 90.0, (12, 10)
+
+    # background stays mid-domain; 9 planted rows hit the left wall in
+    # step 1 with a spread of energies/angles (the last one beyond e_max
+    # — discarded from the histograms on BOTH sides)
+    x_bg = rng.uniform(0.45 * L, 0.55 * L, n_bg)
+    v_bg = rng.normal(0.0, np.sqrt(1.38e-23 * ti / mass), (n_bg, 3))
+    energies_ev = np.array([5.0, 12.0, 25.0, 40.0, 60.0, 80.0, 100.0,
+                            115.0, 500.0])
+    angles_deg = np.array([5.0, 15.0, 25.0, 35.0, 45.0, 55.0, 65.0,
+                           80.0, 30.0])
+    speeds = np.sqrt(2.0 * energies_ev * 1.602e-19 / mass)
+    vx_p = -speeds * np.cos(np.radians(angles_deg))
+    vyz = speeds * np.sin(np.radians(angles_deg))
+    v_p = np.stack([vx_p, vyz / np.sqrt(2.0), vyz / np.sqrt(2.0)], -1)
+    dx = L / (ng - 1)
+    x_p = np.full(len(energies_ev), 1e-4 * dx)
+
+    x0 = np.concatenate([x_p, x_bg])
+    v0 = np.concatenate([v_p, v_bg])
+    n = x0.shape[0]
+    p2c = density * L / n
+
+    # reference side
+    grid_ref = ref_gc.Grid(ng, L, te, bc="dirichlet-dirichlet")
+    parts = []
+    for i in range(n):
+        pt = ref_gc.Particle(mass, 1, p2c, ti, Z=1, B0=B0.copy(),
+                             E0=np.zeros(3), grid=grid_ref)
+        pt.r[:] = 0.0
+        pt.r[0] = x0[i]
+        pt.r[3:6] = v0[i]
+        parts.append(pt)
+    grid_ref.weight_particles_to_grid_boltzmann(parts, dt)
+    grid_ref.reset_added_particles()
+    grid_ref.solve_for_phi_dirichlet_boltzmann()
+    grid_ref.differentiate_phi_to_E_dirichlet()
+    energies, angles = [], []
+    for pt in parts:
+        pt.interpolate_electric_field_dirichlet(grid_ref)
+        pt.push_6D(dt)
+        pt.apply_BCs_dirichlet(grid_ref)
+        if not pt.is_active():
+            energies.append(pt.kinetic_energy / 1.602e-19)
+            angles.append(pt.get_angle_wrt_wall())
+    iead_ref, _, _ = np.histogram2d(
+        energies, angles, bins=bins, range=[[0.0, e_max], [0.0, a_max]])
+
+    # our side
+    cfg = magnetized.MagnetizedConfig(
+        grid=GridSpec(ng, L, "dirichlet-dirichlet"), dt=dt, te=te,
+        b=tuple(B0), species_z=(1,), reactivate="none",
+        backend="composed", newton_backend="xla",
+        iead_bins=bins, iead_energy_max=e_max, iead_angle_max=a_max,
+    )
+    st = magnetized.init_state(
+        x0, v0, m=mass, charge_state=1.0, p2c=p2c, species_idx=0,
+        cfg=cfg, dtype=jnp.float64,
+    )
+    st1, mtr = jax.jit(magnetized.make_step(cfg))(st)
+
+    assert int(mtr.n_hit_wall) == len(energies) >= 9
+    assert iead_ref.sum() == len(energies) - 1  # the 500 eV row discarded
+    np.testing.assert_array_equal(np.asarray(st1.iead)[0], iead_ref)
