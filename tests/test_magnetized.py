@@ -1227,3 +1227,39 @@ def test_carried_deposit_inject_patches_carry():
     assert int(n_inj) == free and int(n_drop) == 5
     dr, dn = _carry_residual(st2, cfg)
     assert dr < 5e-5 and dn < 5e-5, (dr, dn)
+
+
+def test_gather_weights_flag_changes_the_draw_and_validates():
+    """gather_weights: 'reference' (default) reproduces the swapped
+    intra-cell weights (pygcpic.py:343-347), 'cic' is the corrected form —
+    they must actually differ on a non-uniform field, and bad values must
+    be rejected at config time."""
+    import dataclasses as dc
+
+    density = 1e19
+    te = ti = 10.0 * EV_TO_K
+    debye = np.sqrt(K_BOLTZMANN * te * EPSILON_0 / E_CHARGE**2 / density)
+    grid = GridSpec(64, 100.0 * debye, "dirichlet-dirichlet")
+    n = 2048
+    rng = np.random.default_rng(4)
+    x = rng.uniform(0.2, 0.8, n) * grid.length
+    vth = np.sqrt(K_BOLTZMANN * ti / M_PROTON)
+    v = rng.normal(0, vth, (n, 3))
+    cfg_ref = magnetized.MagnetizedConfig(
+        grid, 1e-10, te, b=(0.5, 1.5, 0.0), species_z=(1,),
+        backend="composed", newton_backend="xla")
+    st = magnetized.init_state(x, v, M_PROTON, 1.0,
+                               density * grid.length / n, 0, cfg_ref)
+    cfg_cic = dc.replace(cfg_ref, gather_weights="cic")
+    _, m_ref = magnetized.make_step(cfg_ref)(st)
+    _, m_cic = magnetized.make_step(cfg_cic)(st)
+    # same deposit/solve (identical starting state) ...
+    np.testing.assert_array_equal(np.asarray(m_ref.phi),
+                                  np.asarray(m_cic.phi))
+    # ... but the E draw (and so the pushed state) differs measurably
+    s_ref, _ = magnetized.make_step(cfg_ref)(st)
+    s_cic, _ = magnetized.make_step(cfg_cic)(st)
+    dv = np.abs(np.asarray(s_ref.vx) - np.asarray(s_cic.vx))
+    assert dv.max() > 1e-3 * vth
+    with pytest.raises(ValueError, match="gather_weights"):
+        dc.replace(cfg_ref, gather_weights="nope")
