@@ -302,8 +302,13 @@ def bench_two_stream(args):
 
         return go_scan
 
+    import jax
+
     elapsed, fb = _time_with_fallback(go, rebuild, "two_stream", "scanned")
-    _emit("two_stream", n, steps, elapsed, fallback=fb, note={
+    # the measured tunnel-sync floor annotates TPU measurements only — a
+    # CPU row (--cpu smoke or tunnel-down fallback) must not carry
+    # provenance that contradicts the measurement it annotates
+    note = None if jax.default_backend() != "tpu" else {
         "floor_model": {
             "steps_per_kernel": spc,
             "dispatches": -(-steps // spc),
@@ -314,7 +319,8 @@ def bench_two_stream(args):
                     "floor-dominated below ~1e4 amortized steps "
                     "(scratch/two_stream_s.py)",
         },
-    })
+    }
+    _emit("two_stream", n, steps, elapsed, fallback=fb, note=note)
 
 
 def bench_landau(args):

@@ -379,19 +379,25 @@ def _cmd_run(args):
             os.path.join(outdir, "iead.png"), np.asarray(final.iead),
             cfg.iead_energy_max, cfg.iead_angle_max, labels,
         )
-        act = np.asarray(final.active) == 1
-        xp = np.asarray(final.p)[act] * cfg.grid.dx
-        vxp = np.asarray(final.vx)[act]
-        rho = (np.asarray(mdict["rho"])[-1] if "rho" in mdict
-               else np.asarray(final.rho))
-        viz.bca_figure(
-            os.path.join(outdir, "bca_dashboard.png"), xp, vxp,
-            np.sqrt(vxp.var()) + 1e-300, np.asarray(final.phi), rho,
-            np.asarray(final.iead), np.asarray(final.iead_out),
-            cfg.iead_energy_max, cfg.iead_angle_max, cfg.grid.length, labels,
-        )
-        print(f"wrote {outdir}/iead.png + {outdir}/bca_dashboard.png",
-              file=sys.stderr)
+        wrote = [f"{outdir}/iead.png"]
+        # the full dashboard needs the escape histograms + rho leaves the
+        # slab-sharded state doesn't carry (DomainMagnetizedState has no
+        # iead_out) — domain runs still get the IEAD heatmap above
+        if hasattr(final, "iead_out"):
+            act = np.asarray(final.active) == 1
+            xp = np.asarray(final.p)[act] * cfg.grid.dx
+            vxp = np.asarray(final.vx)[act]
+            rho = (np.asarray(mdict["rho"])[-1] if "rho" in mdict
+                   else np.asarray(final.rho))
+            viz.bca_figure(
+                os.path.join(outdir, "bca_dashboard.png"), xp, vxp,
+                np.sqrt(vxp.var()) + 1e-300, np.asarray(final.phi), rho,
+                np.asarray(final.iead), np.asarray(final.iead_out),
+                cfg.iead_energy_max, cfg.iead_angle_max, cfg.grid.length,
+                labels,
+            )
+            wrote.append(f"{outdir}/bca_dashboard.png")
+        print(f"wrote {' + '.join(wrote)}", file=sys.stderr)
 
     # summary plot for the periodic engines
     if args.plot and hasattr(final, "v") and np.asarray(final.v).ndim == 1:

@@ -647,6 +647,21 @@ def boltzmann_n0_update(step, n0_prev, p_old, added, q_new, p_new, *,
     return lax.cond(step == 0, first, later, None)
 
 
+def mirror_gather_position(p, hi):
+    """The reference's swapped-intra-cell-weight Dirichlet E gather
+    (pygcpic.py:343-347) expressed as a position transform: gathering with
+    standard CIC weights at the cell-mirrored position
+    ``2 floor(p) + 1 - p`` reproduces it exactly. Shared by both
+    magnetized engines (the Pallas Boris kernels inline the same algebra
+    under their ``swap`` flag — ops/pallas_cic.py — since jnp helpers
+    don't compose into Mosaic kernels); ``hi`` is the clamp bound in the
+    caller's coordinate frame (global ``num_cells``, or the extended-slab
+    end). The intra-cell fraction is shift-invariant, so applying this in
+    a local frame offset by an integer equals the global transform."""
+    pc = jnp.clip(p, 0.0, hi)
+    return jnp.clip(2.0 * jnp.floor(pc) + 1.0 - pc, 0.0, hi)
+
+
 def iead_update(iead, species_idx, m, vdx, vdy, vdz, hit, *, bins,
                 energy_max, angle_max, deposit_method, allreduce):
     """Wall-impact energy-angle histogram update (pygcpic.py:1239-1262) —
@@ -712,10 +727,7 @@ def make_step(cfg: MagnetizedConfig):
         """E-gather position: the reference's Dirichlet interpolation swaps
         the intra-cell weights (pygcpic.py:343-347), which equals gathering
         at the cell-mirrored position (see cfg.gather_weights)."""
-        if not swap_gather:
-            return p
-        pc = jnp.clip(p, 0.0, cells)
-        return jnp.clip(2.0 * jnp.floor(pc) + 1.0 - pc, 0.0, cells)
+        return mirror_gather_position(p, cells) if swap_gather else p
     # eta normalization: reference formula phi/Te/11600 with Te in Kelvin
     # (pygcpic.py:890 — see cfg.eta_in_volts) vs intended phi/(Te/11600).
     te_volts = (cfg.te / EV_TO_K) if cfg.eta_in_volts else (cfg.te * EV_TO_K)

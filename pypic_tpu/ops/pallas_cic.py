@@ -352,9 +352,9 @@ def _boris_kernel(
 
     pc = jnp.clip(p, 0.0, hi)
     if swap:
-        # reference quirk (pygcpic.py:343-347): the Dirichlet E gather
-        # swaps the intra-cell weights — equivalent to gathering at the
-        # cell-mirrored position 2 floor(p) + 1 - p
+        # reference quirk (pygcpic.py:343-347): swapped intra-cell gather
+        # weights — the in-kernel form of engines.magnetized.
+        # mirror_gather_position (keep the algebra in sync with it)
         pc = jnp.clip(2.0 * jnp.floor(pc) + 1.0 - pc, 0.0, hi)
     ex = _gather_at(fwin_ref, pc, num_k, block, stride, width)
     # Boris-Buneman: half E kick, (t, s) rotation, half E kick, drift
@@ -470,9 +470,10 @@ def _boris_deposit_kernel(
     pc = jnp.clip(p, 0.0, hi)
     if swap:
         # reference quirk (pygcpic.py:343-347): gather at the cell-mirrored
-        # position (swapped intra-cell weights); the deposit below is
-        # expressed relative to pc so it keeps the reference's CORRECT
-        # weights (pygcpic.py:858-864)
+        # position — the in-kernel form of engines.magnetized.
+        # mirror_gather_position (keep the algebra in sync with it). The
+        # deposit below is expressed relative to pc so it keeps the
+        # reference's CORRECT weights (pygcpic.py:858-864).
         pc = jnp.clip(2.0 * jnp.floor(pc) + 1.0 - pc, 0.0, hi)
     sel_t, d_s, ex = _shared_gather(fwin_ref, pc, num_k, stride, block,
                                     width, frame_shift=False)

@@ -54,7 +54,9 @@ from ..ops import deposit, gather
 from ..ops.poisson import _EXP_CLAMP, _safe_exp
 from ..ops.ionization import attempt_ionization, rate_matrix
 from ..push import boris_push_dt
-from ..engines.magnetized import SourceSpec, boltzmann_n0_update, iead_update
+from ..engines.magnetized import (
+    SourceSpec, boltzmann_n0_update, iead_update, mirror_gather_position,
+)
 from .. import sources
 from .domain import (
     distribute_by_slab, halo_extend, halo_fold, migrate, ring_perms,
@@ -489,12 +491,10 @@ def make_step(cfg: DomainMagnetizedConfig, mesh: Mesh):
         e_ext = halo_extend(e_own, hw, ax, perm_r, perm_l)
         pg = clamp_loc(p_loc) + hw
         if cfg.gather_weights == "reference":
-            # reference quirk: swapped intra-cell gather weights ==
-            # gathering at the cell-mirrored position (the integer shift
-            # +hw preserves the intra-cell fraction, so the local-frame
-            # mirror equals the global one — see engines.magnetized)
-            pg = jnp.clip(2.0 * jnp.floor(pg) + 1.0 - pg,
-                          0.0, float(ext_n - 1))
+            # reference quirk: swapped intra-cell gather weights (the
+            # integer +hw shift preserves the intra-cell fraction, so the
+            # local-frame mirror equals the global one)
+            pg = mirror_gather_position(pg, float(ext_n - 1))
         e_p = jnp.where(
             is_active, gather(e_ext, pg, periodic=False),
             0.0,

@@ -48,9 +48,9 @@ def test_bench_row_smoke(name, flags):
     # the driver contract: one JSON line with exactly these keys (a
     # "fallback" key appears ONLY when a fast path failed and the row
     # was re-recorded on a slower proven configuration; the two_stream
-    # row additionally carries its self-justifying dispatch-floor model)
-    extra = {"floor_model"} if name == "two_stream" else set()
-    assert set(rec) == {"metric", "value", "unit", "vs_baseline"} | extra
+    # row carries its self-justifying dispatch-floor model only when the
+    # measurement actually ran on the TPU — never on these CPU smokes)
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
     expect = ("particle_pushes_per_sec_per_chip" if name == "headline"
               else f"{name}_pushes_per_sec_per_chip")
     assert rec["metric"] == expect

@@ -52,7 +52,8 @@ def test_cli_domain_magnetized_preset_end_to_end(tmp_path):
     )
     code = pre + (
         f"main(['run','pic_iead_dd','--steps','12',"
-        f"'--outdir',r'{outdir}','--checkpoint-every','6','--clean'])"
+        f"'--outdir',r'{outdir}','--checkpoint-every','6','--clean',"
+        f"'--plot'])"
     )
     cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     res = subprocess.run([sys.executable, "-c", code], capture_output=True,
@@ -60,6 +61,11 @@ def test_cli_domain_magnetized_preset_end_to_end(tmp_path):
     assert res.returncode == 0, res.stderr[-2000:]
     for f in ("time.out", "metrics.npz", "metrics.jsonl"):
         assert os.path.exists(os.path.join(outdir, f)), f
+    # --plot on the slab-sharded state: IEAD heatmap written; the BCA
+    # dashboard (which needs the iead_out leaf the domain state doesn't
+    # carry) is skipped rather than crashing (round-4 review fix)
+    assert os.path.getsize(os.path.join(outdir, "iead.png")) > 1000
+    assert not os.path.exists(os.path.join(outdir, "bca_dashboard.png"))
     rows = [json.loads(l) for l in open(os.path.join(outdir, "metrics.jsonl"))]
     assert len(rows) == 12
     assert all(np.isfinite(r["phi_max"]) for r in rows)
