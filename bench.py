@@ -5,12 +5,23 @@ Default (the driver contract) prints ONE JSON line — the headline config
 (the flagship implicit engine at the reference's canonical Landau-damping
 workload, run_pypic.py: pypic.main preset, pypic.py:846-855, scaled to 1e8
 particles) with every other matrix row it could measure inside the
-wall-clock budget folded in under "rows":
+wall-clock budget folded in under "rows", plus BOTH north-star clauses
+(throughput AND the chunked 1e4-step energy-drift protocol) and a
+vs_prior regression field per row (bench_prior.json reference point):
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
-     "rows": {"sheath": {...}, ...}, "skipped": [...], "failed": [...]}
+     "vs_prior": N, "rows": {"sheath": {...}, ...},
+     "drift_per_1e4": N, "drift_steps": N,
+     "skipped": [...], "failed": [...], "regressions": [...]}
 vs_baseline is measured pushes/sec divided by the 1e9 north-star target
 (BASELINE.json; the reference publishes no numbers and cannot run in this
 image — it requires numba).
+
+Every row runs in its OWN subprocess: round 4's driver run recorded the
+headline and then lost all six other rows to a RESOURCE_EXHAUSTED cascade
+— the 1e8 row's server-side HBM survived del+gc+jax.clear_caches()
+in-process (PERF.md round-5 census), so process exit is the only reliable
+teardown on the axon tunnel. The parent process never initializes a jax
+backend; a SIGTERM/SIGINT mid-matrix still prints the partial artifact.
 
 The default headline is the CONSERVING configuration (fixed 4 Picard
 sweeps + extrapolated init + Anderson mixing): it satisfies both
@@ -35,40 +46,51 @@ as the timed run so compilation stays out of the measured region.
 
 import argparse
 import json
+import os
+import signal
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 NORTH_STAR = 1e9
+# Committed reference point for the vs_prior regression field: the best
+# uncontended full-matrix artifact from the previous round (BASELINE.md
+# documents the convention). Rows >15% below prior are listed under
+# "regressions" in the artifact so contention-vs-regression gets
+# adjudicated the round it happens, not archaeologically.
+PRIOR_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench_prior.json")
+REGRESSION_THRESHOLD = 0.85
 _PICARD_INIT = "field"
 _FINALIZE = "converged"
 _ACCEL = "none"
 _FINALIZE_FIELD = "last"
 _WINDOW_SHARE = "auto"
 _CPU_FALLBACK = False
-# Default (driver) mode collects every row here and prints ONE combined
-# JSON line at the end (headline row + "rows"); --all/--only print one
-# JSON line per row as they finish.
-_COLLECT = False
-_ROWS = {}
+_CPU_SMOKE = False
 
 
 def _emit(name, n, steps, elapsed, extra="", fallback=None, note=None):
-    """Print the row's stderr summary + record the JSON row the driver
-    parses (printed immediately per-row, or collected into the combined
-    default-mode line). ``fallback`` (a short label) marks a row that was
-    re-recorded on a slower proven configuration after the fast path
-    failed — it goes INTO the JSON artifact (a "fallback" key + a unit
-    tag), not just stderr, so a recorded regression is
-    machine-attributable to the configuration change rather than the fast
-    path. ``note`` is an arbitrary JSON-serializable annotation (e.g. the
-    two_stream dispatch-floor model)."""
+    """Print the row's stderr summary + the JSON row the driver parses
+    (one line per row; the default mode's parent process collects these
+    from per-row subprocesses into the combined line). ``fallback`` (a
+    short label) marks a row that was re-recorded on a slower proven
+    configuration after the fast path failed — it goes INTO the JSON
+    artifact (a "fallback" key + a unit tag), not just stderr, so a
+    recorded regression is machine-attributable to the configuration
+    change rather than the fast path. ``note`` is an arbitrary
+    JSON-serializable annotation (e.g. the two_stream dispatch-floor
+    model)."""
     pushes = n * steps / elapsed
     print(f"bench[{name}]: {elapsed / steps * 1e3:.2f} ms/step {extra}",
           file=sys.stderr)
+    # backend provenance rides the unit: a plain "pushes/s" row is a real
+    # TPU measurement; anything else is excluded from regression flagging
     unit = ("pushes/s [cpu-fallback: no TPU backend reachable]"
-            if _CPU_FALLBACK else "pushes/s")
+            if _CPU_FALLBACK else
+            "pushes/s [cpu]" if _CPU_SMOKE else "pushes/s")
     row = {
         "metric": f"{name}_pushes_per_sec_per_chip"
         if name != "headline" else "particle_pushes_per_sec_per_chip",
@@ -80,10 +102,7 @@ def _emit(name, n, steps, elapsed, extra="", fallback=None, note=None):
         row["fallback"] = fallback
     if note is not None:
         row.update(note)
-    if _COLLECT:
-        _ROWS[name] = row
-    else:
-        print(json.dumps(row))
+    print(json.dumps(row))
     return pushes
 
 
@@ -135,34 +154,51 @@ def _time(run_fn, warm=True, reps=2):
     return best
 
 
-def _drift_loop(step, state, drift_steps, spc=1):
+def _drift_loop(step, state, drift_steps, spc=1, budget_s=None):
     """North-star drift protocol: total-energy change over ``drift_steps``
     SIM steps in chunked dispatches (a single 1e4-step scan dispatch
     through the remote tunnel crashes the TPU worker; ~1000-step spans are
     stable). ``spc`` = sim steps per step() call (supersteps): chunks count
     calls so each dispatch still covers ~1000 sim steps, and the metrics'
-    (chunk, spc) stack flattens to per-micro-step order."""
+    (chunk, spc) stack flattens to per-micro-step order.
+
+    ``budget_s`` bounds the wall clock: the loop stops early (after at
+    least one chunk) when the next chunk's estimated cost would overrun.
+    Returns ``(relative_drift, sim_steps_covered)`` — drift at these
+    settings is a near-linear systematic bias (PERF.md drift landscape),
+    so a partial run still normalizes meaningfully to per-1e4 steps."""
     from pypic_tpu.runner import run
 
+    t0 = time.perf_counter()
     st = state
     tot0 = tot1 = None
     done = 0  # sim steps
     calls_per_chunk = max(1, 1000 // spc)
+    chunk_cost = 0.0
     while done < drift_steps:
+        if (budget_s is not None and done > 0
+                and time.perf_counter() - t0 + chunk_cost > budget_s):
+            print(f"bench: drift loop stopping at {done} steps "
+                  f"(budget {budget_s:.0f}s)", file=sys.stderr)
+            break
+        tc = time.perf_counter()
         calls = min(calls_per_chunk, -(-(drift_steps - done) // spc))
         st, m2 = run(step, st, calls)
         tot = (
             np.asarray(m2.field_energy, np.float64)
             + np.asarray(m2.kinetic_energy, np.float64)
         ).reshape(-1)
+        chunk_cost = time.perf_counter() - tc
         if tot0 is None:
             tot0 = tot[0]
         print(f"  drift chunk [{done}-{done + calls * spc}): "
               f"{(tot[-1] - tot[0]) / tot0:+.3e}", file=sys.stderr)
         tot1 = tot[-1]
         done += calls * spc
-    print(f"bench: energy drift over {done} steps: "
-          f"{(tot1 - tot0) / tot0:.3e}", file=sys.stderr)
+    drift = (tot1 - tot0) / tot0
+    print(f"bench: energy drift over {done} steps: {drift:.3e}",
+          file=sys.stderr)
+    return float(drift), done
 
 
 def _landau_problem(n, tol, maxiter=50):
@@ -229,28 +265,42 @@ def bench_headline(args):
     # round 3h), so the in-run two-layout race is retired — pass an
     # explicit --window-share shared to re-measure the accuracy option.
     step = implicit.make_step(cfg)
-    holder = {}
+    if not args.drift_only:
+        holder = {}
 
-    def go():
-        _, m = run(step, state, args.steps)
-        np.asarray(m.field_energy)
-        holder["m"] = m
+        def go():
+            _, m = run(step, state, args.steps)
+            np.asarray(m.field_energy)
+            holder["m"] = m
 
-    elapsed = _time(go)
-    m = holder["m"]
-    iters = np.asarray(m.picard_iters)
-    clamped = int(np.asarray(m.picard_clamped).sum())
-    _emit("headline", n, args.steps, elapsed,
-          f"(picard mean {iters.mean():.1f}, "
-          f"EE[0]={np.asarray(m.field_energy)[0]:.3e}, "
-          f"clamped={clamped})")
-    if clamped:
-        print(f"# WARNING: {clamped} shared-window deposit clamps — "
-              "charge was misplaced; treat this layout's number as "
-              "invalid for physics", file=sys.stderr)
+        elapsed = _time(go)
+        m = holder["m"]
+        iters = np.asarray(m.picard_iters)
+        clamped = int(np.asarray(m.picard_clamped).sum())
+        _emit("headline", n, args.steps, elapsed,
+              f"(picard mean {iters.mean():.1f}, "
+              f"EE[0]={np.asarray(m.field_energy)[0]:.3e}, "
+              f"clamped={clamped})")
+        if clamped:
+            print(f"# WARNING: {clamped} shared-window deposit clamps — "
+                  "charge was misplaced; treat this layout's number as "
+                  "invalid for physics", file=sys.stderr)
 
     if args.drift_steps:
-        _drift_loop(step, state, args.drift_steps)
+        # The accuracy clause of the two-clause north star (BASELINE.json:
+        # >=1e9 pushes/s AND <0.1%/1e4 energy drift), machine-readable in
+        # the same artifact stream as the throughput rows.
+        drift, covered = _drift_loop(step, state, args.drift_steps,
+                                     budget_s=args.drift_budget_s or None)
+        rec = {
+            "metric": "headline_energy_drift",
+            "drift": drift,
+            "drift_steps": covered,
+            "drift_per_1e4": drift * 1e4 / covered if covered else None,
+            "config": ("conserving" if args.tol <= 1e-29 else
+                       f"tol={args.tol:g}"),
+        }
+        print(json.dumps(rec))
 
 
 def bench_two_stream(args):
@@ -632,6 +682,241 @@ def bench_domain_explicit(args):
               "physics-equivalent to the per-step one", file=sys.stderr)
 
 
+def _annotate_vs_prior(artifact, prior, threshold=REGRESSION_THRESHOLD):
+    """Attach ``vs_prior`` (this run / previous round's archived value) to
+    the headline and every row, and list clean TPU rows >15% below prior
+    under ``regressions`` so a silent slowdown ships flagged, not
+    archaeologically. Fallback-tagged and cpu-fallback rows get the ratio
+    (it is still informative) but are never flagged — their configuration
+    or backend differs from the prior by construction."""
+    regressions = []
+
+    def one(name, row, prow):
+        if not isinstance(prow, dict) or not isinstance(row, dict):
+            return
+        pv = prow.get("value")
+        v = row.get("value")
+        if not pv or not isinstance(v, (int, float)) or v <= 0:
+            return
+        row["vs_prior"] = v / pv
+        clean = ("fallback" not in row
+                 and row.get("unit", "") == "pushes/s")
+        if clean and row["vs_prior"] < threshold:
+            regressions.append(name)
+
+    one("headline", artifact, prior)
+    prows = prior.get("rows", {}) if isinstance(prior, dict) else {}
+    for name, row in artifact.get("rows", {}).items():
+        one(name, row, prows.get(name))
+    if regressions:
+        artifact["regressions"] = regressions
+    return artifact
+
+
+def _load_prior():
+    try:
+        with open(PRIOR_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _forward_flags(args):
+    """Child argv for `--only <row>` subprocesses: every knob that shapes a
+    row, with the parent's resolved values (so --throughput resolution
+    happens once, in the parent)."""
+    fwd = ["--tol", repr(args.tol), "--maxiter", str(args.maxiter),
+           "--picard-init", args.picard_init, "--finalize", args.finalize,
+           "--picard-accel", args.picard_accel,
+           "--finalize-field", args.finalize_field,
+           "--window-share", args.window_share,
+           "--migrate-every", str(args.migrate_every),
+           "--steps", str(args.steps)]
+    if args.particles:
+        fwd += ["--particles", str(args.particles)]
+    if args.row_steps:
+        fwd += ["--row-steps", str(args.row_steps)]
+    if args.sheath_n:
+        fwd += ["--sheath-n", str(args.sheath_n)]
+    if args.mag_n:
+        fwd += ["--mag-n", str(args.mag_n)]
+    if args.mag_exact:
+        fwd += ["--mag-exact"]
+    if args.carried:
+        fwd += ["--carried"]
+    return fwd
+
+
+def _run_child(name, fwd, backend_flags, timeout_s, extra=()):
+    """Run one matrix row in a fresh process: `bench.py --only <name>`.
+    Returns (json_records, stderr_text, error_or_None). Process isolation
+    is the memory firewall the round-4 driver run lacked — the OS reclaims
+    the row's HBM at exit, so a 1e8 row can never cascade into the next
+    row's allocation (BENCH_r04: headline held ~7.8G of stale server-side
+    buffers that del+gc+clear_caches could not release; see PERF.md)."""
+    cmd = ([sys.executable, os.path.abspath(__file__), "--only", name]
+           + list(extra) + fwd + backend_flags)
+    err = None
+    try:
+        r = subprocess.run(cmd, stdout=subprocess.PIPE,
+                           stderr=subprocess.PIPE, text=True,
+                           timeout=timeout_s)
+        out, serr = r.stdout or "", r.stderr or ""
+        if r.returncode != 0:
+            tail = [ln for ln in serr.strip().splitlines() if ln.strip()]
+            err = f"rc={r.returncode}: {tail[-1][:300] if tail else '?'}"
+    except subprocess.TimeoutExpired as e:
+        out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) \
+            else (e.stdout or "")
+        serr = (e.stderr or b"").decode() if isinstance(e.stderr, bytes) \
+            else (e.stderr or "")
+        err = f"timeout after {timeout_s:.0f}s"
+    except OSError as e:
+        out, serr = "", ""
+        err = f"spawn failed: {e!r}"
+    # replay the child's stderr so the driver's tail keeps the familiar
+    # per-row progress lines
+    if serr:
+        sys.stderr.write(serr if serr.endswith("\n") else serr + "\n")
+    recs = []
+    for ln in out.splitlines():
+        ln = ln.strip()
+        if ln.startswith("{"):
+            try:
+                rec = json.loads(ln)
+            except ValueError:
+                continue
+            if isinstance(rec, dict) and "metric" in rec:
+                recs.append(rec)
+    if err is None and not recs:
+        err = "no JSON row in child stdout"
+    return recs, serr, err
+
+
+# per-row wall reserves for the budget guard (compile-dominated; v5e round-4
+# logs + ~60s of per-child tunnel backend init). A row starts only while at
+# least this much budget remains; the 1e8 domain rows recompile the biggest
+# programs and the remote compiler is erratic (15s-10min observed).
+_RESERVE = {"domain": 300.0, "domain_explicit": 240.0,
+            "landau": 150.0, "two_stream": 150.0}
+# drift child: ~60s init + ~5s compile + >=1 chunk of 1000 steps @47ms
+_DRIFT_MIN_S = 180.0
+
+
+def _run_matrix_isolated(args, backend_flags):
+    """Driver default: measure the WHOLE matrix, one subprocess per row,
+    and print ONE combined JSON line (headline + "rows" + skipped/failed +
+    the drift clause). Each row gets a fresh process — the round-4 OOM
+    cascade (headline's server-side buffers survived every in-process
+    teardown and starved all six following rows) is structurally
+    impossible here. The headline row always runs; further rows start only
+    while enough budget remains for their typical compile+run; whatever
+    the budget or a SIGTERM cuts off is listed, never silently absent."""
+    t_start = time.perf_counter()
+    fwd = _forward_flags(args)
+
+    art = {"metric": "particle_pushes_per_sec_per_chip", "value": 0.0,
+           "unit": "pushes/s [headline row FAILED — see stderr]",
+           "vs_baseline": 0.0, "rows": {}}
+    done = {"printed": False}
+
+    def _finalize_and_print():
+        if done["printed"]:
+            return
+        done["printed"] = True
+        prior = _load_prior()
+        if prior is not None:
+            _annotate_vs_prior(art, prior)
+        print(json.dumps(art))
+        sys.stdout.flush()
+
+    def _on_term(signum, frame):
+        # driver timeout / operator interrupt: ship the partial artifact
+        # rather than nothing (the round-4 failure mode was an empty
+        # "rows" — a truncated matrix with a "skipped" list is strictly
+        # better evidence)
+        for name in order:
+            if name not in art["rows"] and name not in failed \
+                    and name not in skipped and name != "headline":
+                skipped.append(name)
+        if skipped:
+            art["skipped"] = sorted(set(skipped))
+        if failed:
+            art["failed"] = failed
+            art["failed_detail"] = failed_detail
+        art.setdefault("interrupted", signal.Signals(signum).name)
+        _finalize_and_print()
+        os._exit(1)
+
+    # memory-safe importance order: headline first (flagship, must always
+    # record), the small rows next (cheap, can't be starved by a prior row
+    # now, but defense in depth), the two 1e8 domain rows last
+    order = ["headline", "magnetized", "sheath", "landau", "two_stream",
+             "domain", "domain_explicit"]
+    failed, skipped, failed_detail = [], [], {}
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+
+    for name in order:
+        left = args.budget_s - (time.perf_counter() - t_start)
+        if name != "headline" and left < _RESERVE.get(name, 120.0):
+            skipped.append(name)
+            print(f"bench[{name}]: SKIPPED ({left:.0f}s budget left)",
+                  file=sys.stderr)
+            continue
+        timeout_s = min(86400.0, max(180.0, left + 60.0))
+        recs, serr, err = _run_child(name, fwd, backend_flags, timeout_s)
+        row = next((r for r in recs if r.get("metric", "").startswith(
+            ("particle_" if name == "headline" else name + "_"))), None)
+        if err is not None or row is None:
+            failed.append(name)
+            failed_detail[name] = err or "no row record"
+            print(f"bench[{name}] FAILED: {err}", file=sys.stderr)
+            continue
+        if name == "headline":
+            art.update(row)
+            art.setdefault("rows", {})
+        else:
+            art["rows"][name] = row
+
+    # the accuracy clause: chunked drift protocol on the headline config,
+    # in its own child, bounded by whatever budget remains
+    left = args.budget_s - (time.perf_counter() - t_start)
+    if args.drift_steps == 0:
+        pass  # explicitly disabled (--drift-steps 0 is the default off
+        # switch for --only/--all; the DEFAULT driver mode passes its own)
+    elif "headline" in failed:
+        art["drift_per_1e4"] = "skipped (headline row failed)"
+    elif left < _DRIFT_MIN_S:
+        art["drift_per_1e4"] = f"skipped (budget: {left:.0f}s left)"
+        print(f"bench[drift]: SKIPPED ({left:.0f}s budget left)",
+              file=sys.stderr)
+    else:
+        recs, serr, err = _run_child(
+            "headline", fwd, backend_flags,
+            min(86400.0, max(240.0, left + 60.0)),
+            extra=["--drift-only", "--drift-steps", str(args.drift_steps),
+                   "--drift-budget-s", f"{max(60.0, left - 120.0):.0f}"])
+        drec = next((r for r in recs
+                     if r.get("metric") == "headline_energy_drift"), None)
+        if drec is None:
+            art["drift_per_1e4"] = f"FAILED ({err or 'no drift record'})"
+            print(f"bench[drift] FAILED: {err}", file=sys.stderr)
+        else:
+            art["drift_per_1e4"] = drec["drift_per_1e4"]
+            art["drift_steps"] = drec["drift_steps"]
+            art["drift_config"] = drec.get("config")
+
+    if skipped:
+        art["skipped"] = skipped
+    if failed:
+        art["failed"] = failed
+        art["failed_detail"] = failed_detail
+    _finalize_and_print()
+    if art.get("value", 0.0) <= 0.0:
+        sys.exit(1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=int, default=None)
@@ -660,17 +945,30 @@ def main():
     ap.add_argument("--sheath-n", type=int, default=0,
                     help="sheath row: override the particle count "
                          "(CPU-smoke knob, like --mag-n)")
-    ap.add_argument("--drift-steps", type=int, default=0,
-                    help="additionally measure energy drift over this many steps")
+    ap.add_argument("--drift-steps", type=int, default=None,
+                    help="measure energy drift over this many steps "
+                         "(default: 10000 in the driver-default combined "
+                         "mode — the artifact's accuracy clause — and off "
+                         "for --only/--all)")
+    ap.add_argument("--drift-only", action="store_true",
+                    help="with --only headline: skip the throughput "
+                         "timing, run just the drift protocol (the "
+                         "default mode's drift child)")
+    ap.add_argument("--drift-budget-s", type=float, default=0.0,
+                    help="wall-clock bound on the drift loop; a partial "
+                         "run reports the steps it covered and normalizes "
+                         "per 1e4")
     ap.add_argument("--all", action="store_true",
-                    help="run the full BASELINE.md config matrix, one JSON "
-                         "line per row (the DEFAULT also runs the matrix "
-                         "but folds it into one combined JSON line)")
-    ap.add_argument("--budget-s", type=float, default=780.0,
+                    help="run the full BASELINE.md config matrix "
+                         "IN-PROCESS, one JSON line per row (the DEFAULT "
+                         "runs each row in an isolated subprocess and "
+                         "folds the matrix into one combined JSON line)")
+    ap.add_argument("--budget-s", type=float, default=1200.0,
                     help="default mode: wall-clock budget; non-headline "
                          "rows start only while enough remains for their "
                          "typical compile+run (skipped rows are listed in "
-                         "the JSON artifact)")
+                         "the JSON artifact); whatever remains after the "
+                         "rows bounds the drift clause")
     ap.add_argument("--only", default=None,
                     choices=("two_stream", "landau", "sheath", "magnetized",
                              "domain", "domain_explicit", "headline"),
@@ -722,6 +1020,12 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (wiring smoke tests; the "
                          "axon env var override is ignored by design)")
+    ap.add_argument("--no-probe", action="store_true",
+                    help=argparse.SUPPRESS)  # child flag: the parent
+    # already probed the TPU backend; skip the ~45s re-probe
+    ap.add_argument("--cpu-fallback", action="store_true",
+                    help=argparse.SUPPRESS)  # child flag: parent's probe
+    # failed; run on CPU with the honest [cpu-fallback] unit label
     ap.add_argument("--finalize-field", default="last",
                     choices=("last", "mean2", "map", "aitken"),
                     help="field the finalize sweep gathers with (see "
@@ -730,26 +1034,36 @@ def main():
                          "raw Ampere-consistent eh_k, 'aitken' the Δ² "
                          "extrapolation of the last three map outputs)")
     args = ap.parse_args()
-    if args.cpu:
+    global _CPU_FALLBACK, _CPU_SMOKE
+    if args.cpu or args.cpu_fallback:
         # env JAX_PLATFORMS is force-set by the axon sitecustomize; this is
         # the only reliable CPU override (CLAUDE.md gotchas). Small-n smoke
         # runs only — the real rows are TPU measurements.
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    elif not _tpu_alive():
-        # The tunnel's backend init hangs (never errors) when the TPU is
-        # unreachable; without this bounded probe the driver's round-end
-        # bench run would wedge forever. Fall back to an HONESTLY LABELED
-        # CPU measurement (unit carries the [cpu-fallback] marker) so a
-        # dead tunnel still yields a recorded, clearly-not-TPU number.
-        global _CPU_FALLBACK
-        _CPU_FALLBACK = True
-        print("bench: TPU backend probe failed (tunnel down?) — "
-              "falling back to CPU with labeled output", file=sys.stderr)
-        import jax
+        if args.cpu_fallback:
+            _CPU_FALLBACK = True
+        else:
+            _CPU_SMOKE = True
+    elif args.no_probe:
+        # parent already probed the tunnel; the axon default backend IS
+        # the TPU, so just proceed
+        pass
+    elif args.only or args.all:
+        if not _tpu_alive():
+            # The tunnel's backend init hangs (never errors) when the TPU
+            # is unreachable; without this bounded probe a bench run would
+            # wedge forever. Fall back to an HONESTLY LABELED CPU
+            # measurement (unit carries the [cpu-fallback] marker) so a
+            # dead tunnel still yields a recorded, clearly-not-TPU number.
+            _CPU_FALLBACK = True
+            print("bench: TPU backend probe failed (tunnel down?) — "
+                  "falling back to CPU with labeled output",
+                  file=sys.stderr)
+            import jax
 
-        jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_platforms", "cpu")
     global _WINDOW_SHARE
     _WINDOW_SHARE = args.window_share
     # Resolve the headline/domain configuration: conserving by default
@@ -776,10 +1090,20 @@ def main():
         "headline": bench_headline,
     }
     if args.only:
+        if args.drift_steps is None:
+            args.drift_steps = 0
+        if os.environ.get("PYPIC_BENCH_TEST_FAIL_ROW") == args.only:
+            # test hook: the isolation smoke test injects a row death to
+            # prove one row's failure (the OOM analog) can't take the tail
+            raise SystemExit(f"injected test failure for row {args.only}")
         matrix[args.only](args)
     elif args.all:
+        if args.drift_steps is None:
+            args.drift_steps = 0
         # one row's failure (e.g. a kernel Mosaic rejects on this backend)
-        # must not abort the rest of the matrix
+        # must not abort the rest of the matrix; teardown between rows
+        # (drop executables + collect) is defense in depth — the proven
+        # firewall is the default mode's per-row subprocess isolation
         failed = []
         for name, fn in matrix.items():
             try:
@@ -787,59 +1111,34 @@ def main():
             except Exception as e:
                 failed.append(name)
                 print(f"bench[{name}] FAILED: {e!r}", file=sys.stderr)
+            finally:
+                import gc
+
+                import jax
+
+                jax.clear_caches()
+                gc.collect()
         if failed:
             print(f"bench: {len(failed)} row(s) failed: {failed}",
                   file=sys.stderr)
             sys.exit(1)
     else:
-        # Driver default: measure the WHOLE matrix inside the wall-clock
-        # budget and print ONE JSON line — the headline row carrying every
-        # other measured row under "rows" (plus "skipped"/"failed" lists).
-        # The headline row always runs; further rows start only while
-        # enough budget remains for their typical compile+run, so an
-        # erratic remote compile degrades the artifact to fewer rows
-        # rather than blowing the driver's budget.
-        global _COLLECT
-        _COLLECT = True
-        t_start = time.perf_counter()
-        # importance order: budget exhaustion drops the tail first (the
-        # 1e8 domain rows are the flagship configs[4] story; the small
-        # rows are cheap but least informative)
-        order = ["headline", "domain", "domain_explicit", "magnetized",
-                 "sheath", "landau", "two_stream"]
-        # rough per-row wall cost floors (compile-dominated; v5e logs):
-        # the 1e8 domain rows recompile big programs, the small rows don't
-        reserve = {"domain": 240.0, "domain_explicit": 240.0}
-        failed, skipped = [], []
-        for name in order:
-            if name != "headline":
-                left = args.budget_s - (time.perf_counter() - t_start)
-                if left < reserve.get(name, 120.0):
-                    skipped.append(name)
-                    print(f"bench[{name}]: SKIPPED ({left:.0f}s budget "
-                          "left)", file=sys.stderr)
-                    continue
-            try:
-                matrix[name](args)
-            except Exception as e:
-                failed.append(name)
-                print(f"bench[{name}] FAILED: {e!r}", file=sys.stderr)
-        head = _ROWS.pop("headline", None)
-        if head is None:
-            head = {
-                "metric": "particle_pushes_per_sec_per_chip",
-                "value": 0.0,
-                "unit": "pushes/s [headline row FAILED — see stderr]",
-                "vs_baseline": 0.0,
-            }
-        head["rows"] = _ROWS
-        if skipped:
-            head["skipped"] = skipped
-        if failed:
-            head["failed"] = failed
-        print(json.dumps(head))
-        if "headline" in failed:
-            sys.exit(1)
+        # Driver default: the whole matrix, one isolated subprocess per
+        # row, composed into ONE JSON line (headline + "rows" + the drift
+        # clause + skipped/failed/vs_prior). The parent never initializes
+        # a jax backend — rows cannot share (or starve) device memory.
+        if args.drift_steps is None:
+            args.drift_steps = 10_000
+        if args.cpu:
+            backend_flags = ["--cpu"]
+        elif _tpu_alive():
+            backend_flags = ["--no-probe"]
+        else:
+            print("bench: TPU backend probe failed (tunnel down?) — "
+                  "falling back to CPU with labeled output",
+                  file=sys.stderr)
+            backend_flags = ["--cpu-fallback"]
+        _run_matrix_isolated(args, backend_flags)
 
 
 if __name__ == "__main__":

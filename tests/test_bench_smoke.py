@@ -61,14 +61,16 @@ def test_bench_row_smoke(name, flags):
 def test_bench_default_combined_artifact():
     """The driver default (no --only/--all) prints ONE JSON line: the
     headline row with every other measured matrix row folded in under
-    "rows" — the artifact the driver records must carry the full matrix,
-    not just the headline (round-4 contract)."""
+    "rows" (each row in its own subprocess — the round-5 memory
+    firewall), BOTH north-star clauses (throughput + drift), and the
+    vs_prior regression annotation."""
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--cpu",
          "--steps", "2", "--particles", "8192", "--row-steps", "3",
-         "--sheath-n", "8192", "--mag-n", "4096", "--budget-s", "1e9"],
+         "--sheath-n", "8192", "--mag-n", "4096", "--drift-steps", "40",
+         "--budget-s", "1e8"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=1200,
     )
     assert out.returncode == 0, f"bench default failed:\n{out.stderr}"
@@ -85,11 +87,21 @@ def test_bench_default_combined_artifact():
         assert row["metric"] == f"{name}_pushes_per_sec_per_chip"
         assert row["value"] > 0
         assert row["unit"].startswith("pushes/s")
+        # bench_prior.json is committed, so every row gets the ratio
+        assert isinstance(row["vs_prior"], float)
+    # the accuracy clause rides the same artifact (VERDICT round-4 item 3)
+    assert isinstance(rec["drift_per_1e4"], float)
+    assert rec["drift_steps"] == 40
+    # a CPU smoke must never flag regressions against the TPU prior: the
+    # [cpu] unit tag excludes these rows from flagging
+    assert "regressions" not in rec, rec
+    assert rec["unit"] == "pushes/s [cpu]"
 
 
 def test_bench_default_budget_skips_rows_not_headline():
-    """With no budget left, the non-headline rows are skipped (and listed
-    in the artifact) but the headline row still runs and is recorded."""
+    """With no budget left, the non-headline rows AND the drift clause are
+    skipped (and listed in the artifact — skipped is never silent-absent)
+    but the headline row still runs and is recorded."""
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     out = subprocess.run(
@@ -104,6 +116,96 @@ def test_bench_default_budget_skips_rows_not_headline():
     assert rec["rows"] == {}
     assert set(rec["skipped"]) == {"two_stream", "landau", "sheath",
                                    "magnetized", "domain", "domain_explicit"}
+    assert rec["drift_per_1e4"].startswith("skipped (budget")
+
+
+def test_bench_row_death_cannot_take_the_tail():
+    """The round-4 regression in miniature: the headline row DIES (here by
+    an injected failure — on the driver it was the 1e8 row's HBM cascade)
+    and every following row must still be measured and recorded, because
+    each row runs in its own subprocess. Also locks the failure
+    attribution contract: "failed" + "failed_detail" carry the row and
+    its stderr tail."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["PYPIC_BENCH_TEST_FAIL_ROW"] = "headline"
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--cpu",
+         "--steps", "2", "--particles", "8192", "--row-steps", "3",
+         "--sheath-n", "8192", "--mag-n", "4096", "--drift-steps", "0",
+         "--budget-s", "1e8"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200,
+    )
+    # headline dead => artifact value 0 and rc 1, but the tail SURVIVES
+    assert out.returncode == 1, out.stderr
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["value"] == 0.0
+    assert rec["failed"] == ["headline"]
+    assert "injected test failure" in rec["failed_detail"]["headline"]
+    expect_rows = {"two_stream", "landau", "sheath", "magnetized",
+                   "domain", "domain_explicit"}
+    assert set(rec["rows"]) == expect_rows, rec
+    for row in rec["rows"].values():
+        assert row["value"] > 0
+
+
+def test_bench_drift_only_child_contract():
+    """`--only headline --drift-only` (the default mode's drift child)
+    emits the machine-readable drift record and NOT a throughput row."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--cpu",
+         "--only", "headline", "--drift-only", "--drift-steps", "20",
+         "--particles", "4096", "--steps", "2"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr
+    recs = [json.loads(ln) for ln in out.stdout.splitlines() if ln.strip()]
+    assert len(recs) == 1, out.stdout
+    rec = recs[0]
+    assert rec["metric"] == "headline_energy_drift"
+    assert rec["drift_steps"] == 20
+    assert rec["drift_per_1e4"] == rec["drift"] * 1e4 / 20
+
+
+def test_annotate_vs_prior():
+    """The regression annotation: ratio per row, flagging only for clean
+    TPU rows below threshold (fallback/cpu rows get the ratio but never
+    the flag)."""
+    sys.path.insert(0, REPO)
+    try:
+        import bench
+    finally:
+        sys.path.pop(0)
+
+    art = {
+        "metric": "particle_pushes_per_sec_per_chip", "value": 2.0e9,
+        "unit": "pushes/s", "vs_baseline": 2.0,
+        "rows": {
+            "slowed": {"value": 0.5e9, "unit": "pushes/s"},
+            "ok": {"value": 1.2e9, "unit": "pushes/s"},
+            "swapped": {"value": 0.4e9, "unit": "pushes/s [fallback: x]",
+                        "fallback": "x"},
+            "cpu_row": {"value": 1e6, "unit": "pushes/s [cpu]"},
+            "new_row": {"value": 3e9, "unit": "pushes/s"},
+        },
+    }
+    prior = {"value": 2.1e9, "rows": {
+        "slowed": {"value": 1.0e9}, "ok": {"value": 1.3e9},
+        "swapped": {"value": 1.0e9}, "cpu_row": {"value": 1.0e9}}}
+    bench._annotate_vs_prior(art, prior)
+    assert abs(art["vs_prior"] - 2.0 / 2.1) < 1e-12
+    assert art["rows"]["slowed"]["vs_prior"] == 0.5
+    assert art["rows"]["swapped"]["vs_prior"] == 0.4
+    assert "vs_prior" not in art["rows"]["new_row"]  # no prior entry
+    # only the clean TPU row below threshold is flagged
+    assert art["regressions"] == ["slowed"]
+    # committed prior parses and carries the matrix the convention needs
+    prior_file = bench._load_prior()
+    assert prior_file is not None
+    assert prior_file["value"] > 1e9
+    assert set(prior_file["rows"]) >= {"domain", "sheath", "magnetized"}
 
 
 def test_fallback_rows_are_tagged_in_the_artifact(capsys):
