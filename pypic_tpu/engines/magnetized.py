@@ -169,6 +169,18 @@ class MagnetizedConfig:
     flux_limit: int = 0  # max re-activations/step on the 'flux' policy
     flux_gamma: float = 0.0  # perturbed-beam fraction (pygcpic.py:2008)
     flux_vx_pert: float = 0.0
+    # Re-activation timing. The reference reactivates a slot in the step
+    # AFTER the one that lost it: the particle loop's else branch
+    # (pygcpic.py:1249-1254, 1543-1549) only reaches particles already
+    # inactive when the loop starts, so a wall-lost particle sits out
+    # exactly one weighting pass ("limbo") before its replacement enters
+    # the dynamics, and the add_particles ledger credit lands in the
+    # weighting where the replacement first deposits. 'reference'
+    # (default) reproduces that: the take set is the slots inactive at
+    # step START. 'immediate' reactivates slots lost during THIS step's
+    # push as well (no limbo — one step earlier than the reference;
+    # identical cost, identical distributions).
+    react_timing: str = "reference"
     iead_bins: Tuple[int, int] = (40, 40)  # (energies, angles)
     iead_energy_max: float = 0.0  # [eV]; 0 disables IEAD accumulation
     iead_angle_max: float = 90.0
@@ -282,6 +294,8 @@ class MagnetizedConfig:
                 "'threefry', or 'hash'")
         if self.react_batch < 0:
             raise ValueError("react_batch must be >= 0")
+        if self.react_timing not in ("reference", "immediate"):
+            raise ValueError(f"unknown react_timing {self.react_timing!r}")
         if self.carried_deposit not in ("auto", "on", "off"):
             raise ValueError(
                 f"unknown carried_deposit {self.carried_deposit!r}")
@@ -1116,7 +1130,12 @@ def make_step(cfg: MagnetizedConfig):
         fw = state.from_wall
         if cfg.reactivate != "none":
             src = cfg.source
-            inactive = active != 1
+            # 'reference': slots inactive at step START (pre-push) — a slot
+            # lost during this step's push waits one step, reproducing the
+            # reference's one-weighting limbo (see cfg.react_timing)
+            inactive = ((state.active != 1)
+                        if cfg.react_timing == "reference"
+                        else (active != 1))
             from ..utils import compact_rows
 
             k_batch = state.p.shape[0]

@@ -87,6 +87,10 @@ class DomainMagnetizedConfig:
     # implements the rank-keyed draw (a full-capacity draw would have to be
     # keyed on migrating slot identities to stay shard-invariant)
     react_batch: int = 4096
+    # re-activation timing (engines.magnetized.react_timing): 'reference'
+    # = slots inactive at step start (the reference's one-weighting limbo,
+    # pygcpic.py:1249-1254); 'immediate' = slots lost this step included
+    react_timing: str = "reference"
     flux_limit: int = 0
     flux_gamma: float = 0.0
     flux_vx_pert: float = 0.0
@@ -152,6 +156,8 @@ class DomainMagnetizedConfig:
                 "slab-sharded re-activation needs react_batch > 0 "
                 "(rank-keyed draws from a replicated table)"
             )
+        if self.react_timing not in ("reference", "immediate"):
+            raise ValueError(f"unknown react_timing {self.react_timing!r}")
         if self.solver not in ("distributed", "replicated"):
             raise ValueError(f"unknown solver {self.solver!r}")
         if self.gather_weights not in ("reference", "cic"):
@@ -559,7 +565,12 @@ def make_step(cfg: DomainMagnetizedConfig, mesh: Mesh):
         if cfg.reactivate != "none":
             src = cfg.source
             nb = cfg.react_batch
-            inactive = filled & (active != 1)
+            # 'reference' timing: slots inactive at step START — a slot
+            # lost during this step's push waits one step, matching the
+            # reference's else-branch limbo (engines.magnetized.react_timing)
+            inactive = filled & ((state.active != 1)
+                                 if cfg.react_timing == "reference"
+                                 else (active != 1))
             rank = jnp.cumsum(inactive.astype(jnp.int32)) - 1
             n_inact = jnp.sum(inactive.astype(jnp.int32))
             counts = lax.all_gather(n_inact, axes_all)

@@ -339,9 +339,18 @@ def test_magnetized_sheath_floating_potential(iead_run):
 
 
 def test_magnetized_source_keeps_population(iead_run):
+    """'source' reactivates every free slot — under the default
+    react_timing='reference' a slot lost at step t re-enters at t+1
+    (the reference's one-weighting limbo, pygcpic.py:1249-1254), so the
+    invariant is n_active + this step's wall losses == const and each
+    step's re-activations equal the previous step's losses."""
     _, _, m, _ = iead_run
     n_act = np.asarray(m.n_active)
-    assert (n_act == n_act[0]).all()  # 'source' policy reactivates all
+    hits = np.asarray(m.n_hit_wall)
+    tot = n_act + hits
+    assert (tot == tot[0]).all()
+    np.testing.assert_array_equal(np.asarray(m.n_reactivated)[1:],
+                                  hits[:-1])
 
 
 def test_magnetized_iead_accumulates_both_species(iead_run):
@@ -938,7 +947,10 @@ def test_magnetized_react_batch_matches_full_draw_take_set():
     # 'source' refills every inactive slot either way
     np.testing.assert_array_equal(np.asarray(m0.n_active),
                                   np.asarray(mb.n_active))
-    assert (np.asarray(stb.active) == 1).all()
+    # reference timing: only the FINAL step's wall losses remain inactive
+    # (they re-enter next step)
+    assert (int(np.sum(np.asarray(stb.active) != 1))
+            == int(np.asarray(mb.n_hit_wall)[-1]))
 
 
 def test_magnetized_react_batch_caps_per_step():
@@ -1117,10 +1129,13 @@ def test_carried_deposit_invariant_and_equivalence():
     assert int(m_on.n_active) == int(m_off.n_active)
     # kernel-vs-XLA f32 gather rounding differs at ~1e-5/step (measured;
     # event streams stay bit-identical — hits/ionizations match every
-    # step) and this hot ionizing workload amplifies it ~700x over the 25
-    # steps; 1e-3 of the phi scale bounds the measured 4e-4 with margin
+    # step) and this hot ionizing workload amplifies it over the 25
+    # steps; 2.5e-3 of the phi scale bounds the measured 1.6e-3 with
+    # margin (re-measured after react_timing='reference' became the
+    # default — the one-step lifecycle shift changes the trajectory the
+    # rounding walk rides on, not the exactness invariants above)
     np.testing.assert_allclose(np.asarray(s_on.phi), np.asarray(s_off.phi),
-                               rtol=0, atol=1e-3 * float(jnp.max(jnp.abs(s_off.phi))))
+                               rtol=0, atol=2.5e-3 * float(jnp.max(jnp.abs(s_off.phi))))
     np.testing.assert_allclose(float(jnp.sum(s_on.iead)),
                                float(jnp.sum(s_off.iead)), rtol=1e-6)
 

@@ -24,7 +24,6 @@ undecorated (plain numpy) functions makes it runnable in this image.
 """
 
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -32,81 +31,14 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-REF = "/root/reference"
-
-
-class _AnySig:
-    """Stands in for numba type objects: supports [:] and call chaining
-    (nb.float64[:], nb.types.UniTuple(...)(...)) and always yields itself."""
-
-    def __getitem__(self, item):
-        return self
-
-    def __call__(self, *args, **kwargs):
-        return self
-
-
-def _jit(*args, **kwargs):
-    """numba.jit stub: both @jit and @jit(signature, **opts) forms return
-    the undecorated function. Signature objects are _AnySig instances or
-    strings — never plain Python functions, so the isfunction test is an
-    unambiguous discriminator."""
-    import inspect
-
-    if args and inspect.isfunction(args[0]):
-        return args[0]
-
-    def deco(fn):
-        return fn
-
-    return deco
+from _reference_harness import REF, load_reference
 
 
 @pytest.fixture(scope="module")
 def ref():
     """Import the reference modules with numba stubbed and matplotlib on
     Agg. Returns (pypic, pygcpic)."""
-    sys.dont_write_bytecode = True  # /root/reference is read-only
-    if "numba" not in sys.modules or not hasattr(sys.modules["numba"], "jit"):
-        nb = types.ModuleType("numba")
-        nb.jit = _jit
-        nb.njit = _jit
-        nb.prange = range
-        sig = _AnySig()
-        nb.float64 = sig
-        nb.float32 = sig
-        nb.int32 = sig
-        nb.int64 = sig
-        tmod = types.ModuleType("numba.types")
-        tmod.UniTuple = sig
-        nb.types = tmod
-        sys.modules["numba"] = nb
-        sys.modules["numba.types"] = tmod
-    import matplotlib
-
-    matplotlib.use("Agg")
-    sys.path.insert(0, REF)
-    try:
-        import pypic as ref_pypic
-        import pygcpic as ref_pygcpic
-    finally:
-        sys.path.remove(REF)
-        # pypic.py sets usetex at import; undo so unrelated viz tests
-        # don't start requiring a TeX install
-        matplotlib.rcParams["text.usetex"] = False
-    # the reference targets an old scipy that re-exported numpy's diag as
-    # scipy.diag (pypic.py:347); shim it on the module's OWN namespace only
-    if not hasattr(ref_pypic.sp, "diag"):
-        import scipy
-
-        class _ScipyShim:
-            diag = staticmethod(np.diag)
-
-            def __getattr__(self, name):
-                return getattr(scipy, name)
-
-        ref_pypic.sp = _ScipyShim()
-    return ref_pypic, ref_pygcpic
+    return load_reference()
 
 
 # ---------------------------------------------------------------------------
