@@ -630,6 +630,7 @@ def bench_domain_explicit(args):
         grid, 1e-5, grid.length * 1e5 / n, num_shards=n_dev, halo=halo,
         migrate_cap=max(4096, 4 * k_mig * (n // max(1, grid.ng))),
         carried_rho="on" if carried else "off",
+        field_solve=args.field_solve,
     )
     mesh = make_mesh(n_dev, axis="slabs")
     st = dom.shard_state(
@@ -731,6 +732,7 @@ def _forward_flags(args):
            "--finalize-field", args.finalize_field,
            "--window-share", args.window_share,
            "--migrate-every", str(args.migrate_every),
+           "--field-solve", args.field_solve,
            "--steps", str(args.steps)]
     if args.particles:
         fwd += ["--particles", str(args.particles)]
@@ -1013,6 +1015,13 @@ def main():
                          "MagnetizedConfig.carried_deposit round-3c A/B); "
                          "domain_explicit row: carried-rho one-sweep cycle "
                          "(DomainConfig.carried_rho)")
+    ap.add_argument("--field-solve", default="replicated",
+                    choices=("replicated", "distributed"),
+                    help="domain_explicit row: Poisson solve layout "
+                         "(DomainConfig.field_solve; 'distributed' = "
+                         "tridiagonal substructuring across slabs — the "
+                         "multi-chip A/B for large ng, see "
+                         "scripts/multichip_day1.sh)")
     ap.add_argument("--mag-n", type=int, default=0,
                     help="magnetized row: total particle count override "
                          "(default 1e6 — the BASELINE configs[3] scale; "
