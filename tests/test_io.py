@@ -185,8 +185,7 @@ def test_bench_contract(tmp_path):
     (--budget-s 0 keeps this contract check to the headline + skip list;
     test_bench_smoke.py covers the full combined artifact)."""
     code = (
-        "import jax; jax.config.update('jax_platforms','cpu');"
-        "import sys; sys.argv=['bench.py','--particles','20000',"
+        "import sys; sys.argv=['bench.py','--cpu','--particles','20000',"
         "'--steps','2','--budget-s','0'];"
         "import runpy; runpy.run_path('bench.py', run_name='__main__')"
     )
@@ -198,9 +197,13 @@ def test_bench_contract(tmp_path):
     lines = [l for l in res.stdout.strip().splitlines() if l.strip()]
     assert len(lines) == 1, res.stdout
     row = json.loads(lines[0])
+    # round-5 schema: the accuracy clause (budget-skipped here, never
+    # silently absent) + the vs_prior regression ratio ride the line
     assert set(row) == {"metric", "value", "unit", "vs_baseline",
-                        "rows", "skipped"}
+                        "rows", "skipped", "drift_per_1e4", "vs_prior"}
     assert row["value"] > 0 and row["vs_baseline"] == row["value"] / 1e9
+    assert row["drift_per_1e4"].startswith("skipped (budget")
+    assert isinstance(row["vs_prior"], float)
 
 
 def test_cli_particle_dump_and_bca_postprocess(tmp_path):

@@ -423,6 +423,159 @@ def test_magnetized_reactivate_and_ledger_match_reference(ref, monkeypatch):
     assert total_react >= len(planted), "re-activation never fired"
 
 
+def test_magnetized_capped_source_matches_reference_reactivate_or_delete(
+        ref, monkeypatch):
+    """pic_bca_aps's reactivate-or-delete cap (pygcpic.py:1543-1549): the
+    else branch reactivates an inactive slot only while the active ionized
+    source-species count is below source_N — and that count is
+    re-evaluated per particle DURING the loop, so exactly the first
+    (source_N - count) inactive slots in index order re-enter; the rest
+    stay free (the reference queues them for deletion; the fixed-capacity
+    rebuild leaves them as free slots — active populations identical).
+    Driven through the ACTUAL Particle.reactivate + generator with the
+    replayed stream; our side uses reactivate='capped-source' whose
+    rank-capped take set must select the same slots and consume the same
+    draws in the same order."""
+    _, ref_gc = ref
+    from pypic_tpu import sources
+    from pypic_tpu.engines import magnetized
+    from pypic_tpu.grid import GridSpec
+
+    rng = np.random.default_rng(59)
+    ng, n, steps = 64, 160, 8
+    te = ti = 10.0 * 11600.0
+    density = 1e16
+    debye = np.sqrt(1.38e-23 * te * 8.854e-12 / 1.602e-19**2 / density)
+    L = 100.0 * debye
+    dt = 1e-10
+    p2c = density * L / n
+    mass = 2.0 * 1.67e-27
+    alpha = 86.0 * np.pi / 180.0
+    B0 = np.array([2.0 * np.cos(alpha), 2.0 * np.sin(alpha), 0.0])
+    dx = L / (ng - 1)
+
+    x0 = rng.uniform(0.4 * L, 0.6 * L, n)
+    vth = np.sqrt(1.38e-23 * ti / mass)
+    v0 = rng.normal(0.0, vth, (n, 3))
+    # 6 planted wall-bound ions; the cap re-admits only SOME of them
+    planted = np.array([5, 31, 66, 99, 120, 151])
+    x0[planted] = 0.2 * dx
+    v0[planted, 0] = -1e6
+    # cap: population N minus 2 — after the 6 planted losses the deficit
+    # is 4, so the first 4 pending slots (in index order) re-enter and 2
+    # stay free; from then on the cap binds (deficit 0) and the deferred
+    # pair never re-enters without further losses
+    source_n = n - 2
+
+    max_events = 64
+    X_raw = rng.normal(L / 2.0, L / 12.0, max_events) % L
+    Z_v = rng.normal(0.0, 1.0, (max_events, 3))
+
+    grid_ref = ref_gc.Grid(ng, L, te, bc="dirichlet-dirichlet")
+    parts = []
+    for i in range(n):
+        pt = ref_gc.Particle(mass, 1, p2c, ti, Z=1, B0=B0.copy(),
+                             E0=np.zeros(3), grid=grid_ref)
+        pt.r[:] = 0.0
+        pt.r[0] = x0[i]
+        pt.r[3:6] = v0[i]
+        parts.append(pt)
+    source_distribution = ref_gc.source_distribution_6D(grid_ref, ti, mass)
+
+    ev = {"i": 0}
+
+    def fake_np_normal(loc=0.0, scale=1.0, size=None):
+        if size == 3:
+            return Z_v[ev["i"] - 1] * scale
+        assert size is None and loc == grid_ref.length / 2.0
+        x = X_raw[ev["i"]]
+        ev["i"] += 1
+        return x
+
+    monkeypatch.setattr(np.random, "normal", fake_np_normal)
+
+    ev_ours = {"i": 0, "pending": []}
+
+    def fake_sample_source(key, n_draw, grid_s, ti_s, mass_s, vx=0.0,
+                           components=True):
+        assert n_draw == n
+        xb = np.full(n, 0.5 * L)
+        vb = np.zeros((n, 3))
+        k = ev_ours["i"]
+        for s in sorted(ev_ours["pending"]):
+            xb[s] = X_raw[k]
+            vb[s] = Z_v[k] * np.sqrt(1.38e-23 * ti_s / mass_s)
+            k += 1
+        return {"x": jnp.asarray(xb, jnp.float64),
+                "vx": jnp.asarray(vb[:, 0], jnp.float64),
+                "vy": jnp.asarray(vb[:, 1], jnp.float64),
+                "vz": jnp.asarray(vb[:, 2], jnp.float64)}
+
+    monkeypatch.setattr(sources, "sample_source_6d", fake_sample_source)
+
+    cfg = magnetized.MagnetizedConfig(
+        grid=GridSpec(ng, L, "dirichlet-dirichlet"), dt=dt, te=te,
+        b=tuple(B0), species_z=(1,), reactivate="capped-source",
+        react_timing="reference", source_n=source_n,
+        source=magnetized.SourceSpec(mass=mass, charge_state=1.0, p2c=p2c,
+                                     species_idx=0, ti=ti),
+        source_sampler="threefry", react_batch=0,
+        backend="composed", newton_backend="xla",
+        newton_tol=1e-9, newton_maxiter=1000,
+    )
+    st = magnetized.init_state(
+        x0, v0, m=mass, charge_state=1.0, p2c=p2c, species_idx=0,
+        cfg=cfg, dtype=jnp.float64,
+    )
+    step = magnetized.make_step(cfg)
+
+    total_react = total_deferred = 0
+    for t in range(steps):
+        grid_ref.weight_particles_to_grid_boltzmann(parts, dt)
+        grid_ref.reset_added_particles()
+        grid_ref.solve_for_phi_dirichlet_boltzmann()
+        grid_ref.differentiate_phi_to_E_dirichlet()
+        ev_ours["pending"] = [i for i, pt in enumerate(parts)
+                              if not pt.is_active()]
+        n_react_ref = 0
+        for pt in parts:
+            if pt.is_active():
+                pt.interpolate_electric_field_dirichlet(grid_ref)
+                pt.push_6D(dt)
+                pt.apply_BCs_dirichlet(grid_ref)
+            else:
+                # pygcpic.py:1543-1549, count re-evaluated per particle
+                count = sum(1 for p in parts
+                            if (p.Z == 1 and p.is_active()
+                                and p.charge_state > 0))
+                if count < source_n:
+                    pt.reactivate(source_distribution, grid_ref,
+                                  (t + 1) * dt, p2c, mass, 1, 1)
+                    pt.from_wall = 0
+                    pt.at_wall = 0
+                    n_react_ref += 1
+                # else: deletion-flagged in the reference; a free slot here
+
+        st, mtr = step(st)
+        assert int(mtr.n_reactivated) == n_react_ref, t
+        total_react += n_react_ref
+        total_deferred += len(ev_ours["pending"]) - n_react_ref
+        ev_ours["i"] += n_react_ref
+        assert ev["i"] == ev_ours["i"], (t, ev["i"], ev_ours["i"])
+        np.testing.assert_allclose(float(st.added),
+                                   grid_ref.added_particles, rtol=1e-12)
+        np.testing.assert_allclose(float(mtr.n0), grid_ref.n0, rtol=1e-8,
+                                   err_msg=f"n0 mismatch at step {t}")
+        act = np.array([pt.is_active() for pt in parts])
+        assert np.array_equal(np.asarray(st.active)[:n] == 1, act), t
+        x_ref = np.array([pt.r[0] for pt in parts])
+        np.testing.assert_allclose(
+            np.asarray(st.p, np.float64)[:n][act] * dx, x_ref[act],
+            atol=1e-7 * L, rtol=0, err_msg=f"x mismatch at step {t}")
+    assert total_react >= 2, "cap never admitted anyone"
+    assert total_deferred >= 2, "cap never bound — dead A/B"
+
+
 # ---------------------------------------------------------------------------
 # forced MCC ionization + ledger -> n0 recurrence (pygcpic.py:387-398)
 # ---------------------------------------------------------------------------
