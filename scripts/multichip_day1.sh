@@ -49,6 +49,8 @@ run() {
 
 D=$(timeout 600 python -c "
 import jax
+if '$DRY':
+    jax.config.update('jax_platforms', 'cpu')  # match bench --cpu
 print(len(jax.devices()))" 2>>"$LOG")
 echo "=== devices: D=$D" | tee -a "$LOG" >&2
 
