@@ -953,6 +953,36 @@ def test_magnetized_react_batch_matches_full_draw_take_set():
             == int(np.asarray(mb.n_hit_wall)[-1]))
 
 
+def test_magnetized_react_timing_reference_vs_immediate():
+    """react_timing A/B on a planted wall loss: 'reference' (default)
+    leaves a slot lost during step t inactive until step t+1's
+    re-activation (the one-weighting limbo, pygcpic.py:1249-1254);
+    'immediate' re-activates it within step t."""
+    import dataclasses as dc
+    from pypic_tpu.presets import pic_iead
+
+    pre = pic_iead(n_per_species=64)
+    cfg = dc.replace(pre.config, source_sampler="threefry",
+                     ionization=False)
+    n = pre.state.p.shape[0]
+    # plant one row crossing the left wall this step
+    p = np.asarray(pre.state.p).copy()
+    vx = np.asarray(pre.state.vx).copy()
+    p[0] = 0.05
+    vx[0] = -0.2 * cfg.grid.dx / cfg.dt  # 0.2 cells/step inbound
+    st = pre.state.replace(p=jnp.asarray(p), vx=jnp.asarray(vx))
+
+    for timing, expect_first in (("reference", 0), ("immediate", 1)):
+        step = magnetized.make_step(dc.replace(cfg, react_timing=timing))
+        s1, m1 = step(st)
+        assert int(m1.n_hit_wall) >= 1, timing
+        assert int(m1.n_reactivated) == expect_first, timing
+        s2, m2 = step(s1)
+        # either way the loss has re-entered by the end of step 2
+        assert int(np.sum(np.asarray(s2.active) != 1)) == \
+            int(m2.n_hit_wall), timing
+
+
 def test_magnetized_react_batch_caps_per_step():
     """When more slots are inactive than react_batch, exactly react_batch
     re-activate (the earliest ranks); the surplus waits."""
