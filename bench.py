@@ -318,9 +318,11 @@ def bench_two_stream(args):
     # steps: the ~1e4-particle row pays a ~27 ms wall floor per timed
     # region on the remote tunnel REGARDLESS of dispatch count (measured:
     # 2000 steps cost 27-32 ms whether run as 1 or 10 kernels —
-    # scratch/two_stream_s.py, round 4), so the row amortizes 20k steps
-    # (2e8 pushes, comparable work to the other rows; 3.14e9 measured)
-    n, steps = 10_000, args.row_steps or 20_000
+    # scratch/two_stream_s.py, round 4), so the row amortizes 40k steps
+    # (4e8 pushes; raised from 20k in round 5 after a transient tunnel
+    # excursion false-flagged the floor-dominated row — at 40k the floor
+    # is ~20% of the region instead of ~40%, at +0.4 s row cost)
+    n, steps = 10_000, args.row_steps or 40_000
     density = 1e10
     te = 0.1 * 11600.0
     debye = np.sqrt(K_BOLTZMANN * te * EPSILON_0 / E_CHARGE**2 / density)
