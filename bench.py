@@ -754,10 +754,12 @@ def _forward_flags(args):
 def _run_child(name, fwd, backend_flags, timeout_s, extra=()):
     """Run one matrix row in a fresh process: `bench.py --only <name>`.
     Returns (json_records, stderr_text, error_or_None). Process isolation
-    is the memory firewall the round-4 driver run lacked — the OS reclaims
-    the row's HBM at exit, so a 1e8 row can never cascade into the next
-    row's allocation (BENCH_r04: headline held ~7.8G of stale server-side
-    buffers that del+gc+clear_caches could not release; see PERF.md)."""
+    is the memory firewall the round-4 driver run lacked — the server
+    reclaims a client's HBM at process exit, so a 1e8 row can never
+    cascade into the next row's allocation (BENCH_r04 lost all six
+    post-headline rows to server-side retention that del + gc +
+    jax.clear_caches() could not release and that memory_stats cannot
+    even observe through the tunnel; PERF.md round-5 census)."""
     cmd = ([sys.executable, os.path.abspath(__file__), "--only", name]
            + list(extra) + fwd + backend_flags)
     err = None

@@ -32,15 +32,13 @@ D-D run asserting the adaptive-n0 feedback tracks far beyond the
 deterministic harness's 5-step window.
 """
 
-import sys
-
 import numpy as np
 import pytest
 
 import jax
 import jax.numpy as jnp
 
-from _reference_harness import REF, load_reference, load_pic_l_dd
+from _reference_harness import load_reference, load_pic_l_dd
 
 
 @pytest.fixture(scope="module")
