@@ -381,7 +381,12 @@ def bench_landau(args):
     from pypic_tpu.engines import implicit
     from pypic_tpu.runner import run
 
-    n, steps = 100_000, args.row_steps or 500
+    # 16k amortized steps (round 5): at 500 steps the ~27 ms tunnel-sync
+    # floor was ~65% of the timed region and the row recorded 1.25e9; the
+    # measured ladder 500/2k/4k/8k/16k -> 1.25/2.43/2.78/3.11/3.25e9
+    # asymptotes at ~3.4e9 (true compute ~0.029 ms/step); 16k puts the
+    # floor at ~5% for ~1.5 s of row wall
+    n, steps = 100_000, args.row_steps or 16_000
     grid, x, v, cfg = _landau_problem(n, 1e-6)
     state = implicit.init_state(x, v, -E_CHARGE, M_ELECTRON, cfg)
 
@@ -399,7 +404,14 @@ def bench_landau(args):
         step = implicit.make_step(cfg)
 
         def go_scan():
-            _, m = run(step, state, steps)
+            # chunked dispatches: a single >=1e4-step scan through the
+            # remote tunnel crashes the TPU worker (the drift-loop
+            # gotcha); ~2000-step spans are stable
+            st2, done = state, 0
+            while done < steps:
+                k = min(2000, steps - done)
+                st2, m = run(step, st2, k)
+                done += k
             np.asarray(m.field_energy)
 
         return go_scan
@@ -424,7 +436,9 @@ def bench_sheath(args):
     from pypic_tpu.engines import sheath
     from pypic_tpu.runner import run
 
-    n, steps, ng = args.sheath_n or 1_000_000, args.row_steps or 400, 51
+    # 1200 amortized steps (round 5): the ~27 ms tunnel-sync floor was ~8%
+    # of the 400-step region; 1200 cuts it to ~3% (1.17 -> 1.21e9 recorded)
+    n, steps, ng = args.sheath_n or 1_000_000, args.row_steps or 1200, 51
     density, dt, dx = 1e19, 1e-12, 1e-5
     te = ti = 10.0 * 11600.0
     length = dx * (ng - 1)
@@ -458,7 +472,9 @@ def bench_magnetized(args):
     from pypic_tpu.engines import magnetized
     from pypic_tpu.runner import run
 
-    steps = args.row_steps or 400
+    # 1200 amortized steps (round 5): the tunnel-sync floor was ~9% of
+    # the 400-step region; 1200 cuts it to ~3% (1.36 -> 1.43e9 recorded)
+    steps = args.row_steps or 1200
     pre = pic_iead(n_per_species=(args.mag_n or 1_000_000) // 6)
     n = pre.state.p.shape[0]
     cfg = pre.config
