@@ -552,7 +552,9 @@ def bench_domain(args):
 
     on_tpu = jax.default_backend() == "tpu"
     n = args.particles or (100_000_000 if on_tpu else 200_000)
-    steps = 10
+    # 30 steps (round 5): at 10 the ~27 ms tunnel floor was ~6-16% of the
+    # timed region; 30 puts every 1e8 row's region near/past 0.5 s
+    steps = 30
     n_dev = len(jax.devices())
     grid, x, v, _ = _landau_problem(n, args.tol)
     # halo from physics: worst-case intra-step excursion is ~|v| dt / dx;
@@ -633,7 +635,7 @@ def bench_domain_explicit(args):
 
     on_tpu = jax.default_backend() == "tpu"
     n = args.particles or (100_000_000 if on_tpu else 200_000)
-    steps = 10
+    steps = 30  # see the domain row's floor note
     n_dev = len(jax.devices())
     grid, x, v, _ = _landau_problem(n, args.tol)
     k_mig = max(1, args.migrate_every)
@@ -942,7 +944,7 @@ def _run_matrix_isolated(args, backend_flags):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=int, default=None)
-    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--steps", type=int, default=20)  # headline row; 20 puts the ~27 ms tunnel floor at ~3% of the region
     ap.add_argument("--throughput", action="store_true",
                     help="run the throughput configuration (tol 1e-9, "
                          "unmixed, ~2e-3/1e4 drift) instead of the default "
