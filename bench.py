@@ -987,7 +987,7 @@ def main():
                          "IN-PROCESS, one JSON line per row (the DEFAULT "
                          "runs each row in an isolated subprocess and "
                          "folds the matrix into one combined JSON line)")
-    ap.add_argument("--budget-s", type=float, default=1200.0,
+    ap.add_argument("--budget-s", type=float, default=1380.0,
                     help="default mode: wall-clock budget; non-headline "
                          "rows start only while enough remains for their "
                          "typical compile+run (skipped rows are listed in "
