@@ -769,6 +769,18 @@ def _forward_flags(args):
     return fwd
 
 
+# the in-flight row child, so the SIGTERM handler can kill its whole
+# process group instead of orphaning a TPU-session-holding subprocess
+_CURRENT_CHILD = {"proc": None}
+
+
+def _kill_child_group(proc):
+    try:
+        os.killpg(proc.pid, signal.SIGKILL)
+    except (ProcessLookupError, PermissionError, OSError):
+        pass
+
+
 def _run_child(name, fwd, backend_flags, timeout_s, extra=()):
     """Run one matrix row in a fresh process: `bench.py --only <name>`.
     Returns (json_records, stderr_text, error_or_None). Process isolation
@@ -777,27 +789,37 @@ def _run_child(name, fwd, backend_flags, timeout_s, extra=()):
     cascade into the next row's allocation (BENCH_r04 lost all six
     post-headline rows to server-side retention that del + gc +
     jax.clear_caches() could not release and that memory_stats cannot
-    even observe through the tunnel; PERF.md round-5 census)."""
+    even observe through the tunnel; PERF.md round-5 census). The child
+    runs in its own session so a timeout (or the parent's SIGTERM
+    handler) can SIGKILL the whole group — a hung tunnel call must not
+    leave an orphan holding the chip."""
     cmd = ([sys.executable, os.path.abspath(__file__), "--only", name]
            + list(extra) + fwd + backend_flags)
     err = None
     try:
-        r = subprocess.run(cmd, stdout=subprocess.PIPE,
-                           stderr=subprocess.PIPE, text=True,
-                           timeout=timeout_s)
-        out, serr = r.stdout or "", r.stderr or ""
-        if r.returncode != 0:
-            tail = [ln for ln in serr.strip().splitlines() if ln.strip()]
-            err = f"rc={r.returncode}: {tail[-1][:300] if tail else '?'}"
-    except subprocess.TimeoutExpired as e:
-        out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) \
-            else (e.stdout or "")
-        serr = (e.stderr or b"").decode() if isinstance(e.stderr, bytes) \
-            else (e.stderr or "")
-        err = f"timeout after {timeout_s:.0f}s"
+        proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                stderr=subprocess.PIPE, text=True,
+                                start_new_session=True)
     except OSError as e:
-        out, serr = "", ""
-        err = f"spawn failed: {e!r}"
+        return [], "", f"spawn failed: {e!r}"
+    _CURRENT_CHILD["proc"] = proc
+    try:
+        out, serr = proc.communicate(timeout=timeout_s)
+        out, serr = out or "", serr or ""
+        if proc.returncode != 0:
+            tail = [ln for ln in serr.strip().splitlines() if ln.strip()]
+            err = (f"rc={proc.returncode}: "
+                   f"{tail[-1][:300] if tail else '?'}")
+    except subprocess.TimeoutExpired:
+        _kill_child_group(proc)
+        try:
+            out, serr = proc.communicate(timeout=30)
+        except subprocess.TimeoutExpired:
+            out, serr = "", ""
+        out, serr = out or "", serr or ""
+        err = f"timeout after {timeout_s:.0f}s"
+    finally:
+        _CURRENT_CHILD["proc"] = None
     # replay the child's stderr so the driver's tail keeps the familiar
     # per-row progress lines
     if serr:
@@ -855,10 +877,15 @@ def _run_matrix_isolated(args, backend_flags):
         sys.stdout.flush()
 
     def _on_term(signum, frame):
-        # driver timeout / operator interrupt: ship the partial artifact
-        # rather than nothing (the round-4 failure mode was an empty
-        # "rows" — a truncated matrix with a "skipped" list is strictly
-        # better evidence)
+        # driver timeout / operator interrupt: kill the in-flight child's
+        # process group (an orphan would keep holding the chip's
+        # server-side session — the very retention this mode exists to
+        # prevent), then ship the partial artifact rather than nothing
+        # (the round-4 failure mode was an empty "rows" — a truncated
+        # matrix with a "skipped" list is strictly better evidence)
+        proc = _CURRENT_CHILD.get("proc")
+        if proc is not None:
+            _kill_child_group(proc)
         for name in order:
             if name not in art["rows"] and name not in failed \
                     and name not in skipped and name != "headline":
@@ -872,11 +899,13 @@ def _run_matrix_isolated(args, backend_flags):
         _finalize_and_print()
         os._exit(1)
 
-    # memory-safe importance order: headline first (flagship, must always
-    # record), the small rows next (cheap, can't be starved by a prior row
-    # now, but defense in depth), the two 1e8 domain rows last
-    order = ["headline", "magnetized", "sheath", "landau", "two_stream",
-             "domain", "domain_explicit"]
+    # importance order: headline first (must always record), then the
+    # configs[4] flagship domain rows, then the small rows — budget
+    # exhaustion or an erratic 10-min remote compile drops the LEAST
+    # informative evidence first. (Round 4 ordered small rows early as an
+    # OOM firewall; per-row subprocess isolation made that moot.)
+    order = ["headline", "domain", "domain_explicit", "magnetized",
+             "sheath", "landau", "two_stream"]
     failed, skipped, failed_detail = [], [], {}
     signal.signal(signal.SIGTERM, _on_term)
     signal.signal(signal.SIGINT, _on_term)
@@ -888,15 +917,25 @@ def _run_matrix_isolated(args, backend_flags):
             print(f"bench[{name}]: SKIPPED ({left:.0f}s budget left)",
                   file=sys.stderr)
             continue
-        timeout_s = min(86400.0, max(180.0, left + 60.0))
+        # per-child hard cap: one hung tunnel call may not eat the whole
+        # matrix budget (worst legitimate child: ~10 min erratic remote
+        # compile + the timed runs)
+        timeout_s = min(900.0, max(180.0, left + 60.0))
         recs, serr, err = _run_child(name, fwd, backend_flags, timeout_s)
         row = next((r for r in recs if r.get("metric", "").startswith(
             ("particle_" if name == "headline" else name + "_"))), None)
-        if err is not None or row is None:
+        if row is None:
             failed.append(name)
             failed_detail[name] = err or "no row record"
             print(f"bench[{name}] FAILED: {err}", file=sys.stderr)
             continue
+        if err is not None:
+            # the child printed a complete measurement and THEN died or
+            # hung (the documented axon teardown-hang mode) — keep the
+            # real row, annotated, instead of discarding evidence
+            row["child_error"] = err
+            print(f"bench[{name}]: row recorded, child then failed "
+                  f"({err})", file=sys.stderr)
         if name == "headline":
             art.update(row)
             art.setdefault("rows", {})
@@ -918,7 +957,7 @@ def _run_matrix_isolated(args, backend_flags):
     else:
         recs, serr, err = _run_child(
             "headline", fwd, backend_flags,
-            min(86400.0, max(240.0, left + 60.0)),
+            min(1800.0, max(240.0, left + 60.0)),
             extra=["--drift-only", "--drift-steps", str(args.drift_steps),
                    "--drift-budget-s", f"{max(60.0, left - 120.0):.0f}"])
         drec = next((r for r in recs
@@ -1122,7 +1161,9 @@ def main():
     }
     if args.only:
         if args.drift_steps is None:
-            args.drift_steps = 0
+            # --drift-only with no explicit count means the full protocol
+            # (a bare default of 0 would silently print nothing)
+            args.drift_steps = 10_000 if args.drift_only else 0
         if os.environ.get("PYPIC_BENCH_TEST_FAIL_ROW") == args.only:
             # test hook: the isolation smoke test injects a row death to
             # prove one row's failure (the OOM analog) can't take the tail

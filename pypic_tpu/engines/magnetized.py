@@ -1228,7 +1228,53 @@ def make_step(cfg: MagnetizedConfig):
                      & (charge_state > 0)).astype(jnp.int32)
                 ))
                 deficit = jnp.maximum(cfg.source_n - n_src_active, 0)
-                take = inactive & (rank < deficit)
+                if cfg.react_timing == "reference" and not cfg.react_batch:
+                    # The reference re-evaluates the count at EACH pending
+                    # slot's turn in the particle loop (pygcpic.py:
+                    # 1543-1549), so a countable particle at a HIGHER slot
+                    # index lost THIS step still counts as active when a
+                    # lower pending slot is considered: pending slot j is
+                    # admitted iff (admissions before j) <
+                    # allow_j = deficit - (countable same-step losses at
+                    # global indices > j). allow is non-decreasing along
+                    # slots, which gives the admitted count the min-plus
+                    # closed form A_before_j = rank_j + min(0,
+                    # exclusive-cummin(allow - rank - 1)); with zero
+                    # same-step losses this reduces exactly to the
+                    # rank < deficit prefix. Applies to the react_batch=0
+                    # reference-parity path only: the rank-keyed
+                    # react_batch>0 draw is already documented as not
+                    # bit-compatible with the reference stream, its
+                    # carried patch relies on taken ranks being a
+                    # contiguous prefix, and the slab engine shares the
+                    # deviation (migration reorders slots, so reference
+                    # slot order is unrecoverable there anyway).
+                    lost_now = ((state.active == 1) & (active != 1)
+                                & (state.species_idx == src.species_idx)
+                                & (charge_state > 0)).astype(jnp.int32)
+                    n_lost_loc = jnp.sum(lost_now)
+                    suffix = n_lost_loc - jnp.cumsum(lost_now)
+                    if ax:
+                        lcounts = lax.all_gather(n_lost_loc, ax)
+                        shard = lax.axis_index(ax)
+                        suffix = suffix + jnp.sum(jnp.where(
+                            jnp.arange(lcounts.shape[0]) > shard,
+                            lcounts, 0))
+                    allow = jnp.maximum(deficit - suffix, 0)
+                    big = jnp.asarray(np.iinfo(np.int32).max, jnp.int32)
+                    tt = jnp.where(inactive, allow - (rank + 1), big)
+                    m_incl = lax.associative_scan(jnp.minimum, tt)
+                    m_excl = jnp.concatenate([big[None], m_incl[:-1]])
+                    if ax:
+                        gmins = lax.all_gather(jnp.min(tt), ax)
+                        lower = jnp.min(jnp.where(
+                            jnp.arange(gmins.shape[0]) < shard,
+                            gmins, big))
+                        m_excl = jnp.minimum(m_excl, lower)
+                    a_before = rank + jnp.minimum(0, m_excl)
+                    take = inactive & (a_before < allow)
+                else:
+                    take = inactive & (rank < deficit)
             else:  # 'flux'
                 batch = sample_flux(
                     k_src, n_draw, grid, src.ti, src.mass,

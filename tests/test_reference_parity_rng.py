@@ -455,15 +455,21 @@ def test_magnetized_capped_source_matches_reference_reactivate_or_delete(
     x0 = rng.uniform(0.4 * L, 0.6 * L, n)
     vth = np.sqrt(1.38e-23 * ti / mass)
     v0 = rng.normal(0.0, vth, (n, 3))
-    # 6 planted wall-bound ions; the cap re-admits only SOME of them
+    # wave A: 6 wall-bound ions lost in step 1 (pending from step 2)
     planted = np.array([5, 31, 66, 99, 120, 151])
     x0[planted] = 0.2 * dx
     v0[planted, 0] = -1e6
-    # cap: population N minus 2 — after the 6 planted losses the deficit
-    # is 4, so the first 4 pending slots (in index order) re-enter and 2
-    # stay free; from then on the cap binds (deficit 0) and the deferred
-    # pair never re-enters without further losses
-    source_n = n - 2
+    # wave B: 3 more ions timed to hit DURING step 2 (0.4 dx inbound at
+    # 0.27 dx/step), at slots interleaved with wave A — the reference's
+    # during-loop count sees a wave-B particle at a HIGHER index as still
+    # active when a lower pending slot is considered, so with the cap
+    # binding the admitted SET is not a rank prefix: the reference admits
+    # {5, 31, 99, 151} and leaves {66, 120} free (a naive post-push
+    # deficit prefix would admit {5, 31, 66, 99})
+    wave_b = np.array([2, 70, 140])
+    x0[wave_b] = 0.4 * dx
+    v0[wave_b, 0] = -1e6
+    source_n = n - 5
 
     max_events = 64
     X_raw = rng.normal(L / 2.0, L / 12.0, max_events) % L
@@ -492,7 +498,12 @@ def test_magnetized_capped_source_matches_reference_reactivate_or_delete(
 
     monkeypatch.setattr(np.random, "normal", fake_np_normal)
 
-    ev_ours = {"i": 0, "pending": []}
+    # the slots the reference ADMITTED this step, in admission (= slot)
+    # order: under a binding cap with same-step losses the admitted set
+    # is NOT a rank prefix of the pending slots, and the generator's
+    # draws are consumed only by admitted slots — the engine-side table
+    # must mirror that consumption exactly
+    ev_ours = {"i": 0, "admitted": []}
 
     def fake_sample_source(key, n_draw, grid_s, ti_s, mass_s, vx=0.0,
                            components=True):
@@ -500,7 +511,7 @@ def test_magnetized_capped_source_matches_reference_reactivate_or_delete(
         xb = np.full(n, 0.5 * L)
         vb = np.zeros((n, 3))
         k = ev_ours["i"]
-        for s in sorted(ev_ours["pending"]):
+        for s in ev_ours["admitted"]:
             xb[s] = X_raw[k]
             vb[s] = Z_v[k] * np.sqrt(1.38e-23 * ti_s / mass_s)
             k += 1
@@ -533,10 +544,9 @@ def test_magnetized_capped_source_matches_reference_reactivate_or_delete(
         grid_ref.reset_added_particles()
         grid_ref.solve_for_phi_dirichlet_boltzmann()
         grid_ref.differentiate_phi_to_E_dirichlet()
-        ev_ours["pending"] = [i for i, pt in enumerate(parts)
-                              if not pt.is_active()]
-        n_react_ref = 0
-        for pt in parts:
+        n_pending = sum(1 for pt in parts if not pt.is_active())
+        ev_ours["admitted"] = []
+        for slot, pt in enumerate(parts):
             if pt.is_active():
                 pt.interpolate_electric_field_dirichlet(grid_ref)
                 pt.push_6D(dt)
@@ -551,13 +561,19 @@ def test_magnetized_capped_source_matches_reference_reactivate_or_delete(
                                   (t + 1) * dt, p2c, mass, 1, 1)
                     pt.from_wall = 0
                     pt.at_wall = 0
-                    n_react_ref += 1
+                    ev_ours["admitted"].append(slot)
                 # else: deletion-flagged in the reference; a free slot here
 
         st, mtr = step(st)
+        n_react_ref = len(ev_ours["admitted"])
         assert int(mtr.n_reactivated) == n_react_ref, t
+        if t == 1:
+            # the designed non-prefix admission: wave B's during-loop
+            # countability rejects mid-sequence pending slots
+            assert ev_ours["admitted"] == [5, 31, 99, 151], \
+                ev_ours["admitted"]
         total_react += n_react_ref
-        total_deferred += len(ev_ours["pending"]) - n_react_ref
+        total_deferred += n_pending - n_react_ref
         ev_ours["i"] += n_react_ref
         assert ev["i"] == ev_ours["i"], (t, ev["i"], ev_ours["i"])
         np.testing.assert_allclose(float(st.added),
