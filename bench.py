@@ -820,10 +820,6 @@ def _run_child(name, fwd, backend_flags, timeout_s, extra=()):
         err = f"timeout after {timeout_s:.0f}s"
     finally:
         _CURRENT_CHILD["proc"] = None
-    # replay the child's stderr so the driver's tail keeps the familiar
-    # per-row progress lines
-    if serr:
-        sys.stderr.write(serr if serr.endswith("\n") else serr + "\n")
     recs = []
     for ln in out.splitlines():
         ln = ln.strip()
@@ -837,6 +833,16 @@ def _run_child(name, fwd, backend_flags, timeout_s, extra=()):
     if err is None and not recs:
         err = "no JSON row in child stdout"
     return recs, serr, err
+
+
+def _replay_child_stderr(serr):
+    """Echo the child's stderr so the driver's tail keeps the familiar
+    per-row progress lines. Callers replay AFTER recording the child's
+    rows into the artifact, so an external watcher that reacts to a
+    progress line (or a SIGTERM racing it) can never observe the line
+    without the artifact entry behind it."""
+    if serr:
+        sys.stderr.write(serr if serr.endswith("\n") else serr + "\n")
 
 
 # per-row wall reserves for the budget guard (compile-dominated; v5e round-4
@@ -925,6 +931,7 @@ def _run_matrix_isolated(args, backend_flags):
         row = next((r for r in recs if r.get("metric", "").startswith(
             ("particle_" if name == "headline" else name + "_"))), None)
         if row is None:
+            _replay_child_stderr(serr)
             failed.append(name)
             failed_detail[name] = err or "no row record"
             print(f"bench[{name}] FAILED: {err}", file=sys.stderr)
@@ -934,13 +941,15 @@ def _run_matrix_isolated(args, backend_flags):
             # hung (the documented axon teardown-hang mode) — keep the
             # real row, annotated, instead of discarding evidence
             row["child_error"] = err
-            print(f"bench[{name}]: row recorded, child then failed "
-                  f"({err})", file=sys.stderr)
         if name == "headline":
             art.update(row)
             art.setdefault("rows", {})
         else:
             art["rows"][name] = row
+        _replay_child_stderr(serr)
+        if err is not None:
+            print(f"bench[{name}]: row recorded, child then failed "
+                  f"({err})", file=sys.stderr)
 
     # the accuracy clause: chunked drift protocol on the headline config,
     # in its own child, bounded by whatever budget remains
@@ -964,11 +973,13 @@ def _run_matrix_isolated(args, backend_flags):
                      if r.get("metric") == "headline_energy_drift"), None)
         if drec is None:
             art["drift_per_1e4"] = f"FAILED ({err or 'no drift record'})"
-            print(f"bench[drift] FAILED: {err}", file=sys.stderr)
         else:
             art["drift_per_1e4"] = drec["drift_per_1e4"]
             art["drift_steps"] = drec["drift_steps"]
             art["drift_config"] = drec.get("config")
+        _replay_child_stderr(serr)
+        if drec is None:
+            print(f"bench[drift] FAILED: {err}", file=sys.stderr)
 
     if skipped:
         art["skipped"] = skipped

@@ -9,8 +9,10 @@ the forced-CPU backend and validates the JSON contract the driver parses.
 
 import json
 import os
+import signal
 import subprocess
 import sys
+import time
 
 import pytest
 
@@ -147,6 +149,54 @@ def test_bench_row_death_cannot_take_the_tail():
     assert set(rec["rows"]) == expect_rows, rec
     for row in rec["rows"].values():
         assert row["value"] > 0
+
+
+def test_bench_sigterm_emits_partial_artifact():
+    """A SIGTERM mid-matrix (the driver-timeout scenario) must still
+    produce the ONE JSON line with whatever was measured, an explicit
+    "interrupted" marker, and the unfinished rows listed as skipped —
+    round 4's failure mode was an empty artifact; a truncated one is the
+    contract now."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--cpu",
+         "--steps", "2", "--particles", "8192", "--row-steps", "3",
+         "--sheath-n", "8192", "--mag-n", "4096", "--drift-steps", "40",
+         "--budget-s", "1e8"],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True,
+    )
+    # wait for the headline row to land (its stderr line), then interrupt
+    deadline = time.time() + 300
+    saw_headline = False
+    stderr_lines = []
+    while time.time() < deadline:
+        ln = proc.stderr.readline()
+        if not ln:
+            break
+        stderr_lines.append(ln)
+        if ln.startswith("bench[headline]:"):
+            saw_headline = True
+            break
+    assert saw_headline, "".join(stderr_lines)[-2000:]
+    proc.send_signal(signal.SIGTERM)
+    try:
+        out, _ = proc.communicate(timeout=120)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        raise
+    assert proc.returncode == 1
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    assert len(lines) == 1, out
+    rec = json.loads(lines[0])
+    assert rec["interrupted"] == "SIGTERM"
+    assert rec["value"] > 0  # the completed headline row survived
+    # everything not yet measured is accounted for, never silently absent
+    assert set(rec.get("skipped", [])) | set(rec["rows"]) | \
+        set(rec.get("failed", [])) == {
+            "two_stream", "landau", "sheath", "magnetized",
+            "domain", "domain_explicit"}
 
 
 def test_bench_drift_only_child_contract():
