@@ -590,6 +590,192 @@ def test_magnetized_capped_source_matches_reference_reactivate_or_delete(
     assert total_deferred >= 2, "cap never bound — dead A/B"
 
 
+def test_dn_flux_inflow_cycle_matches_reference(ref, monkeypatch):
+    """Multi-step dirichlet_neumann_test cycle WITH the flux inflow
+    (pygcpic.py:2020-2060): D-N Newton-Boltzmann solve, pushes, wall
+    losses, and the per-step flux-capped re-injection through the ACTUAL
+    Particle.reactivate + flux_distribution_6D (pygcpic.py:760-778) with
+    every np.random call replayed from recorded tables — the position
+    uniform, the 3-velocity normal, the CDF-table np.random.choice, the
+    half-bin jitter uniform, and the gamma perturbed-beam decision —
+    plus the driver's own r[3] = -abs(r[3]) quirk (pygcpic.py:2059).
+    The round-4 harness could compare only ONE cold D-N cycle because the
+    unforced half-sheath is unstable; the inflow is what stabilizes the
+    real driver, and the replayed stream makes it comparable."""
+    _, ref_gc = ref
+    from pypic_tpu import sources
+    from pypic_tpu.engines import magnetized
+    from pypic_tpu.grid import GridSpec
+
+    rng = np.random.default_rng(83)
+    # the driver's NUMERICAL regime, scaled down: ~64 particles/node
+    # (50000/800) AND dx ~ 0.5 Debye lengths (400 LD / 800 nodes) — a
+    # coarser dx under-resolves the wall sheath and sends the reference's
+    # D-N Newton into exp overflow within two steps (measured)
+    ng, n, steps = 64, 4096, 25
+    te = ti = 10.0 * 11600.0
+    density = 1e19
+    debye = np.sqrt(1.38e-23 * te * 8.854e-12 / 1.602e-19**2 / density)
+    L = 32.0 * debye
+    dt = 2e-10
+    p2c = density * L / n
+    mass = 1.67e-27
+    B0 = np.zeros(3)
+    dx = L / (ng - 1)
+    flux_cap = 16
+    flux_gamma, vx_pert = 0.5, -3.0
+    vx_drift = 0.0
+    vth = np.sqrt(1.38e-23 * ti / mass)
+
+    # the driver's initial population: full domain, inbound vx
+    x0 = rng.uniform(0.02 * L, 0.98 * L, n)
+    v0 = rng.normal(0.0, vth, (n, 3))
+    v0[:, 0] = -np.abs(v0[:, 0])  # pygcpic.py:1999
+
+    # --- recorded stream, one row per re-injection EVENT ---
+    # the generator's CDF table (pygcpic.py:765-771), identical every event
+    num_vels = 100
+    vels = np.linspace(-6 * vth, 6 * vth, num_vels)
+    dist = np.array([ref_gc.weighted_gaussian(v, vx_drift, vth)
+                     for v in vels])
+    dist /= dist.sum()
+    max_events = steps * flux_cap
+    U_x = rng.uniform(0.0, 1.0, max_events)
+    Z3 = rng.normal(0.0, 1.0, (max_events, 3))
+    CH = vels[rng.choice(num_vels, size=max_events, p=dist)]
+    JIT = rng.uniform(-1.0, 1.0, max_events)
+    UG = rng.uniform(0.0, 1.0, max_events)
+    dv_half = (vels[1] - vels[0]) / 2.0
+
+    def gen_vx(e):
+        """r[3] as flux_distribution_6D yields it (pre-driver-quirk)."""
+        if UG[e] < flux_gamma:
+            return vx_pert * vth
+        return -abs(CH[e]) + JIT[e] * dv_half + vx_drift
+
+    # --- reference side: actual generator with np.random replayed ---
+    grid_ref = ref_gc.Grid(ng, L, te, bc="dirichlet-neumann")
+    parts = []
+    for i in range(n):
+        pt = ref_gc.Particle(mass, 1, p2c, ti, Z=1, B0=B0.copy(),
+                             E0=np.zeros(3), grid=grid_ref)
+        pt.r[:] = 0.0
+        pt.r[0] = x0[i]
+        pt.r[3:6] = v0[i]
+        parts.append(pt)
+    flux_distribution = ref_gc.flux_distribution_6D(
+        grid_ref, ti, mass, vx=vx_drift, gamma=flux_gamma, vx_pert=vx_pert)
+
+    ev = {"i": 0, "phase": 0}
+
+    def fake_uniform(lo=0.0, hi=1.0, size=None):
+        assert size is None
+        if (lo, hi) == (-1, 1):
+            return JIT[ev["i"]]
+        assert float(lo) == 0.0 and float(hi) == 1.0
+        if ev["phase"] == 0:  # position draw opens the event
+            ev["phase"] = 1
+            return U_x[ev["i"]]
+        ev["phase"] = 0  # gamma decision closes it
+        u = UG[ev["i"]]
+        ev["i"] += 1
+        return u
+
+    def fake_normal(loc=0.0, scale=1.0, size=None):
+        assert size == 3 and loc == 0.0
+        return Z3[ev["i"]] * scale
+
+    def fake_choice(a, size=None, p=None):
+        return CH[ev["i"]]
+
+    monkeypatch.setattr(np.random, "uniform", fake_uniform)
+    monkeypatch.setattr(np.random, "normal", fake_normal)
+    monkeypatch.setattr(np.random, "choice", fake_choice)
+
+    # --- our side: the same stream through the flux sampler hook ---
+    ev_ours = {"i": 0, "admitted": []}
+
+    def fake_sample_flux(key, n_draw, grid_s, ti_s, mass_s, vx=0.0,
+                        gamma=0.0, vx_pert=0.0, components=True):
+        assert n_draw == n
+        xb = np.full(n, 0.5 * L)
+        vb = np.zeros((n, 3))
+        k = ev_ours["i"]
+        for s in ev_ours["admitted"]:
+            xb[s] = L - dx * U_x[k]
+            vb[s] = (gen_vx(k), Z3[k, 1] * vth, Z3[k, 2] * vth)
+            k += 1
+        return {"x": jnp.asarray(xb, jnp.float64),
+                "vx": jnp.asarray(vb[:, 0], jnp.float64),
+                "vy": jnp.asarray(vb[:, 1], jnp.float64),
+                "vz": jnp.asarray(vb[:, 2], jnp.float64)}
+
+    monkeypatch.setattr(sources, "sample_flux_6d", fake_sample_flux)
+
+    cfg = magnetized.MagnetizedConfig(
+        grid=GridSpec(ng, L, "dirichlet-neumann"), dt=dt, te=te,
+        b=tuple(B0), species_z=(1,), reactivate="flux",
+        react_timing="reference", flux_limit=flux_cap,
+        flux_gamma=flux_gamma, flux_vx_pert=vx_pert,
+        source=magnetized.SourceSpec(mass=mass, charge_state=1.0, p2c=p2c,
+                                     species_idx=0, ti=ti, vx=vx_drift),
+        source_sampler="threefry", react_batch=0,
+        backend="composed", newton_backend="xla",
+    )
+    st = magnetized.init_state(
+        x0, v0, m=mass, charge_state=1.0, p2c=p2c, species_idx=0,
+        cfg=cfg, dtype=jnp.float64,
+    )
+    step = magnetized.make_step(cfg)
+
+    total_react = 0
+    for t in range(steps):
+        grid_ref.weight_particles_to_grid_boltzmann(parts, dt)
+        grid_ref.reset_added_particles()
+        grid_ref.solve_for_phi_dirichlet_neumann_boltzmann()
+        grid_ref.differentiate_phi_to_E_dirichlet()
+        ev_ours["admitted"] = [i for i, pt in enumerate(parts)
+                               if not pt.is_active()][:flux_cap]
+        flux_counter = 0
+        for pt in parts:
+            if pt.is_active():
+                pt.interpolate_electric_field_dirichlet(grid_ref)
+                pt.push_6D(dt)
+                pt.apply_BCs_dirichlet(grid_ref)
+            elif flux_counter < flux_cap:
+                # pygcpic.py:2056-2059 incl. the driver-side -abs quirk
+                pt.reactivate(flux_distribution, grid_ref,
+                              (t + 1) * dt, p2c, mass, 1, 1)
+                pt.r[3] = -np.abs(pt.r[3])
+                flux_counter += 1
+
+        st, mtr = step(st)
+        assert int(mtr.n_reactivated) == flux_counter, t
+        total_react += flux_counter
+        ev_ours["i"] += flux_counter
+        assert ev["i"] == ev_ours["i"], (t, ev["i"], ev_ours["i"])
+        np.testing.assert_allclose(float(st.added),
+                                   grid_ref.added_particles, rtol=1e-12)
+        np.testing.assert_allclose(float(mtr.n0), grid_ref.n0, rtol=1e-5,
+                                   err_msg=f"n0 mismatch at step {t}")
+        act = np.array([pt.is_active() for pt in parts])
+        assert np.array_equal(np.asarray(st.active)[:n] == 1, act), t
+        phi_scale = max(np.max(np.abs(grid_ref.phi)), 1.0)
+        # this variant's Newton stops at |dphi| < 1e-3 and the reference
+        # solves its Jacobian densely vs our Sherman-Morrison tridiag; the
+        # per-solve O(1e-3 V) differences random-walk through the rho and
+        # wall feedback over the horizon
+        np.testing.assert_allclose(
+            np.asarray(mtr.phi, np.float64), grid_ref.phi,
+            atol=5e-2 * phi_scale, rtol=0,
+            err_msg=f"phi mismatch at step {t}")
+        x_ref = np.array([pt.r[0] for pt in parts])
+        np.testing.assert_allclose(
+            np.asarray(st.p, np.float64)[:n][act] * dx, x_ref[act],
+            atol=1e-4 * L, rtol=0, err_msg=f"x mismatch at step {t}")
+    assert total_react >= flux_cap, "inflow never fired"
+
+
 # ---------------------------------------------------------------------------
 # forced MCC ionization + ledger -> n0 recurrence (pygcpic.py:387-398)
 # ---------------------------------------------------------------------------
