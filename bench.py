@@ -318,11 +318,12 @@ def bench_two_stream(args):
     # steps: the ~1e4-particle row pays a ~27 ms wall floor per timed
     # region on the remote tunnel REGARDLESS of dispatch count (measured:
     # 2000 steps cost 27-32 ms whether run as 1 or 10 kernels —
-    # scratch/two_stream_s.py, round 4), so the row amortizes 40k steps
-    # (4e8 pushes; raised from 20k in round 5 after a transient tunnel
-    # excursion false-flagged the floor-dominated row — at 40k the floor
-    # is ~20% of the region instead of ~40%, at +0.4 s row cost)
-    n, steps = 10_000, args.row_steps or 40_000
+    # scratch/two_stream_s.py, round 4), so the row amortizes 200k steps
+    # (2e9 pushes, ~0.4 s/region; round-5 ladder 20k/40k/200k ->
+    # 2.9-4.1/4.07/5.16e9 against a ~5.9e9 marginal-cost asymptote —
+    # 1.7 us/step of true compute at 1e4 particles; 400k measured
+    # pathologically slow under host contention, not worth the tail)
+    n, steps = 10_000, args.row_steps or 200_000
     density = 1e10
     te = 0.1 * 11600.0
     debye = np.sqrt(K_BOLTZMANN * te * EPSILON_0 / E_CHARGE**2 / density)
