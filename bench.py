@@ -318,12 +318,16 @@ def bench_two_stream(args):
     # steps: the ~1e4-particle row pays a ~27 ms wall floor per timed
     # region on the remote tunnel REGARDLESS of dispatch count (measured:
     # 2000 steps cost 27-32 ms whether run as 1 or 10 kernels —
-    # scratch/two_stream_s.py, round 4), so the row amortizes 200k steps
-    # (2e9 pushes, ~0.4 s/region; round-5 ladder 20k/40k/200k ->
-    # 2.9-4.1/4.07/5.16e9 against a ~5.9e9 marginal-cost asymptote —
-    # 1.7 us/step of true compute at 1e4 particles; 400k measured
-    # pathologically slow under host contention, not worth the tail)
-    n, steps = 10_000, args.row_steps or 200_000
+    # scratch/two_stream_s.py, round 4), so the row amortizes 40k steps
+    # (20 resident-kernel calls/region; 4.07e9, repeatable to 0.2%).
+    # Round-5 ladder: 200k steps measured 5.16-5.18e9 (~5.9e9 asymptote,
+    # 1.7 us/step true compute) but its longer dispatch program hits the
+    # remote compiler's erratic tail (2 of 4 attempts spent >9 min before
+    # the first timed region vs ~18 s at 40k) — a 900 s child here would
+    # starve the drift clause, so the DEFAULT stays 40k and the 200k
+    # capability is recorded in PERF.md (pass --row-steps 200000 to
+    # re-measure)
+    n, steps = 10_000, args.row_steps or 40_000
     density = 1e10
     te = 0.1 * 11600.0
     debye = np.sqrt(K_BOLTZMANN * te * EPSILON_0 / E_CHARGE**2 / density)
