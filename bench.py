@@ -801,13 +801,21 @@ def _run_child(name, fwd, backend_flags, timeout_s, extra=()):
     cmd = ([sys.executable, os.path.abspath(__file__), "--only", name]
            + list(extra) + fwd + backend_flags)
     err = None
+    # block termination signals across spawn+track so a SIGTERM can never
+    # land between Popen returning and the child becoming killable via
+    # _CURRENT_CHILD (it would orphan a chip-holding child); the pending
+    # signal delivers right after the mask is restored
+    mask = signal.pthread_sigmask(
+        signal.SIG_BLOCK, {signal.SIGTERM, signal.SIGINT})
     try:
         proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                                 stderr=subprocess.PIPE, text=True,
                                 start_new_session=True)
+        _CURRENT_CHILD["proc"] = proc
     except OSError as e:
         return [], "", f"spawn failed: {e!r}"
-    _CURRENT_CHILD["proc"] = proc
+    finally:
+        signal.pthread_sigmask(signal.SIG_SETMASK, mask)
     try:
         out, serr = proc.communicate(timeout=timeout_s)
         out, serr = out or "", serr or ""
@@ -880,12 +888,24 @@ def _run_matrix_isolated(args, backend_flags):
     def _finalize_and_print():
         if done["printed"]:
             return
-        done["printed"] = True
+        done["printed"] = True  # reentrancy guard (a second SIGTERM
+        # during the print must not double-emit)
         prior = _load_prior()
         if prior is not None:
             _annotate_vs_prior(art, prior)
-        print(json.dumps(art))
-        sys.stdout.flush()
+        line = json.dumps(art)
+        try:
+            print(line)
+            sys.stdout.flush()
+        except (BrokenPipeError, OSError):
+            # the driver closed our stdout (it timed us out) — best
+            # effort: the artifact is still worth having in the stderr
+            # tail rather than nowhere
+            try:
+                sys.stderr.write(line + "\n")
+                sys.stderr.flush()
+            except OSError:
+                pass
 
     def _on_term(signum, frame):
         # driver timeout / operator interrupt: kill the in-flight child's
@@ -936,9 +956,11 @@ def _run_matrix_isolated(args, backend_flags):
         row = next((r for r in recs if r.get("metric", "").startswith(
             ("particle_" if name == "headline" else name + "_"))), None)
         if row is None:
-            _replay_child_stderr(serr)
+            # record-before-replay here too: a SIGTERM racing the replay
+            # must find the failure already filed
             failed.append(name)
             failed_detail[name] = err or "no row record"
+            _replay_child_stderr(serr)
             print(f"bench[{name}] FAILED: {err}", file=sys.stderr)
             continue
         if err is not None:

@@ -167,11 +167,18 @@ def test_bench_sigterm_emits_partial_artifact():
         cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True,
     )
-    # wait for the headline row to land (its stderr line), then interrupt
+    # wait for the headline row to land (its stderr line), then interrupt;
+    # select() keeps the deadline honest even while the parent is silent
+    # (readline alone would block past it if the child wedged)
+    import select
+
     deadline = time.time() + 300
     saw_headline = False
     stderr_lines = []
     while time.time() < deadline:
+        ready, _, _ = select.select([proc.stderr], [], [], 5.0)
+        if not ready:
+            continue
         ln = proc.stderr.readline()
         if not ln:
             break
@@ -179,7 +186,10 @@ def test_bench_sigterm_emits_partial_artifact():
         if ln.startswith("bench[headline]:"):
             saw_headline = True
             break
-    assert saw_headline, "".join(stderr_lines)[-2000:]
+    if not saw_headline:
+        proc.kill()
+        proc.communicate()
+        raise AssertionError("".join(stderr_lines)[-2000:])
     proc.send_signal(signal.SIGTERM)
     try:
         out, _ = proc.communicate(timeout=120)
