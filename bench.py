@@ -188,7 +188,12 @@ def _drift_loop(step, state, drift_steps, spc=1, budget_s=None):
             np.asarray(m2.field_energy, np.float64)
             + np.asarray(m2.kinetic_energy, np.float64)
         ).reshape(-1)
-        chunk_cost = time.perf_counter() - tc
+        # estimate the NEXT chunk from the cheapest seen: the first chunk
+        # carries the compile (observed 5s-10min on the erratic remote
+        # compiler) and would otherwise veto a loop whose steady-state
+        # chunks still fit the budget comfortably
+        cost = time.perf_counter() - tc
+        chunk_cost = cost if chunk_cost == 0.0 else min(chunk_cost, cost)
         if tot0 is None:
             tot0 = tot[0]
         print(f"  drift chunk [{done}-{done + calls * spc}): "
@@ -1014,10 +1019,13 @@ def _run_matrix_isolated(args, backend_flags):
             left = args.budget_s - (time.perf_counter() - t_start)
             if left > _DRIFT_FULL_S + _RESERVE["domain"] + \
                     _RESERVE["domain_explicit"]:
+                budget = min(520.0, left - 420.0)
+                # timeout = loop budget + init/compile margin: on a
+                # degraded session the early slot gives up after ~9
+                # minutes rather than starving every later row
                 done["drift"] = _run_drift_child(
-                    args, art, fwd, backend_flags,
-                    drift_budget=min(520.0, left - 420.0),
-                    timeout_s=min(900.0, left + 60.0))
+                    args, art, fwd, backend_flags, drift_budget=budget,
+                    timeout_s=budget + 240.0)
 
     # the accuracy clause (a second pass if the early slot didn't run it)
     if args.drift_steps and not done.get("drift"):
