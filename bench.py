@@ -880,8 +880,9 @@ _DRIFT_FULL_S = 600.0
 def _run_drift_child(args, art, fwd, backend_flags, drift_budget,
                      timeout_s):
     """Run the accuracy-clause child (`--only headline --drift-only`) and
-    fold its record into the artifact. Returns True if a drift number (or
-    explicit FAILURE marker) was recorded."""
+    fold its record into the artifact. Returns True only when a drift
+    NUMBER was recorded — a failed early attempt leaves its FAILED marker
+    but lets the end-of-run slot retry with whatever budget remains."""
     recs, serr, err = _run_child(
         "headline", fwd, backend_flags, timeout_s,
         extra=["--drift-only", "--drift-steps", str(args.drift_steps),
@@ -897,7 +898,7 @@ def _run_drift_child(args, art, fwd, backend_flags, drift_budget,
     _replay_child_stderr(serr)
     if drec is None:
         print(f"bench[drift] FAILED: {err}", file=sys.stderr)
-    return True
+    return drec is not None
 
 
 def _run_matrix_isolated(args, backend_flags):
