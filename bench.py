@@ -1018,8 +1018,12 @@ def _run_matrix_isolated(args, backend_flags):
             # drift number. On an already-degraded session defer it to
             # the end so the flagship rows keep their reserves.
             left = args.budget_s - (time.perf_counter() - t_start)
-            if left > _DRIFT_FULL_S + _RESERVE["domain"] + \
-                    _RESERVE["domain_explicit"]:
+            # threshold: a full drift pass + the flagship domain row's
+            # reserve. Keeping it this low is deliberate: a live degraded
+            # session (scratch/bench_r5_final5) showed a stalled domain
+            # child eating 900 s and starving a deferred drift — while
+            # failing itself; running drift first loses nothing even then
+            if left > _DRIFT_FULL_S + _RESERVE["domain"]:
                 budget = min(520.0, left - 420.0)
                 # timeout = loop budget + init/compile margin: on a
                 # degraded session the early slot gives up after ~9
